@@ -1,0 +1,136 @@
+"""Event-stream analytics (batch forms; streaming variants live in
+streaming/). Tumbling-window aggregation, gap sessionization, and a
+staged funnel over the `events` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uber_data_pipeline_spark.catalog import load_table
+from uber_data_pipeline_spark.functions.numeric import dsum, sql_dsum
+from uber_data_pipeline_spark.operators.sessions import sessionize
+
+SESSION_GAP_SECONDS = 1800
+
+
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event_type: count + value sum.
+    Uses F.window (the same operator the streaming path uses with a
+    watermark); window start exposed as a plain timestamp column."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min) per user: session bounds + size.
+    Lag-compare-cumsum over a per-user window, then a per-session
+    aggregate — both JVM-side, partitioned by user_id."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    s = sessionize(ev, "user_id", "ts", SESSION_GAP_SECONDS, "session_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: users counted at each
+    stage when their first later-stage event follows their first
+    earlier-stage event. One pivot-style conditional aggregation per
+    user, then a single global rollup row."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.col("t_view")).alias("n_view"),
+        F.count(
+            F.when(F.col("t_click") > F.col("t_view"), 1)
+        ).alias("n_view_then_click"),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+QUERIES = {
+    "events_windowed_agg": events_windowed_agg,
+    "events_sessionization": events_sessionization,
+    "events_funnel": events_funnel,
+}
+
+ORACLES = {
+    # NOTE: the driver's `events` view has ts as TIMESTAMP_NS; Spark
+    # reads it truncated to microseconds, and DuckDB's CAST(ts AS
+    # TIMESTAMP) truncates the same way — so every oracle casts first.
+    "events_windowed_agg": f"""
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_dsum("value")} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "events_sessionization": f"""
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+        ), flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR EXTRACT(EPOCH FROM ts - LAG(ts) OVER w) > {SESSION_GAP_SECONDS}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end
+        FROM sessions
+        GROUP BY 1, 2
+    """,
+    "events_funnel": """
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT COUNT(t_view) AS n_view,
+               COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_then_click,
+               COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click
+                          THEN 1 END) AS n_full_funnel
+        FROM per_user
+    """,
+}

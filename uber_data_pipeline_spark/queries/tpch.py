@@ -1,0 +1,243 @@
+"""OLAP-classic queries (TPC-H shapes adapted to the synthetic SF
+tables). These prove the relational core beyond the reference's 6
+models: wide aggregation, join-heavy plans with broadcast dims,
+pure pushdown scans, rollup, and running windows.
+
+Date constants are shifted to the synthetic data's 1995-2001 range.
+All double aggregates go through functions.numeric (exact decimal
+sums) so results are order-independent and match the oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from uber_data_pipeline_spark.catalog import load_table
+from uber_data_pipeline_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: pricing summary report. Single scan, 8 aggregates,
+    filter pushed to parquet; partial (map-side) aggregation reduces
+    to |returnflag x linestatus| groups before the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = _revenue() * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-08-06"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(_revenue()).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top 10 unshipped orders by revenue for one market
+    segment. Dim filter reduces customer before the fact join; top-k
+    is TakeOrderedAndProject (no global sort)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg(dsum(_revenue()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("order_key"))
+        .limit(10)
+    )
+
+
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue per nation where customer and supplier share
+    the nation, one region, one year. Six-way join; nation/region
+    broadcast, fact joins shuffle on keys with AQE skew handling."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(dsum(_revenue()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("nation_name"))
+    )
+
+
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan + filter + single aggregate — the pushdown
+    showcase (all predicates land in the parquet scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregate: ROLLUP(status, priority) — count and
+    total price at every level plus grand total."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("order_status"),
+            F.col("o_orderpriority").alias("order_priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def customer_ltv_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running lifetime value per customer: cumulative sum of order
+    totals ordered by (date, key) — deterministic total order, window
+    partitioned by the high-cardinality customer key. Decimal sum so
+    the oracle's segment-tree summation can't diverge."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderdate").alias("order_date"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double"), 2
+        ).alias("ltv_to_date"),
+    )
+
+
+QUERIES = {
+    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
+    "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+    "orders_rollup": orders_rollup,
+    "customer_ltv_window": customer_ltv_window,
+}
+
+ORACLES = {
+    "tpch_q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum("l_quantity")} AS sum_qty,
+               {sql_dsum("l_extendedprice")} AS sum_base_price,
+               {sql_dsum(_REVENUE)} AS sum_disc_price,
+               {sql_dsum(_REVENUE + " * (1 + l_tax)")} AS sum_charge,
+               {sql_davg("l_quantity")} AS avg_qty,
+               {sql_davg("l_extendedprice")} AS avg_price,
+               {sql_davg("l_discount")} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "tpch_q3_shipping_priority": f"""
+        SELECT l.l_orderkey AS order_key,
+               o.o_orderdate AS order_date,
+               o.o_orderpriority AS order_priority,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, order_key ASC
+        LIMIT 10
+    """,
+    "tpch_q5_local_supplier_volume": f"""
+        SELECT n.n_name AS nation_name,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+        ORDER BY revenue DESC, nation_name ASC
+    """,
+    "tpch_q6_forecast_revenue": f"""
+        SELECT {sql_dsum("l_extendedprice * l_discount")} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "orders_rollup": f"""
+        SELECT o_orderstatus AS order_status,
+               o_orderpriority AS order_priority,
+               COUNT(*) AS n_orders,
+               {sql_dsum("o_totalprice")} AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "customer_ltv_window": """
+        SELECT o_custkey AS cust_key,
+               o_orderkey AS order_key,
+               o_orderdate AS order_date,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE), 2) AS ltv_to_date
+        FROM orders
+    """,
+}
