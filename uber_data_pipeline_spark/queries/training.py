@@ -1,0 +1,243 @@
+"""Training-data pipeline queries (SURVEY.md §2.3): dedup family,
+text analysis, and embedding similarity search over the `documents`
+and `embeddings` tables.
+
+Every oracle recomputes the full pipeline in DuckDB using the twin
+dialect fragments from functions/text.py / functions/vectors.py —
+including minhash (MIN over md5 hex keeps the hash family
+engine-neutral).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from uber_data_pipeline_spark.catalog import load_table
+from uber_data_pipeline_spark.functions.text import (
+    DIGITS_ONLY_DUCK,
+    PUNCT_STRIPPED_DUCK,
+    REGEX_TOKEN_COUNT_DUCK,
+    TOKENS_DUCK,
+    langid_case,
+    rolling_hash_duck,
+    shingles_duck,
+    stopword_count_duck,
+)
+from uber_data_pipeline_spark.functions.vectors import cosine_duck, srp_bucket_duck
+from uber_data_pipeline_spark.operators import dedup, similarity, textops
+
+JACCARD_THRESHOLD = 0.5
+EST_JACCARD_THRESHOLD = 0.5
+COSINE_NEAR_DUP = 0.4
+ANN_K = 5
+LSH_ANN_K = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+QUERIES = {
+    "dedup_exact": lambda spark, sf: dedup.exact_duplicates(_docs(spark, sf)),
+    "dedup_ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(
+        _docs(spark, sf), JACCARD_THRESHOLD
+    ),
+    "dedup_minhash_lsh": lambda spark, sf: dedup.lsh_candidate_pairs(
+        _docs(spark, sf), EST_JACCARD_THRESHOLD
+    ),
+    "dedup_simhash": lambda spark, sf: dedup.simhash_pairs(_docs(spark, sf)),
+    "dedup_embedding_cosine": lambda spark, sf: similarity.cosine_pairs(
+        _emb(spark, sf), COSINE_NEAR_DUP
+    ),
+    "ann_bruteforce_topk": lambda spark, sf: similarity.brute_force_topk(
+        _emb(spark, sf), ANN_K
+    ),
+    "ann_lsh_topk": lambda spark, sf: similarity.lsh_topk(_emb(spark, sf), LSH_ANN_K),
+    "text_langid": lambda spark, sf: textops.language_id(_docs(spark, sf)),
+    "text_quality": lambda spark, sf: textops.quality_scores(_docs(spark, sf)),
+    "text_tokens": lambda spark, sf: textops.token_counts(_docs(spark, sf)),
+    "text_fingerprint": lambda spark, sf: textops.fingerprints(_docs(spark, sf)),
+}
+
+
+# ---------------------------------------------------------------- oracles
+
+_SHINGLES_CTE = f"""
+    tok AS (SELECT doc_id, text, {TOKENS_DUCK} AS tokens FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, s.shingle
+        FROM tok, unnest({shingles_duck("tokens")}) AS s(shingle)
+    )
+"""
+
+_MINHASH_CTE = f"""
+    {_SHINGLES_CTE},
+    mh AS (
+        SELECT doc_id, p.perm_id,
+               MIN(md5(p.perm_id::VARCHAR || ':' || shingle)) AS minhash
+        FROM sh, unnest(range(0, {dedup.NUM_PERM})) AS p(perm_id)
+        GROUP BY doc_id, p.perm_id
+    )
+"""
+
+_SIMHASH_NIBBLE = "(instr('0123456789abcdef', substring(md5(t), (j // 4) + 1, 1)) - 1)"
+_SIMHASH_CONTRIB = f"CASE WHEN (({_SIMHASH_NIBBLE} >> (j % 4)) & 1) = 1 THEN 1 ELSE -1 END"
+_SIMHASH_EXPR = f"""
+    list_sum(list_transform(range(0, {dedup.SIMHASH_BITS}), j ->
+        CASE WHEN list_sum(list_transform(list_distinct(tokens), t -> {_SIMHASH_CONTRIB})) >= 0
+             THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+"""
+
+_LANG_SCORES_DUCK = ", ".join(
+    f"{stopword_count_duck(lg)} AS s_{lg}" for lg in ("en", "de", "fr", "es")
+)
+_LANG_CASE = langid_case({lg: f"s_{lg}" for lg in ("en", "de", "fr", "es")})
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(lower(trim(text))) AS text_hash,
+               MIN(doc_id) AS canonical_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_common / (sa.sz + sb.sz - n_common), 6) >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_MINHASH_CTE},
+        bands AS (
+            SELECT doc_id, perm_id // {dedup.NUM_PERM // dedup.NUM_BANDS} AS band,
+                   md5(string_agg(minhash, '|' ORDER BY perm_id)) AS band_key
+            FROM mh
+            GROUP BY 1, 2
+        ),
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               ROUND(COUNT(CASE WHEN sa.minhash = sb.minhash THEN 1 END)
+                     / {float(dedup.NUM_PERM)}, 6) AS est_jaccard
+        FROM candidates c
+        JOIN mh sa ON sa.doc_id = c.doc_a
+        JOIN mh sb ON sb.doc_id = c.doc_b AND sa.perm_id = sb.perm_id
+        GROUP BY 1, 2
+        HAVING est_jaccard >= {EST_JACCARD_THRESHOLD}
+    """,
+    "dedup_simhash": f"""
+        WITH tok AS (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents),
+        sv AS (SELECT doc_id, {_SIMHASH_EXPR} AS simhash FROM tok)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHASH_MAX_HAMMING}
+    """,
+    "dedup_embedding_cosine": f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {cosine_duck("a.embedding", "b.embedding")} AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {cosine_duck("a.embedding", "b.embedding")} >= {COSINE_NEAR_DUP}
+    """,
+    "ann_bruteforce_topk": f"""
+        WITH scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {cosine_duck("a.embedding", "b.embedding")} AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {ANN_K}
+    """,
+    "ann_lsh_topk": f"""
+        WITH be AS (
+            SELECT vec_id, embedding,
+                   {srp_bucket_duck("embedding", similarity.LSH_BITS)} AS bucket
+            FROM embeddings
+        ), scored AS (
+            SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
+                   {cosine_duck("a.embedding", "b.embedding")} AS cosine
+            FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+        ), ranked AS (
+            SELECT query_id, bucket, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, bucket, neighbor_id, rank, cosine
+        FROM ranked WHERE rank <= {LSH_ANN_K}
+    """,
+    "text_langid": f"""
+        WITH tok AS (
+            SELECT doc_id, lang AS labeled_lang, {TOKENS_DUCK} AS tokens FROM documents
+        ), scored AS (
+            SELECT doc_id, labeled_lang, {_LANG_SCORES_DUCK} FROM tok
+        )
+        SELECT doc_id, labeled_lang,
+               {_LANG_CASE} AS pred_lang,
+               ({_LANG_CASE} = labeled_lang) AS agree
+        FROM scored
+    """,
+    "text_quality": f"""
+        WITH base AS (
+            SELECT doc_id, n_chars, {TOKENS_DUCK} AS tokens,
+                   {PUNCT_STRIPPED_DUCK} AS n_punct,
+                   {DIGITS_ONLY_DUCK} AS n_digits
+            FROM documents
+        ), ratios AS (
+            SELECT doc_id,
+                   CAST(len(tokens) AS INT) AS n_tokens,
+                   ROUND({stopword_count_duck("en")} / len(tokens), 6) AS stopword_ratio,
+                   ROUND(n_punct / n_chars, 6) AS punct_ratio,
+                   ROUND(n_digits / n_chars, 6) AS digit_ratio
+            FROM base
+        )
+        SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, digit_ratio,
+               CAST(ROUND(CAST(least(n_tokens, 100) AS DECIMAL(12,6)) * 0.004
+                     + (1.0 - CAST(stopword_ratio AS DECIMAL(12,6))) * 0.3
+                     + (1.0 - CAST(punct_ratio AS DECIMAL(12,6))) * 0.3, 6) AS DOUBLE)
+                   AS quality_score
+        FROM ratios
+    """,
+    "text_tokens": f"""
+        WITH tok AS (
+            SELECT doc_id, text, {TOKENS_DUCK} AS tokens,
+                   {REGEX_TOKEN_COUNT_DUCK} AS n_regex_tokens
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(tokens) AS INT) AS n_ws_tokens,
+               CAST(n_regex_tokens AS BIGINT) AS n_regex_tokens,
+               ROUND(length(replace(text, ' ', '')) / len(tokens), 6) AS avg_token_len
+        FROM tok
+    """,
+    "text_fingerprint": f"""
+        WITH tok AS (SELECT doc_id, text, {TOKENS_DUCK} AS tokens FROM documents)
+        SELECT doc_id,
+               {rolling_hash_duck("text")} AS rolling_hash,
+               list_min(list_transform({shingles_duck("tokens")}, s -> md5(s)))
+                   AS min_shingle_hash
+        FROM tok
+    """,
+}
