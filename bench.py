@@ -1,0 +1,62 @@
+"""Benchmark runner: times every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is materialized via a count() of the full result (forces
+the whole plan, avoids driver-side toPandas transfer skew in the
+timing). A short warm-up query first so JVM/codegen startup isn't
+billed to the first benchmark entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from uber_data_pipeline_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = get_spark(app_name="udp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM classloading + codegen + parquet footer reads
+    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total wall seconds, all registered queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,75 +1,228 @@
 """Similarity search over an embedding column (array<float>).
 
-Brute-force exact cosine top-k is the correctness baseline (O(n^2)
-pairs — fine for a reranking set, documented as NOT the scale path).
-The scale path is signed-random-projection LSH: deterministic
-hyperplanes derived from md5 parity (no stored model), bucket join,
-exact rerank inside buckets. Both are pure expressions (array
-higher-order functions), so the whole thing stays JVM-side.
+Scale design: never score pairs row-at-a-time. Both the exact and the
+LSH paths reduce to *block matrix multiplies* executed as Arrow-batched
+``applyInPandas`` kernels (numpy/BLAS), the fast path for vector math
+that Catalyst expressions can't vectorize:
 
-Determinism: cosine folds index-ascending in both engines and is
-rounded to 6 decimals BEFORE ranking, with vec_id as the final
-tie-breaker — rank boundaries cannot flip on float noise.
+- ``cosine_pairs`` / ``brute_force_topk``: the id space is tiled into
+  ``n_blocks x n_blocks`` cells via ``cogroup`` on (query-block,
+  corpus-block); each cell is one gemm of (n/b, d) x (d, n/b). No
+  driver-side collect, no broadcast of the corpus — both sides stream
+  through the shuffle, so the same plan runs with a billion vectors by
+  raising ``n_blocks``. Per-cell top-k candidates (k per query per
+  cell) are merged by a tiny global rank window.
+- ``lsh_topk``: signed-random-projection buckets (deterministic ±1
+  hyperplanes derived from md5 parity — no stored model), then an
+  exact gemm rerank *inside* each bucket group. Expected bucket size
+  n/2^bits keeps every kernel invocation bounded.
+
+Determinism vs the DuckDB oracle: cosine is computed in float64 and
+rounded to 6 decimals BEFORE ranking, with neighbor id as the final
+tie-breaker, so rank boundaries cannot flip on summation-order noise.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from uber_data_pipeline_spark.functions.vectors import cosine_spark, srp_bucket_spark
-
+COSINE_ROUND = 6
 LSH_BITS = 8
+DEFAULT_BLOCKS = 4  # raise ~ sqrt(n_rows / rows_per_cell) at larger n
 
 
-def cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
-    """All pairs with cosine >= threshold (embedding near-dup)."""
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.expr(cosine_spark("ea", "eb")))
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
+def _stack(series: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def srp_hyperplanes(n_bits: int, dim: int) -> np.ndarray:
+    """±1 hyperplane matrix H[j, d]: +1 iff the first hex nibble of
+    md5("{j},{d+1}") is even — bit-identical to the oracle's
+    ``srp_bucket_duck`` derivation (1-based dim index)."""
+    h = np.empty((n_bits, dim), dtype=np.float64)
+    for j in range(n_bits):
+        for d in range(dim):
+            nib = int(hashlib.md5(f"{j},{d + 1}".encode()).hexdigest()[0], 16)
+            h[j, d] = 1.0 if nib % 2 == 0 else -1.0
+    return h
+
+
+def _blocked(
+    emb: DataFrame, n_blocks: int, explode_col: str, mod_col: str, prefix: str
+) -> DataFrame:
+    """Tag rows with their own block id (vec_id % n_blocks) and fan
+    out one copy per opposite-side block, so cogroup on (qb, cb)
+    pairs every query block with every corpus block exactly once.
+
+    Column names are prefixed per side: a self-cogroup with identical
+    names on both branches lets Spark's analyzer collapse the right
+    branch's attributes into the left's, pruning everything but the
+    grouping keys. Keys are cast to int on both sides — cogroup key
+    matching is positional AND typed."""
+    return emb.select(
+        F.col("vec_id").alias(f"{prefix}id"),
+        F.col("embedding").alias(f"{prefix}emb"),
+        (F.col("vec_id") % n_blocks).cast("int").alias(mod_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias(explode_col),
     )
 
 
-def brute_force_topk(emb: DataFrame, k: int) -> DataFrame:
-    """Exact cosine top-k neighbors per vector."""
-    a = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb"))
-    scored = (
-        a.join(b, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.expr(cosine_spark("ea", "eb")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+def cosine_pairs(
+    emb: DataFrame, threshold: float, n_blocks: int = DEFAULT_BLOCKS
+) -> DataFrame:
+    """All unordered pairs with cosine >= threshold (embedding near-dup)."""
+    left = _blocked(emb, n_blocks, explode_col="cb", mod_col="qb", prefix="q")
+    right = _blocked(emb, n_blocks, explode_col="qb", mod_col="cb", prefix="n")
+
+    def score(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        qn, cn = _normalize(_stack(lpdf["qemb"])), _normalize(_stack(rpdf["nemb"]))
+        sims = np.round(qn @ cn.T, COSINE_ROUND)
+        qids = lpdf["qid"].to_numpy()
+        cids = rpdf["nid"].to_numpy()
+        i, j = np.nonzero((sims >= threshold) & (qids[:, None] < cids[None, :]))
+        return pd.DataFrame({"vec_a": qids[i], "vec_b": cids[j], "cosine": sims[i, j]})
+
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        left.groupBy("qb", "cb")
+        .cogroup(right.groupBy("qb", "cb"))
+        .applyInPandas(score, "vec_a long, vec_b long, cosine double")
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame, k: int, n_blocks: int = DEFAULT_BLOCKS
+) -> DataFrame:
+    """Exact cosine top-k neighbors per vector: per-cell gemm emits k
+    local candidates per query, a global rank window merges the
+    n_blocks*k candidates (tiny) into the exact top-k."""
+    left = _blocked(emb, n_blocks, explode_col="cb", mod_col="qb", prefix="q")
+    right = _blocked(emb, n_blocks, explode_col="qb", mod_col="cb", prefix="n")
+
+    def local_topk(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        if lpdf.empty or rpdf.empty:
+            return empty
+        qn, cn = _normalize(_stack(lpdf["qemb"])), _normalize(_stack(rpdf["nemb"]))
+        sims = np.round(qn @ cn.T, COSINE_ROUND)
+        qids = lpdf["qid"].to_numpy()
+        cids = rpdf["nid"].to_numpy()
+        sims[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
+        # total order (cosine desc, neighbor_id asc): argsort on cids
+        # first, then stable argsort on -cosine
+        by_id = np.argsort(cids, kind="stable")
+        frames = []
+        kk = min(k, sims.shape[1])
+        for row in range(sims.shape[0]):
+            s = sims[row, by_id]
+            top = by_id[np.argsort(-s, kind="stable")[:kk]]
+            keep = top[sims[row, top] > -np.inf]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qids[row],
+                        "neighbor_id": cids[keep],
+                        "cosine": sims[row, keep],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    candidates = (
+        left.groupBy("qb", "cb")
+        .cogroup(right.groupBy("qb", "cb"))
+        .applyInPandas(local_topk, "query_id long, neighbor_id long, cosine double")
+    )
+    return rank_topk(candidates, k, partition_cols=("query_id",))
+
+
+def rank_topk(candidates: DataFrame, k: int, partition_cols=("query_id",)) -> DataFrame:
+    """Global (cosine desc, neighbor_id asc) top-k over a candidate
+    set that is already reduced (n_blocks*k rows per query)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+        .select(*partition_cols, "neighbor_id", "rank", "cosine")
     )
+
+
+def with_srp_bucket(emb: DataFrame, n_bits: int = LSH_BITS) -> DataFrame:
+    """Append the signed-random-projection bucket id as an Arrow-batched
+    pandas UDF: one (n, d) x (d, bits) gemm per batch."""
+
+    @F.pandas_udf("int")
+    def bucket_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        h_t: np.ndarray | None = None
+        weights = None
+        for ser in batches:
+            if ser.empty:
+                yield pd.Series([], dtype="int32")
+                continue
+            mat = _stack(ser)
+            if h_t is None:
+                h_t = srp_hyperplanes(LSH_BITS if n_bits is None else n_bits, mat.shape[1]).T
+                weights = (1 << np.arange(h_t.shape[1])).astype(np.int64)
+            signs = (mat @ h_t) >= 0
+            yield pd.Series((signs @ weights).astype(np.int32))
+
+    return emb.withColumn("bucket", bucket_udf(F.col("embedding")))
 
 
 def lsh_topk(emb: DataFrame, k: int, n_bits: int = LSH_BITS) -> DataFrame:
-    """Approximate top-k: candidates share an SRP bucket (expected
-    n/2^bits per bucket), exact cosine rerank within the bucket.
-    Recall trades off with bits; multi-probe = union over rotated
-    bucket ids (not needed at this scale)."""
-    with_bucket = emb.withColumn("bucket", F.expr(srp_bucket_spark("embedding", n_bits)))
-    a = with_bucket.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("ea"), "bucket"
-    )
-    b = with_bucket.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    scored = (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("query_id") != F.col("neighbor_id")))
-        .withColumn("cosine", F.expr(cosine_spark("ea", "eb")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "bucket", "neighbor_id", "rank", "cosine")
+    """Approximate top-k: candidates restricted to the query's SRP
+    bucket; buckets are disjoint, so one gemm + rank per bucket group
+    is the complete answer (no second ranking pass)."""
+    bucketed = with_srp_bucket(emb, n_bits).select("vec_id", "embedding", "bucket")
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "bucket": [], "neighbor_id": [], "rank": [], "cosine": []}
+        )
+        if len(pdf) < 2:
+            return empty
+        mat = _normalize(_stack(pdf["embedding"]))
+        sims = np.round(mat @ mat.T, COSINE_ROUND)
+        ids = pdf["vec_id"].to_numpy()
+        bucket = int(pdf["bucket"].iloc[0])
+        np.fill_diagonal(sims, -np.inf)
+        by_id = np.argsort(ids, kind="stable")
+        frames = []
+        kk = min(k, len(pdf) - 1)
+        for row in range(len(pdf)):
+            s = sims[row, by_id]
+            top = by_id[np.argsort(-s, kind="stable")[:kk]]
+            keep = top[sims[row, top] > -np.inf]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": ids[row],
+                        "bucket": bucket,
+                        "neighbor_id": ids[keep],
+                        "rank": np.arange(1, len(keep) + 1, dtype=np.int32),
+                        "cosine": sims[row, keep],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        bucket_topk,
+        "query_id long, bucket int, neighbor_id long, rank int, cosine double",
     )
