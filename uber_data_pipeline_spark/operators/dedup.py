@@ -11,8 +11,8 @@ inside whole-stage codegen and scale horizontally:
 - minhash-LSH: shingle -> K min-hashes -> B banded keys -> bucket
   self-join. Candidates are band-bucket-local; bucket sizes are
   hash-balanced, and AQE's skew-join split handles hot buckets.
-- simhash: 32-bit signature per doc; pair search shown as a bounded
-  hamming join (banding note in simhash_pairs).
+- simhash: 32-bit signature per doc; pair search via the pigeonhole
+  banded join (max_hamming+1 segments, exact-match bucket join).
 
 Min-hash trick: we need a hash family both the engine and the DuckDB
 oracle compute identically. md5 hex strings are uniform and ordered,
@@ -84,45 +84,57 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
-    """(doc_id, perm_id, minhash) — minhash = MIN over shingles of
-    md5(perm_id:shingle). One explode x num_perm, one partial-agg
-    shuffle on doc_id."""
+    """(doc_id, sig: array<string>) — sig[p] = MIN over shingles of
+    md5(p:shingle).
+
+    All ``num_perm`` minhashes are computed as parallel aggregate
+    columns in ONE groupBy(doc_id) — a single map-side-combined
+    shuffle of one row per document, instead of exploding the shingle
+    set num_perm times. The md5-of-tagged-shingle family is
+    engine-neutral (oracle computes the identical strings)."""
+    sh = doc_shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"m{p}")
+        for p in range(num_perm)
+    ]
     return (
-        doc_shingles(docs)
-        .selectExpr("doc_id", "shingle", f"explode(sequence(0, {num_perm - 1})) AS perm_id")
-        .groupBy("doc_id", "perm_id")
-        .agg(
-            F.min(F.md5(F.concat_ws(":", F.col("perm_id").cast("string"), F.col("shingle")))).alias("minhash")
-        )
+        sh.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.array(*[f"m{p}" for p in range(num_perm)]).alias("sig"))
     )
 
 
-def lsh_bands(signatures: DataFrame, num_bands: int = NUM_BANDS, num_perm: int = NUM_PERM) -> DataFrame:
+def lsh_bands(
+    signatures: DataFrame, num_bands: int = NUM_BANDS, num_perm: int = NUM_PERM
+) -> DataFrame:
     """(doc_id, band, band_key): band key = md5 over the band's
-    minhashes in perm order (sort_array makes collect_list's
-    nondeterministic order irrelevant)."""
+    minhashes in perm order — a slice of the signature array, no
+    second aggregation."""
     rows_per_band = num_perm // num_bands
-    return (
-        signatures.withColumn("band", (F.col("perm_id") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("perm_id", "minhash"))),
-                        lambda x: x["minhash"],
-                    ),
-                    "|",
-                )
-            ).alias("band_key")
-        )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.array_join(F.slice("sig", b * rows_per_band + 1, rows_per_band), "|")
+                ).alias("band_key"),
+            )
+            for b in range(num_bands)
+        ]
     )
+    return signatures.select(
+        "doc_id", F.explode(bands).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
 
 
 def lsh_candidate_pairs(docs: DataFrame, min_est_jaccard: float = 0.5) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: band-bucket collision ->
-    candidate, then estimated Jaccard = fraction of agreeing
-    minhashes, filtered at ``min_est_jaccard``."""
+    candidate, then estimated Jaccard = fraction of agreeing minhash
+    positions (zip_with over the two signature arrays — no per-perm
+    join), filtered at ``min_est_jaccard``.
+
+    Candidates are band-bucket-local (hash-balanced buckets; AQE skew
+    split handles hot ones) — never an O(n^2) cross join."""
     sigs = minhash_signatures(docs).cache()
     bands = lsh_bands(sigs)
     a, b = bands.alias("a"), bands.alias("b")
@@ -136,62 +148,108 @@ def lsh_candidate_pairs(docs: DataFrame, min_est_jaccard: float = 0.5) -> DataFr
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa, sb = sigs.alias("sa"), sigs.alias("sb")
-    agree = (
-        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.perm_id") == F.col("sb.perm_id")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.count(F.when(F.col("sa.minhash") == F.col("sb.minhash"), 1)) / F.lit(float(NUM_PERM)),
-                6,
-            ).alias("est_jaccard")
-        )
-    )
-    return agree.filter(F.col("est_jaccard") >= min_est_jaccard)
-
-
-def _simhash_expr(tokens: str, bits: int = SIMHASH_BITS) -> str:
-    """SimHash over distinct tokens: bit j set iff the sum of ±1
-    contributions (bit j of md5(token)) is non-negative. Integer sums
-    are order-independent, so engines agree exactly."""
-    nibble = f"(instr('0123456789abcdef', substring(md5(t), CAST(j / 4 AS int) + 1, 1)) - 1)"
-    contrib = f"CASE WHEN (shiftright({nibble}, j % 4) & 1) = 1 THEN 1 ELSE -1 END"
-    per_bit = (
-        f"CASE WHEN aggregate(array_distinct({tokens}), 0, (s, t) -> s + {contrib}) >= 0 "
-        f"THEN shiftleft(CAST(1 AS bigint), j) ELSE CAST(0 AS bigint) END"
-    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    n_agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
     return (
-        f"aggregate(transform(sequence(0, {bits - 1}), j -> {per_bit}), "
-        f"CAST(0 AS bigint), (acc, v) -> acc + v)"
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(n_agree / F.lit(float(NUM_PERM)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
     )
 
 
-def simhash_values(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) 32-bit signature per document."""
-    return docs.selectExpr("doc_id", f"{TOKENS_SPARK} AS tokens").selectExpr(
-        "doc_id", f"{_simhash_expr('tokens')} AS simhash"
+def simhash_values(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): bit j set iff the sum over distinct tokens
+    of ±1 (bit j of md5(token)) is non-negative. Integer sums are
+    order-independent, so engines agree exactly.
+
+    Shape: explode distinct tokens, hash each token ONCE, emit one
+    ±1 column per bit, then a single groupBy(doc_id) with ``bits``
+    codegen'd SUM aggregates (map-side partial) — instead of
+    re-hashing every token ``bits`` times inside an interpreted
+    higher-order fold."""
+    tok = (
+        docs.selectExpr("doc_id", f"explode(array_distinct({TOKENS_SPARK})) AS t")
+        .select("doc_id", F.md5("t").alias("h"))
     )
+    contribs = []
+    for j in range(bits):
+        nibble = f"(instr('0123456789abcdef', substring(h, {j // 4 + 1}, 1)) - 1)"
+        contribs.append(
+            F.expr(
+                f"CASE WHEN (shiftright({nibble}, {j % 4}) & 1) = 1 THEN 1 ELSE -1 END"
+            ).alias(f"c{j}")
+        )
+    sums = tok.select("doc_id", *contribs).groupBy("doc_id").agg(
+        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(bits)]
+    )
+    simhash = F.expr(
+        " + ".join(
+            f"(CASE WHEN s{j} >= 0 THEN shiftleft(CAST(1 AS bigint), {j}) "
+            f"ELSE CAST(0 AS bigint) END)"
+            for j in range(bits)
+        )
+    )
+    return sums.select("doc_id", simhash.alias("simhash"))
+
+
+def _hamming_segments(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) per segment: bits split into max_hamming+1
+    near-equal segments — pigeonhole guarantees any pair within
+    max_hamming agrees exactly on at least one whole segment."""
+    n_seg = max_hamming + 1
+    base, extra = divmod(bits, n_seg)
+    segs, off = [], 0
+    for i in range(n_seg):
+        width = base + (1 if i < extra else 0)
+        segs.append((off, width))
+        off += width
+    return segs
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
-    """Pairs within ``max_hamming`` bits. Shown here as a signature
-    self-join; at 100 TB this becomes a banded join (split the 32 bits
-    into max_hamming+1 segments — pigeonhole guarantees one exact
-    segment match — and bucket-join per segment), which keeps
-    candidates bucket-local exactly like minhash-LSH."""
+    """Pairs within ``max_hamming`` bits, via the pigeonhole banded
+    join: the 32 bits split into max_hamming+1 segments, candidates
+    must collide on (segment_id, segment_value) — bucket-local like
+    minhash-LSH, never an O(n^2) cross join — then the exact hamming
+    distance verifies each candidate once (distinct pairs first)."""
     sv = simhash_values(docs)
-    a, b = sv.alias("a"), sv.alias("b")
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.expr(f"shiftright(simhash, {off}) & {(1 << width) - 1}").alias("val"),
+            )
+            for i, (off, width) in enumerate(_hamming_segments(SIMHASH_BITS, max_hamming))
+        ]
+    )
+    seg_df = sv.select("doc_id", "simhash", F.explode(segs).alias("sk")).select(
+        "doc_id", "simhash", "sk.seg", "sk.val"
+    )
+    a, b = seg_df.alias("a"), seg_df.alias("b")
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(sim_a ^ sim_b)").cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
