@@ -1,0 +1,100 @@
+"""Cross-engine property tests for the twin expression builders in
+functions/text.py and functions/vectors.py: for random inputs, the
+Spark expression and its DuckDB twin must produce identical values —
+these primitives are what every oracle comparison rests on."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from uber_data_pipeline_spark.functions import text as T
+from uber_data_pipeline_spark.functions import vectors as V
+from uber_data_pipeline_spark.operators.similarity import srp_hyperplanes
+
+words = st.lists(
+    st.text(alphabet="abcdefghij", min_size=1, max_size=6), min_size=0, max_size=12
+)
+texts = st.text(
+    alphabet="abc XYZ012,.!?", min_size=0, max_size=60
+).map(lambda s: s.replace("'", ""))
+
+
+def spark_eval(spark, expr: str, text_val: str):
+    return (
+        spark.sql(f"SELECT ({expr}) AS v FROM (SELECT '{text_val}' AS text)")
+        .collect()[0]["v"]
+    )
+
+
+def duck_eval(expr: str, text_val: str):
+    return duckdb.sql(f"SELECT ({expr}) AS v FROM (SELECT '{text_val}' AS text)").fetchone()[0]
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts)
+def test_rolling_hash_twins(spark, s):
+    assert spark_eval(spark, T.rolling_hash_spark(), s) == duck_eval(
+        T.rolling_hash_duck(), s
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(words)
+def test_shingles_twins(spark, ws):
+    s = " ".join(ws)
+    sp = spark_eval(spark, T.shingles_spark(T.TOKENS_SPARK), s)
+    du = duck_eval(T.shingles_duck(T.TOKENS_DUCK), s)
+    assert list(sp) == list(du)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts)
+def test_regex_token_count_twins(spark, s):
+    assert spark_eval(spark, T.REGEX_TOKEN_COUNT_SPARK, s) == duck_eval(
+        T.REGEX_TOKEN_COUNT_DUCK, s
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-5, max_value=5, allow_nan=False, width=32),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_cosine_twins(spark, vec):
+    if sum(v * v for v in vec) == 0:
+        return
+    arr = "array(" + ", ".join(f"CAST({v!r} AS float)" for v in vec) + ")"
+    arr_duck = "[" + ", ".join(f"{v!r}::FLOAT" for v in vec) + "]"
+    sp = spark.sql(f"SELECT {V.cosine_spark('a', 'a')} AS v FROM (SELECT {arr} AS a)").collect()[0]["v"]
+    du = duckdb.sql(f"SELECT {V.cosine_duck('a', 'a')} AS v FROM (SELECT {arr_duck} AS a)").fetchone()[0]
+    assert sp == pytest.approx(du, abs=1e-6)
+    assert sp == pytest.approx(1.0, abs=1e-5)
+
+
+def test_srp_hyperplanes_match_duck_derivation():
+    """The numpy hyperplane matrix must reproduce the oracle's md5
+    nibble-parity ±1 values position for position."""
+    h = srp_hyperplanes(4, 6)
+    for j in range(4):
+        for d in range(6):
+            duck_val = duckdb.sql(
+                f"SELECT CASE WHEN (instr('0123456789abcdef', "
+                f"substring(md5('{j},{d + 1}'), 1, 1))-1) % 2 = 0 "
+                f"THEN 1.0 ELSE -1.0 END"
+            ).fetchone()[0]
+            assert h[j, d] == duck_val
+
+
+def test_stopword_twins(spark):
+    s = "the cat und der hund le chat"
+    for lang in T.STOPWORDS:
+        sp = spark_eval(
+            spark, f"{T.stopword_count_spark(lang, T.TOKENS_SPARK)}", s
+        )
+        du = duck_eval(f"{T.stopword_count_duck(lang, T.TOKENS_DUCK)}", s)
+        assert sp == du, lang

@@ -1,0 +1,93 @@
+"""Physical-plan audits: the properties that make queries survive a
+100 TB scale-up — filter/projection pushdown into the parquet scan,
+broadcast joins for dims, no cartesian products anywhere, map-side
+partial aggregation."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+QUERIES = entrymod.queries()
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def explain_formatted(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_filter_pushdown(spark):
+    """Pure scan+filter+agg must reach the parquet reader as
+    PushedFilters, not a post-scan Filter over all rows."""
+    plan = explain_formatted(spark, "tpch_q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed or "l_discount" in pushed, pushed
+
+
+def test_q6_column_pruning(spark):
+    """The q6 scan needs 4 lineitem columns; ReadSchema must not drag
+    the other 12 through the scan."""
+    plan = explain_formatted(spark, "tpch_q6_forecast_revenue")
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_comment" not in read_schema, read_schema
+    assert "l_orderkey" not in read_schema, read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    """Fact-to-dim joins (nation/region dims) must broadcast the dim,
+    not shuffle the fact table."""
+    for name in ("top3_bases_by_pickups", "tpch_q5_local_supplier_volume"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast:\n{plan[:2000]}"
+
+
+def test_no_cartesian_products(spark):
+    """Every pair-generating operator must be bucket/band-local; a
+    CartesianProduct or BroadcastNestedLoopJoin in any plan means an
+    O(n^2) blow-up at scale. applyInPandas kernels (FlatMapCoGroups*)
+    are the sanctioned dense-block path."""
+    for name in sorted(QUERIES):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_aggregates_are_partial(spark):
+    """groupBy aggregates must show two HashAggregate phases (partial
+    + final) so the shuffle carries combined rows, not raw rows."""
+    plan = plan_of(spark, "tpch_q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    """Scan->filter->partial-agg must fuse into WholeStageCodegen
+    stages (checked with AQE off: AQE defers stage wrapping until
+    runtime, hiding the markers from a static explain)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(spark, "tpch_q1_pricing_summary")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # codegen'd stages print as `*(n) Operator` in the plan string
+    assert "*(1)" in plan, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name", ["events_windowed_agg", "customer_ltv_window", "top3_pickup_dates_per_base"]
+)
+def test_windows_partitioned(spark, name):
+    """No window function may run over a single global partition —
+    every Window must carry a partitionBy (bounded-cardinality key)."""
+    plan = plan_of(spark, name)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "SinglePartition" not in line, f"{name}: global window\n{line}"

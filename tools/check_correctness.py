@@ -13,51 +13,15 @@ import os
 import sys
 
 import duckdb
-import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from uber_data_pipeline_spark.catalog import TABLES  # noqa: E402
 from uber_data_pipeline_spark.session import get_spark  # noqa: E402
 
+from uber_data_pipeline_spark.testing import compare  # noqa: E402
+
 import __spark_entry__ as entrymod  # noqa: E402
-
-
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name, canonicalize dtypes, sort rows — the
-    order-insensitive frame the hashes are computed over."""
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = pd.to_datetime(s).astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(s):
-            df[c] = s.astype("float64")
-        elif pd.api.types.is_integer_dtype(s):
-            df[c] = s.astype("int64")
-        elif s.dtype == object:
-            df[c] = s.astype(str)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
-
-
-def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
-    problems = []
-    if sorted(spark_df.columns) != sorted(oracle_df.columns):
-        problems.append(
-            f"columns differ: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
-        )
-        return problems
-    if len(spark_df) != len(oracle_df):
-        problems.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
-    a, b = normalize(spark_df), normalize(oracle_df)
-    if len(a) == len(b) and not a.equals(b):
-        neq = (a != b) & ~(a.isna() & b.isna())
-        bad_cols = [c for c in a.columns if neq[c].any()]
-        for c in bad_cols[:3]:
-            i = neq[c].idxmax()
-            problems.append(f"value mismatch col={c} row={i}: spark={a[c][i]!r} oracle={b[c][i]!r}")
-    return problems
 
 
 def main() -> int:
