@@ -24,7 +24,7 @@ from uber_data_pipeline_spark.functions.text import (
     stopword_count_duck,
 )
 from uber_data_pipeline_spark.functions.vectors import cosine_duck, srp_bucket_duck
-from uber_data_pipeline_spark.operators import dedup, similarity, textops
+from uber_data_pipeline_spark.operators import dedup, multimodal, similarity, textops
 
 JACCARD_THRESHOLD = 0.5
 EST_JACCARD_THRESHOLD = 0.5
@@ -61,6 +61,9 @@ QUERIES = {
     "text_quality": lambda spark, sf: textops.quality_scores(_docs(spark, sf)),
     "text_tokens": lambda spark, sf: textops.token_counts(_docs(spark, sf)),
     "text_fingerprint": lambda spark, sf: textops.fingerprints(_docs(spark, sf)),
+    "multimodal_decode_stub": lambda spark, sf: multimodal.media_features_flat(
+        _docs(spark, sf)
+    ),
 }
 
 
@@ -239,5 +242,24 @@ ORACLES = {
                list_min(list_transform({shingles_duck("tokens")}, s -> md5(s)))
                    AS min_shingle_hash
         FROM tok
+    """,
+    "multimodal_decode_stub": f"""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'text' END AS kind,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   md5(text) AS h
+            FROM documents
+        )
+        SELECT media_id, kind, n_bytes,
+               {", ".join(
+                   f"ROUND(((instr('0123456789abcdef', substring(h, {2 * i + 1}, 1)) - 1) * 16"
+                   f" + (instr('0123456789abcdef', substring(h, {2 * i + 2}, 1)) - 1))"
+                   f" / 255.0, 6) AS f{i}"
+                   for i in range(multimodal.FEATURE_DIM)
+               )}
+        FROM m
     """,
 }
