@@ -28,11 +28,6 @@ def all_oracles() -> dict[str, str]:
 
 
 def _modules():
-    mods = [uber, tpch, events]
-    try:
-        from uber_data_pipeline_spark.queries import training
+    from uber_data_pipeline_spark.queries import pipeline, training
 
-        mods.append(training)
-    except ImportError:
-        pass
-    return mods
+    return [uber, tpch, events, training, pipeline]

@@ -1,0 +1,133 @@
+"""Pipeline-surface queries (SURVEY.md §2.4): incremental CDC merge,
+the dbt/Dagster-style DAG run, and the streaming variants of the
+event analytics.
+
+The CDC scenario is synthesized deterministically from `orders` so
+the oracle can replay it: a full load before the cutoff date, then a
+delta batch containing the post-cutoff inserts plus updates to every
+97th pre-cutoff key (status -> 'U', price uplift computed in decimal
+so both engines agree bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uber_data_pipeline_spark.catalog import load_table
+from uber_data_pipeline_spark.sources.cdc import merge_latest
+from uber_data_pipeline_spark.streaming.events import (
+    sessionization_stream,
+    windowed_agg_stream,
+)
+
+CDC_CUTOFF = "2000-01-01 00:00:00"
+_UPDATE_EVERY = 97
+# decimal-exact uplift: DECIMAL * DECIMAL, cast to double at the end
+_UPLIFT_SQL = (
+    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,2)) AS DOUBLE)"
+)
+
+_ARTIFACT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".artifacts")
+
+
+def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark load + latest-version-wins merge (the Airbyte
+    CDC role, sources/cdc.py). Full snapshot after one delta batch."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.lit(CDC_CUTOFF).cast("timestamp_ntz")
+    base = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .withColumn("version", F.lit(0))
+        .drop("o_orderdate")
+    )
+    inserts = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .withColumn("version", F.lit(1))
+        .drop("o_orderdate")
+    )
+    updates = (
+        base.filter(F.col("o_orderkey") % _UPDATE_EVERY == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.expr(_UPLIFT_SQL))
+        .withColumn("version", F.lit(1))
+    )
+    merged = merge_latest(
+        base, inserts.unionByName(updates), ["o_orderkey"], "version"
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("total_price"),
+        "version",
+    )
+
+
+def pipeline_dag_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the full uber-model DAG (plans/) and return the
+    build report — the `dbt build` / Dagster-materialize analog.
+    Row counts are deterministic; timings are not part of the result."""
+    from uber_data_pipeline_spark.plans.dag import run_dag
+    from uber_data_pipeline_spark.plans.uber_models import build_registry
+
+    out_dir = os.path.join(_ARTIFACT_DIR, "dag", os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    results = run_dag(spark, build_registry(), sf_dir, out_dir)
+    return spark.createDataFrame(
+        [(r.model, r.n_rows) for r in results], "model string, n_rows long"
+    )
+
+
+QUERIES = {
+    "cdc_incremental_merge": cdc_incremental_merge,
+    "pipeline_dag_run": pipeline_dag_run,
+    "streaming_windowed_agg": windowed_agg_stream,
+    "streaming_sessionization": sessionization_stream,
+}
+
+
+_CDC_ORACLE = f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version
+        FROM orders WHERE o_orderdate < TIMESTAMP '{CDC_CUTOFF}'
+    ),
+    delta AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{CDC_CUTOFF}'
+        UNION ALL
+        SELECT o_orderkey, 'U' AS o_orderstatus, {_UPLIFT_SQL} AS o_totalprice,
+               1 AS version
+        FROM base WHERE o_orderkey % {_UPDATE_EVERY} = 0
+    ),
+    unioned AS (
+        SELECT *, 0 AS src FROM base
+        UNION ALL
+        SELECT *, 1 AS src FROM delta
+    ),
+    ranked AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, version,
+               ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                   ORDER BY version DESC, src DESC) AS rn
+        FROM unioned
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice AS total_price, version
+    FROM ranked WHERE rn = 1
+"""
+
+# The streaming runners implement the SAME semantics as the batch
+# events queries, so they share those oracles (events.py).
+from uber_data_pipeline_spark.queries.events import ORACLES as _EVENT_ORACLES  # noqa: E402
+
+ORACLES = {
+    "cdc_incremental_merge": _CDC_ORACLE,
+    # pipeline_dag_run: rows-only (materialization side effects + a
+    # report frame; not SQL-expressible)
+    "streaming_windowed_agg": _EVENT_ORACLES["events_windowed_agg"],
+    "streaming_sessionization": _EVENT_ORACLES["events_sessionization"],
+}

@@ -1,0 +1,120 @@
+"""Explicit-schema readers for parquet / csv / json.
+
+The reference ingests via Airbyte connectors with declared catalogs
+(source schema pinned per stream). The Spark-first equivalent: every
+read carries an explicit StructType — schema inference is a full-scan
+trap at 100 TB (and a correctness trap on empty partitions) — plus
+options tuned for scale:
+
+- ``recursiveFileLookup``/partition discovery off unless asked: the
+  file listing itself is a scale cost.
+- csv/json readers run PERMISSIVE with a ``_corrupt_record`` column
+  so bad rows land in a quarantine filter instead of killing the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Pinned source schemas as DDL strings (the "declared catalog") —
+# kept as strings so importing this module needs no live session;
+# DataFrameReader.schema() accepts DDL directly. events.ts is stored
+# as parquet TIMESTAMP(NANOS); it is declared here as long (nanos) and
+# normalized by normalize_events() — see catalog.load_table.
+SCHEMAS: dict[str, str] = {
+        "region": "r_regionkey int, r_name string",
+        "nation": "n_nationkey int, n_name string, n_regionkey int",
+        "customer": (
+            "c_custkey bigint, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string"
+        ),
+        "supplier": "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+        "part": (
+            "p_partkey bigint, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double"
+        ),
+        "orders": (
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+        ),
+        "lineitem": (
+            "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp_ntz"
+        ),
+        "events": (
+            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "value double, props string"
+        ),
+        "documents": "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        "embeddings": "vec_id bigint, embedding array<float>, label int",
+}
+
+
+def struct_schema(table: str) -> T.StructType:
+    """Parsed StructType (needs an active session)."""
+    return T._parse_datatype_string(SCHEMAS[table])  # noqa: SLF001
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """nanos-as-long -> microsecond timestamp (the same truncation
+    DuckDB's TIMESTAMP_NS -> TIMESTAMP cast performs)."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def read_parquet(
+    spark: SparkSession, path: str, table: str | None = None
+) -> DataFrame:
+    """Parquet with a pinned schema when the table is known; events
+    get the nanos normalization applied."""
+    reader = spark.read
+    if table in SCHEMAS:
+        if table == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        reader = reader.schema(SCHEMAS[table])
+    df = reader.parquet(path)
+    return normalize_events(df) if table == "events" else df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV with mandatory explicit schema, PERMISSIVE + quarantine."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .options(**options)
+        .csv(path)
+    )
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | str, **options: str
+) -> DataFrame:
+    """JSON-lines with mandatory explicit schema, PERMISSIVE + quarantine."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .options(**options)
+        .json(path)
+    )
+
+
+def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) — quarantined rows keep the raw record for
+    replay after a schema fix."""
+    if "_corrupt_record" not in df.columns:
+        return df, df.limit(0)
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    return clean, bad

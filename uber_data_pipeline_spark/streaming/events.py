@@ -1,0 +1,172 @@
+"""Streaming event analytics.
+
+The reference's pipeline is daily-batch (Airbyte sync -> dbt); this
+module is the always-on upgrade path: the same windowed aggregation
+semantics expressed over ``readStream``, plus gap sessionization as a
+custom stateful operator (``applyInPandasWithState``) — the thing
+batch SQL cannot express incrementally.
+
+Both runners use ``Trigger.AvailableNow`` + a memory sink so they are
+testable against the batch oracles: a finite file feed, processed
+with full streaming semantics (watermarks, state store), returning
+the final result as a batch DataFrame.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from uber_data_pipeline_spark.functions.numeric import dsum
+from uber_data_pipeline_spark.sources.cdc import read_stream_events
+
+SESSION_GAP_SECONDS = 1800
+_sink_ids = itertools.count()
+
+_ARTIFACTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".artifacts",
+)
+
+
+def events_landing_dir(sf_dir: str) -> str:
+    """The file stream source needs a DIRECTORY (its basePath); stage
+    the events parquet into a landing dir via hardlink (fallback:
+    copy). In production this is simply the ingest landing path new
+    files arrive in."""
+    dst_dir = os.path.join(_ARTIFACTS, "stream_landing", os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(dst_dir, exist_ok=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    dst = os.path.join(dst_dir, "events.parquet")
+    if not os.path.exists(dst):
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+    return dst_dir
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run an AvailableNow streaming query into a memory sink and
+    return the sink as a DataFrame."""
+    name = f"udp_stream_sink_{next(_sink_ids)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def windowed_agg_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling 1-hour window per event_type with a watermark for late
+    data — identical semantics to the batch events_windowed_agg, so
+    the same oracle verifies it. Complete output mode: every window
+    is emitted once the finite feed drains.
+
+    sum_value goes through decimal (sum order in a shuffled stream is
+    nondeterministic; decimal addition is associative-exact)."""
+    ev = read_stream_events(spark, events_landing_dir(sf_dir))
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+_SESSION_STATE_SCHEMA = "start long, last long, n long, session_id long"
+_SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_id bigint, n_events bigint, "
+    "session_start timestamp, session_end timestamp"
+)
+
+
+def _session_kernel(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Gap sessionizer: carries (open-session start, last ts, count,
+    session counter) across micro-batches; emits a snapshot row per
+    session touched in this batch (update semantics — the final batch
+    emission for a session is its closed form)."""
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    if state.exists:
+        start, last, n, sid = state.get
+    else:
+        start, last, n, sid = None, None, 0, 0
+
+    out: list[tuple] = []
+    (user_id,) = key
+    for pdf in batches:
+        ts = pdf["ts"]
+        if getattr(ts.dt, "tz", None) is not None:
+            ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+        ts_us = ts.astype("datetime64[us]").astype("int64").sort_values()
+        for t in ts_us:
+            if last is None or t - last > gap_us:
+                if last is not None:
+                    out.append((user_id, sid, n, start, last))  # close previous
+                sid, start, n = sid + 1, t, 1
+            else:
+                n += 1
+            last = t
+    if last is not None:
+        out.append((user_id, sid, n, start, last))  # snapshot of the open session
+
+    state.update((start, last, n, sid))
+    yield pd.DataFrame(
+        {
+            "user_id": [r[0] for r in out],
+            "session_id": [r[1] for r in out],
+            "n_events": [r[2] for r in out],
+            "session_start": pd.to_datetime([r[3] for r in out], unit="us"),
+            "session_end": pd.to_datetime([r[4] for r in out], unit="us"),
+        }
+    )
+
+
+def sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based (30 min) sessionization as a custom stateful
+    streaming operator — applyInPandasWithState keyed by user_id,
+    keyed state carried across micro-batches.
+
+    With the finite AvailableNow feed every user's history lands in
+    the run, so the emitted snapshots equal the batch sessionization
+    (same oracle); on an unbounded feed the same code keeps emitting
+    per-batch session updates. NoTimeout here because the finite
+    runner must terminate when the feed drains — an always-on deploy
+    would set ProcessingTimeTimeout ~= the gap to evict idle users'
+    state (and emit their final session) instead."""
+    ev = read_stream_events(spark, events_landing_dir(sf_dir)).select("user_id", "ts")
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        _session_kernel,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(sessions, "update")
