@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from uber_data_pipeline_spark.catalog import load_table
 from uber_data_pipeline_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from uber_data_pipeline_spark.operators.joins import salted_join
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"
 
@@ -157,6 +158,65 @@ def customer_ltv_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders with at least one
+    returned lineitem, counted by priority. left_semi keeps the probe
+    side unduplicated and shuffles only the join keys of the build
+    side."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("order_priority")
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS anti-join: customers that never placed an order,
+    per nation. left_anti + broadcast nation dim."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.count("*").alias("n_idle_customers"))
+        .orderBy(F.desc("n_idle_customers"), F.asc("nation_name"))
+    )
+
+
+def salted_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-x-large join (lineitem x orders on orderkey) through the
+    explicit salting operator (operators/joins.py): lineitem salted
+    by its line number, orders replicated across the salt space —
+    the plan-level skew breaker for known-hot keys. Result identical
+    to the plain join (the oracle runs unsalted)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        li, orders, on=["l_orderkey"], salt_expr=F.col("l_linenumber"), salt_mod=8
+    )
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(dsum(_revenue()).alias("revenue"), F.count("*").alias("n_lines"))
+        .orderBy("order_priority")
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
@@ -164,6 +224,9 @@ QUERIES = {
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "orders_rollup": orders_rollup,
     "customer_ltv_window": customer_ltv_window,
+    "tpch_q4_order_priority": tpch_q4_order_priority,
+    "customers_without_orders": customers_without_orders,
+    "salted_revenue_by_priority": salted_revenue_by_priority,
 }
 
 ORACLES = {
@@ -239,5 +302,38 @@ ORACLES = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS DOUBLE), 2) AS ltv_to_date
         FROM orders
+    """,
+    "tpch_q4_order_priority": """
+        SELECT o_orderpriority AS order_priority,
+               COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+          )
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "customers_without_orders": """
+        SELECT n.n_name AS nation_name,
+               COUNT(*) AS n_idle_customers
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+        GROUP BY 1
+        ORDER BY n_idle_customers DESC, nation_name ASC
+    """,
+    "salted_revenue_by_priority": f"""
+        SELECT o.o_orderpriority AS order_priority,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+        ORDER BY 1
     """,
 }
