@@ -50,30 +50,48 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def doc_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """Distinct word n-gram shingles per document."""
-    return (
-        docs.selectExpr("doc_id", f"{TOKENS_SPARK} AS tokens")
-        .selectExpr("doc_id", f"explode({shingles_spark('tokens', n)}) AS shingle")
-        .distinct()
+def shingle_arrays(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingles): the DISTINCT word n-gram shingle set per
+    document as an array — array_distinct is row-local, so building
+    the set costs zero shuffles (vs explode + DISTINCT, which
+    shuffles the full exploded relation)."""
+    return docs.selectExpr("doc_id", f"{TOKENS_SPARK} AS tokens").selectExpr(
+        "doc_id", f"array_distinct({shingles_spark('tokens', n)}) AS shingles"
     )
+
+
+def doc_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Exploded (doc_id, shingle) rows of the distinct shingle set."""
+    return shingle_arrays(docs, n).selectExpr("doc_id", "explode(shingles) AS shingle")
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact Jaccard similarity over shingle sets for all pairs that
     share at least one shingle; |A ∩ B| from the inverted-index join,
-    |A ∪ B| = |A| + |B| - |A ∩ B|."""
-    sh = doc_shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+    |A ∪ B| = |A| + |B| - |A ∩ B|.
+
+    Set sizes ride along both join sides (size(shingles) computed
+    row-locally before the explode), so the whole operator is ONE
+    equality join + ONE pair aggregation — no distinct shuffle, no
+    per-side size-lookup joins.
+
+    The per-doc array relation is cached: without a materialization
+    boundary Catalyst re-inlines the (expensive) tokenize+shingle
+    expression into the scan filter and the Generate of BOTH join
+    sides — six evaluations of the same expression per document."""
+    sh = shingle_arrays(docs).cache().selectExpr(
+        "doc_id", "size(shingles) AS sz", "explode(shingles) AS shingle"
     )
+    a, b = sh.alias("a"), sh.alias("b")
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
         .withColumn(
             "jaccard",
             F.round(F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 6),
