@@ -54,19 +54,37 @@ def events_landing_dir(sf_dir: str) -> str:
     return dst_dir
 
 
-def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+
+
+def _run_to_memory(
+    stream_df: DataFrame, output_mode: str, state_partitions: int = STATE_PARTITIONS
+) -> DataFrame:
     """Run an AvailableNow streaming query into a memory sink and
-    return the sink as a DataFrame."""
+    return the sink as a DataFrame.
+
+    shuffle.partitions is pinned around .start(): it becomes the
+    STATE STORE partition count, and every state partition pays a
+    store open/commit plus a Python worker round per batch — on a
+    single node 32 partitions cost ~3x over 8 for the same data. On
+    a cluster, size it to executors x cores (it is fixed for the
+    checkpoint's lifetime)."""
+    spark = stream_df.sparkSession
     name = f"udp_stream_sink_{next(_sink_ids)}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def windowed_agg_stream(
