@@ -90,6 +90,30 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_frequencies(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Global top-k tokens by occurrence count, with document
+    frequency — the vocabulary/stopword-mining step of a corpus
+    pipeline.
+
+    Shuffle shape at scale: the explode inflates rows ~100x, but the
+    token groupBy partial-aggregates map-side, so the shuffle carries
+    one row per (split, token) — hot tokens ('the') are naturally
+    combined before they concentrate on one reducer; count(distinct
+    doc_id) is expanded by Spark into a two-phase aggregate over
+    (token, doc_id), bucket-local the same way. Final top-k is a
+    TakeOrdered over the (already tiny) token counts."""
+    toks = docs.selectExpr("doc_id", f"explode({TOKENS_SPARK}) AS token")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprints: rolling polynomial hash of the full
     text + min shingle hash (1-perm minhash) — the pair used for
@@ -102,4 +126,32 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         "doc_id",
         "rolling_hash",
         f"array_min(transform({shingles_spark('tokens')}, s -> md5(s))) AS min_shingle_hash",
+    )
+
+
+def training_data_prep(
+    docs: DataFrame,
+    min_quality: float = 0.55,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """The composed keep/drop decision of a training-data pipeline:
+    exact-dedup (keep only each text's canonical doc), then quality
+    and length gates — one narrow quality pass plus one hash groupBy,
+    ending in a broadcast-able semi-join of survivors.
+
+    Returns kept docs with the features the decision used."""
+    q = quality_scores(docs)
+    canonical = (
+        docs.selectExpr("doc_id", "md5(lower(trim(text))) AS text_hash")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        q.join(canonical, "doc_id", "left_semi")
+        .filter(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens)
+        )
+        .select("doc_id", "n_tokens", "quality_score")
     )

@@ -48,6 +48,22 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users per day: exact COUNT(DISTINCT) — Spark
+    expands it to a two-phase (day, user) pre-aggregate, so the
+    distinct set never concentrates on one node. At 100 TB, swap in
+    approx_count_distinct(user_id, 0.01) (HyperLogLog++, one pass,
+    fixed sketch memory) when ±1% is acceptable."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase: users counted at each
     stage when their first later-stage event follows their first
@@ -80,6 +96,7 @@ QUERIES = {
     "events_windowed_agg": events_windowed_agg,
     "events_sessionization": events_sessionization,
     "events_funnel": events_funnel,
+    "events_distinct_users": events_distinct_users,
 }
 
 ORACLES = {
@@ -117,6 +134,13 @@ ORACLES = {
                MAX(ts) AS session_end
         FROM sessions
         GROUP BY 1, 2
+    """,
+    "events_distinct_users": """
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1
     """,
     "events_funnel": """
         WITH per_user AS (

@@ -217,6 +217,55 @@ def salted_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count, including
+    zero-order customers — LEFT OUTER join then a two-level
+    aggregate (per-customer count, then histogram)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total lineitem quantity exceeds a
+    threshold (HAVING over a fact aggregate), joined back to customer
+    and orders for the detail — aggregate-then-join keeps the heavy
+    HAVING filter before any wide row is built."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 120)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_name").alias("customer_name"),
+            F.col("o_custkey").alias("cust_key"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_price"), F.asc("order_key"))
+        .limit(100)
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
@@ -227,6 +276,8 @@ QUERIES = {
     "tpch_q4_order_priority": tpch_q4_order_priority,
     "customers_without_orders": customers_without_orders,
     "salted_revenue_by_priority": salted_revenue_by_priority,
+    "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
+    "tpch_q18_large_volume_customers": tpch_q18_large_volume_customers,
 }
 
 ORACLES = {
@@ -335,5 +386,37 @@ ORACLES = {
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY 1
         ORDER BY 1
+    """,
+    "tpch_q13_customer_distribution": """
+        WITH per_cust AS (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey AND o.o_orderpriority != '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q18_large_volume_customers": f"""
+        WITH big AS (
+            SELECT l_orderkey, {sql_dsum("l_quantity")} AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING total_qty > 120
+        )
+        SELECT c.c_name AS customer_name,
+               o.o_custkey AS cust_key,
+               o.o_orderkey AS order_key,
+               o.o_orderdate AS order_date,
+               o.o_totalprice AS total_price,
+               b.total_qty
+        FROM big b
+        JOIN orders o ON b.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY total_price DESC, order_key ASC
+        LIMIT 100
     """,
 }

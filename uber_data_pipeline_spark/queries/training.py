@@ -31,6 +31,9 @@ EST_JACCARD_THRESHOLD = 0.5
 COSINE_NEAR_DUP = 0.4
 ANN_K = 5
 LSH_ANN_K = 3
+TOPK_TOKENS = 50
+PREP_MIN_QUALITY = 0.72
+PREP_MIN_TOKENS = 12
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,6 +67,12 @@ QUERIES = {
     "multimodal_decode_stub": lambda spark, sf: multimodal.media_features_flat(
         _docs(spark, sf)
     ),
+    "text_topk_tokens": lambda spark, sf: textops.token_frequencies(
+        _docs(spark, sf), TOPK_TOKENS
+    ),
+    "training_data_prep": lambda spark, sf: textops.training_data_prep(
+        _docs(spark, sf), PREP_MIN_QUALITY, PREP_MIN_TOKENS
+    ),
 }
 
 
@@ -93,6 +102,30 @@ _SIMHASH_EXPR = f"""
     list_sum(list_transform(range(0, {dedup.SIMHASH_BITS}), j ->
         CASE WHEN list_sum(list_transform(list_distinct(tokens), t -> {_SIMHASH_CONTRIB})) >= 0
              THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+"""
+
+# quality CTE shared by text_quality and training_data_prep oracles
+QUALITY_CTE = f"""
+    base AS (
+        SELECT doc_id, n_chars, {TOKENS_DUCK} AS tokens,
+               {PUNCT_STRIPPED_DUCK} AS n_punct,
+               {DIGITS_ONLY_DUCK} AS n_digits
+        FROM documents
+    ), ratios AS (
+        SELECT doc_id,
+               CAST(len(tokens) AS INT) AS n_tokens,
+               ROUND({stopword_count_duck("en")} / len(tokens), 6) AS stopword_ratio,
+               ROUND(n_punct / n_chars, 6) AS punct_ratio,
+               ROUND(n_digits / n_chars, 6) AS digit_ratio
+        FROM base
+    ), quality AS (
+        SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, digit_ratio,
+               CAST(ROUND(CAST(least(n_tokens, 100) AS DECIMAL(12,6)) * 0.004
+                     + (1.0 - CAST(stopword_ratio AS DECIMAL(12,6))) * 0.3
+                     + (1.0 - CAST(punct_ratio AS DECIMAL(12,6))) * 0.3, 6) AS DOUBLE)
+                   AS quality_score
+        FROM ratios
+    )
 """
 
 _LANG_SCORES_DUCK = ", ".join(
@@ -203,25 +236,10 @@ ORACLES = {
         FROM scored
     """,
     "text_quality": f"""
-        WITH base AS (
-            SELECT doc_id, n_chars, {TOKENS_DUCK} AS tokens,
-                   {PUNCT_STRIPPED_DUCK} AS n_punct,
-                   {DIGITS_ONLY_DUCK} AS n_digits
-            FROM documents
-        ), ratios AS (
-            SELECT doc_id,
-                   CAST(len(tokens) AS INT) AS n_tokens,
-                   ROUND({stopword_count_duck("en")} / len(tokens), 6) AS stopword_ratio,
-                   ROUND(n_punct / n_chars, 6) AS punct_ratio,
-                   ROUND(n_digits / n_chars, 6) AS digit_ratio
-            FROM base
-        )
+        WITH {QUALITY_CTE}
         SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, digit_ratio,
-               CAST(ROUND(CAST(least(n_tokens, 100) AS DECIMAL(12,6)) * 0.004
-                     + (1.0 - CAST(stopword_ratio AS DECIMAL(12,6))) * 0.3
-                     + (1.0 - CAST(punct_ratio AS DECIMAL(12,6))) * 0.3, 6) AS DOUBLE)
-                   AS quality_score
-        FROM ratios
+               quality_score
+        FROM quality
     """,
     "text_tokens": f"""
         WITH tok AS (
@@ -261,5 +279,32 @@ ORACLES = {
                    for i in range(multimodal.FEATURE_DIM)
                )}
         FROM m
+    """,
+    "text_topk_tokens": f"""
+        WITH toks AS (
+            SELECT doc_id, t.token
+            FROM (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents),
+                 unnest(tokens) AS t(token)
+        )
+        SELECT token,
+               COUNT(*) AS occurrences,
+               COUNT(DISTINCT doc_id) AS doc_freq
+        FROM toks
+        GROUP BY 1
+        ORDER BY occurrences DESC, token ASC
+        LIMIT {TOPK_TOKENS}
+    """,
+    "training_data_prep": f"""
+        WITH {QUALITY_CTE},
+        canon AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(lower(trim(text)))
+        )
+        SELECT q.doc_id, q.n_tokens, q.quality_score
+        FROM quality q
+        JOIN canon USING (doc_id)
+        WHERE q.quality_score >= {PREP_MIN_QUALITY}
+          AND q.n_tokens >= {PREP_MIN_TOKENS}
     """,
 }
