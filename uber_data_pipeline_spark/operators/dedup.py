@@ -181,6 +181,66 @@ def lsh_candidate_pairs(docs: DataFrame, min_est_jaccard: float = 0.5) -> DataFr
     )
 
 
+def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) over the undirected graph of
+    near-duplicate pairs — the step that turns pairwise matches into
+    dedup groups (cluster_id = smallest member id).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; rounds = graph
+    diameter (dedup clusters are shallow — a handful of rounds).
+    Driver only orchestrates; each round is one shuffle join on the
+    (already reduced) label table. Labels are localCheckpoint'ed per
+    round so the lineage doesn't grow unboundedly across iterations —
+    the classic Spark iterative-algorithm trap."""
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+
+
 def simhash_values(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): bit j set iff the sum over distinct tokens
     of ±1 (bit j of md5(token)) is non-negative. Integer sums are

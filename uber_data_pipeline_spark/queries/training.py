@@ -73,6 +73,9 @@ QUERIES = {
     "training_data_prep": lambda spark, sf: textops.training_data_prep(
         _docs(spark, sf), PREP_MIN_QUALITY, PREP_MIN_TOKENS
     ),
+    "dedup_clusters": lambda spark, sf: dedup.connected_components(
+        similarity.cosine_pairs(_emb(spark, sf), COSINE_NEAR_DUP), "vec_a", "vec_b"
+    ).withColumnRenamed("doc_id", "vec_id"),
 }
 
 
@@ -306,5 +309,31 @@ ORACLES = {
         JOIN canon USING (doc_id)
         WHERE q.quality_score >= {PREP_MIN_QUALITY}
           AND q.n_tokens >= {PREP_MIN_TOKENS}
+    """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {cosine_duck("a.embedding", "b.embedding")} >= {COSINE_NEAR_DUP}
+        ),
+        edges AS (
+            SELECT va AS src, vb AS dst FROM pairs
+            UNION
+            SELECT vb AS src, va AS dst FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        labels AS (
+            SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+            FROM reach GROUP BY src
+        ),
+        sizes AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1
+        )
+        SELECT l.vec_id, l.cluster_id, s.cluster_size
+        FROM labels l JOIN sizes s USING (cluster_id)
     """,
 }
