@@ -21,9 +21,15 @@ _DEC = "decimal(25,6)"
 
 
 def dsum(col: Column, round_to: int | None = 2) -> Column:
-    """Order-independent sum of a double expression, as double."""
-    out = F.sum(col.cast(_DEC)).cast("double")
-    return F.round(out, round_to) if round_to is not None else out
+    """Order-independent sum of a double expression, as double.
+
+    The final round happens IN DECIMAL: round(double, k) diverges
+    between engines on .5 boundaries (Spark rounds the double's
+    shortest decimal repr HALF_UP, DuckDB rounds the binary value),
+    while decimal rounding is exact and HALF_UP in both."""
+    if round_to is None:
+        return F.sum(col.cast(_DEC)).cast("double")
+    return F.round(F.sum(col.cast(_DEC)), round_to).cast("double")
 
 
 def davg(col: Column, round_to: int | None = 6) -> Column:
@@ -33,7 +39,7 @@ def davg(col: Column, round_to: int | None = 6) -> Column:
 
 
 def sql_dsum(expr: str, round_to: int = 2) -> str:
-    return f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(25,6))) AS DOUBLE), {round_to})"
+    return f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(25,6))), {round_to}) AS DOUBLE)"
 
 
 def sql_davg(expr: str, round_to: int = 6) -> str:

@@ -64,6 +64,26 @@ def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day x event_type counts pivoted to columns. The pivot values
+    are DECLARED (not discovered) — an undeclared pivot runs an extra
+    distinct-scan job to find the columns, a full pass at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", ["view", "click", "purchase", "signup"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["view", "click", "purchase", "signup"])
+        .select(
+            "day",
+            F.col("view").alias("n_view"),
+            F.col("click").alias("n_click"),
+            F.col("purchase").alias("n_purchase"),
+            F.col("signup").alias("n_signup"),
+        )
+    )
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase: users counted at each
     stage when their first later-stage event follows their first
@@ -97,6 +117,7 @@ QUERIES = {
     "events_sessionization": events_sessionization,
     "events_funnel": events_funnel,
     "events_distinct_users": events_distinct_users,
+    "events_pivot_daily": events_pivot_daily,
 }
 
 ORACLES = {
@@ -139,6 +160,15 @@ ORACLES = {
         SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
                COUNT(DISTINCT user_id) AS n_users,
                COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+    "events_pivot_daily": """
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup
         FROM events
         GROUP BY 1
     """,

@@ -152,9 +152,10 @@ def customer_ltv_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("cust_key"),
         F.col("o_orderkey").alias("order_key"),
         F.col("o_orderdate").alias("order_date"),
+        # round in decimal, THEN cast: round(double) is engine-divergent
         F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double"), 2
-        ).alias("ltv_to_date"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w), 2
+        ).cast("double").alias("ltv_to_date"),
     )
 
 
@@ -266,6 +267,32 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: revenue lost to returned items per customer, one
+    quarter — 4-way join (broadcast nation), aggregate on the
+    high-cardinality customer key, top 20 by revenue."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_name").alias("customer_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(dsum(_revenue()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("cust_key"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
@@ -278,6 +305,7 @@ QUERIES = {
     "salted_revenue_by_priority": salted_revenue_by_priority,
     "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
     "tpch_q18_large_volume_customers": tpch_q18_large_volume_customers,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
 }
 
 ORACLES = {
@@ -347,11 +375,11 @@ ORACLES = {
         SELECT o_custkey AS cust_key,
                o_orderkey AS order_key,
                o_orderdate AS order_date,
-               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS DOUBLE), 2) AS ltv_to_date
+               ), 2) AS DOUBLE) AS ltv_to_date
         FROM orders
     """,
     "tpch_q4_order_priority": """
@@ -418,5 +446,21 @@ ORACLES = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         ORDER BY total_price DESC, order_key ASC
         LIMIT 100
+    """,
+    "tpch_q10_returned_items": f"""
+        SELECT c.c_custkey AS cust_key,
+               c.c_name AS customer_name,
+               n.n_name AS nation_name,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, cust_key ASC
+        LIMIT 20
     """,
 }
