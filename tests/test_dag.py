@@ -1,0 +1,61 @@
+"""Model-DAG semantics: topological ordering, dbt-style upstream
+selection, cycle detection, and — the parity guarantee — the
+materialized DAG models produce the same results as the registry's
+reference-parity queries."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+from uber_data_pipeline_spark.plans.dag import run_dag
+from uber_data_pipeline_spark.plans.model import Model, ModelRegistry
+from uber_data_pipeline_spark.plans.uber_models import build_registry
+from uber_data_pipeline_spark.testing import compare
+
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".artifacts")
+
+# DAG model name -> registry query key with identical output columns
+PARITY = {
+    "top_3_bases_by_total_pickups": "top3_bases_by_pickups",
+    "pickup_percentile_by_base_per_month": "pickup_percentile_by_base_per_month",
+    "pickup_count_vs_average_per_base": "pickup_count_vs_average_per_base",
+    "total_pickups_in_may_by_base": "total_pickups_in_may_by_base",
+}
+
+
+def test_topo_order_puts_staging_first():
+    order = [m.name for m in build_registry().topo_order()]
+    assert order[0] == "stg_pickups"
+    assert len(order) == 7
+
+
+def test_selection_pulls_upstreams():
+    order = [m.name for m in build_registry().topo_order({"total_pickups_in_may_by_base"})]
+    assert order == ["stg_pickups", "total_pickups_in_may_by_base"]
+
+
+def test_cycle_detection():
+    r = ModelRegistry()
+    r.register(Model(name="a", deps=("b",), sql="SELECT 1"))
+    r.register(Model(name="b", deps=("a",), sql="SELECT 1"))
+    with pytest.raises(ValueError, match="cycle"):
+        r.topo_order()
+
+
+def test_dag_models_match_reference_queries(spark):
+    """Materialized dbt-style models == the DataFrame-API queries the
+    driver verifies against DuckDB — one logical plan, two frontends."""
+    out_dir = os.path.join(ART, "dag_parity")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_dag(spark, build_registry(), SF_DIR, out_dir)
+    queries = entrymod.queries()
+    for model_name, query_key in PARITY.items():
+        model_df = spark.read.parquet(os.path.join(out_dir, model_name)).toPandas()
+        query_df = queries[query_key](spark, SF_DIR).toPandas()
+        problems = compare(model_name, model_df, query_df)
+        assert not problems, f"{model_name}: " + "; ".join(problems)

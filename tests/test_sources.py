@@ -1,0 +1,71 @@
+"""Reader + CDC behavior: schema pinning, PERMISSIVE quarantine, and
+the high-watermark/merge primitives."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from uber_data_pipeline_spark.catalog import load_table
+from uber_data_pipeline_spark.sources.cdc import (
+    high_watermark,
+    incremental_rows,
+    merge_latest,
+)
+from uber_data_pipeline_spark.sources.readers import read_csv, read_parquet, quarantine_split
+
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".artifacts")
+
+
+def test_read_parquet_pins_schema(spark):
+    df = read_parquet(spark, os.path.join(SF_DIR, "orders.parquet"), "orders")
+    assert df.schema["o_orderkey"].dataType.simpleString() == "bigint"
+    assert df.schema["o_orderdate"].dataType.simpleString() == "timestamp_ntz"
+
+
+def test_read_parquet_normalizes_event_nanos(spark):
+    df = read_parquet(spark, os.path.join(SF_DIR, "events.parquet"), "events")
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    assert df.count() > 0
+
+
+def test_csv_quarantine_split(spark, tmp_path):
+    p = str(tmp_path / "rows.csv")
+    with open(p, "w") as f:
+        f.write("id,qty\n1,10\n2,notanumber\n3,30\n")
+    df = read_csv(spark, p, "id int, qty int, _corrupt_record string")
+    clean, bad = quarantine_split(df)
+    assert clean.count() == 2
+    assert bad.count() == 1
+    assert bad.filter(F.col("_corrupt_record").contains("notanumber")).count() == 1
+
+
+def test_high_watermark_and_incremental(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    sink = orders.filter(F.col("o_orderdate") < F.lit("1999-01-01"))
+    wm = high_watermark(sink, "o_orderdate")
+    assert wm is not None
+    inc = incremental_rows(orders, "o_orderdate", wm)
+    assert inc.count() == orders.filter(F.col("o_orderdate") > F.lit(wm)).count()
+    assert high_watermark(None, "o_orderdate") is None
+
+
+def test_merge_latest_upsert(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)], "k int, v string, ver int"
+    )
+    delta = spark.createDataFrame(
+        [(2, "b2", 1), (3, "c", 1), (2, "b1-stale", 0)], "k int, v string, ver int"
+    )
+    out = {r["k"]: r["v"] for r in merge_latest(base, delta, ["k"], "ver").collect()}
+    # key 2: version 1 wins; version-0 tie (base "b" vs delta stale) never reached
+    assert out == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_merge_latest_tie_prefers_delta(spark):
+    base = spark.createDataFrame([(1, "old", 0)], "k int, v string, ver int")
+    delta = spark.createDataFrame([(1, "reread", 0)], "k int, v string, ver int")
+    out = merge_latest(base, delta, ["k"], "ver").collect()
+    assert len(out) == 1 and out[0]["v"] == "reread"

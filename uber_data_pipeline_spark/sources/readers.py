@@ -112,9 +112,14 @@ def read_json(
 
 def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantined) — quarantined rows keep the raw record for
-    replay after a schema fix."""
+    replay after a schema fix.
+
+    The frame is cached first: Spark refuses queries that reference
+    only the internal corrupt-record column of a csv/json scan
+    (SQLSTATE 0A000) unless the parsed rows are materialized."""
     if "_corrupt_record" not in df.columns:
         return df, df.limit(0)
+    df = df.cache()
     clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     return clean, bad
