@@ -204,21 +204,59 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    spark = pairs.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # per-round latency is stage/task overhead x rounds: size the label
+    # shuffles to the (reduced) label table, not the session default —
+    # on a cluster scale this with edge count
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        labels = _propagate_min_labels(edges, labels)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+
+
+def _propagate_min_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
     while True:
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer doubling: also adopt the label of the current label
+        # (label is always a node id), shrinking label chains by half
+        # each round — O(log diameter) rounds instead of O(diameter)
+        parent = labels.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            propagated.join(parent, propagated.label == parent.p_node, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            # lazy: materialized by the convergence count below, so each
+            # round costs exactly one job while still cutting lineage
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -229,16 +267,7 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
         )
         labels = new_labels
         if changed == 0:
-            break
-    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return (
-        labels.join(sizes, "label")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("label").alias("cluster_id"),
-            "cluster_size",
-        )
-    )
+            return labels
 
 
 def simhash_values(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
@@ -294,8 +323,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
     """Pairs within ``max_hamming`` bits, via the pigeonhole banded
     join: the 32 bits split into max_hamming+1 segments, candidates
     must collide on (segment_id, segment_value) — bucket-local like
-    minhash-LSH, never an O(n^2) cross join — then the exact hamming
-    distance verifies each candidate once (distinct pairs first)."""
+    minhash-LSH, never an O(n^2) cross join.
+
+    Dedup across segments is FREE: a pair is kept only in its FIRST
+    matching segment (for segment i, require every earlier segment to
+    differ — a bit-mask comparison on the two signatures already in
+    the row), so no post-join DISTINCT shuffle of the up-to-(h+1)x
+    duplicated candidate stream."""
+    segments = _hamming_segments(SIMHASH_BITS, max_hamming)
     sv = simhash_values(docs)
     segs = F.array(
         *[
@@ -303,13 +338,18 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
                 F.lit(i).alias("seg"),
                 F.expr(f"shiftright(simhash, {off}) & {(1 << width) - 1}").alias("val"),
             )
-            for i, (off, width) in enumerate(_hamming_segments(SIMHASH_BITS, max_hamming))
+            for i, (off, width) in enumerate(segments)
         ]
     )
     seg_df = sv.select("doc_id", "simhash", F.explode(segs).alias("sk")).select(
         "doc_id", "simhash", "sk.seg", "sk.val"
     )
     a, b = seg_df.alias("a"), seg_df.alias("b")
+    first_match_only = " AND ".join(
+        f"(a.seg <= {j} OR (shiftright(a.simhash, {off}) & {(1 << width) - 1}) "
+        f"!= (shiftright(b.simhash, {off}) & {(1 << width) - 1}))"
+        for j, (off, width) in enumerate(segments[:-1])
+    )
     return (
         a.join(
             b,
@@ -317,17 +357,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(F.expr(first_match_only))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        .distinct()
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr("bit_count(sim_a ^ sim_b)").cast("int").alias("hamming"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
