@@ -293,6 +293,50 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_recency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth on the fact table: per customer, the
+    gap to the previous order (lag), the first order date (running
+    min), spend quartile within the customer (ntile), and percent
+    rank by price — all over ONE per-customer window partition, so a
+    single shuffle serves four window functions."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderkey").alias("order_key"),
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+        F.min("o_orderdate").over(w).alias("first_order_date"),
+        F.ntile(4).over(wp).alias("spend_quartile"),
+        F.round(F.percent_rank().over(wp), 6).alias("price_pct_rank"),
+    )
+
+
+def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles of order value per status —
+    median-class stats the BI layer asks of any fact table. EXACT
+    percentile needs the group's values collected per reducer; at
+    100 TB swap in approx_percentile (t-digest: mergeable fixed-size
+    sketch, one pass) — same call shape, bounded memory."""
+    orders = load_table(spark, sf_dir, "orders")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("order_status"))
+        .agg(
+            *[
+                F.round(
+                    F.expr(f"percentile(o_totalprice, {q})"), 4
+                ).alias(f"p{int(q * 100)}")
+                for q in qs
+            ],
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("order_status")
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
@@ -306,6 +350,8 @@ QUERIES = {
     "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
     "tpch_q18_large_volume_customers": tpch_q18_large_volume_customers,
     "tpch_q10_returned_items": tpch_q10_returned_items,
+    "orders_recency_stats": orders_recency_stats,
+    "orders_price_quantiles": orders_price_quantiles,
 }
 
 ORACLES = {
@@ -462,5 +508,29 @@ ORACLES = {
         GROUP BY 1, 2, 3
         ORDER BY revenue DESC, cust_key ASC
         LIMIT 20
+    """,
+    "orders_recency_stats": """
+        SELECT o_custkey AS cust_key,
+               o_orderkey AS order_key,
+               datediff('day',
+                   LAG(o_orderdate) OVER w, o_orderdate)::INT AS days_since_prev,
+               MIN(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order_date,
+               NTILE(4) OVER wp AS spend_quartile,
+               ROUND(PERCENT_RANK() OVER wp, 6) AS price_pct_rank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wp AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    "orders_price_quantiles": """
+        SELECT o_orderstatus AS order_status,
+               ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+               ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY 1
+        ORDER BY 1
     """,
 }
