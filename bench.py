@@ -33,8 +33,23 @@ def main() -> int:
     spark = get_spark(app_name="udp-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM classloading + codegen + parquet footer reads
-    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
+    # warm-up: JVM classloading, whole-stage-codegen compilation, and
+    # parquet footer reads for the scan/aggregate/join/window paths, so
+    # one-time JVM startup cost isn't billed to the first timed queries
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    orders.count()
+    (
+        orders.groupBy("o_orderstatus")
+        .agg(F.sum("o_totalprice"), F.count("*"))
+        .join(orders.select("o_orderstatus").distinct(), "o_orderstatus")
+        .withColumn("r", F.rank().over(Window.partitionBy().orderBy("o_orderstatus")))
+        .count()
+    )
+    docs.selectExpr("explode(split(text, ' ')) AS t").groupBy("t").count().count()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

@@ -28,6 +28,6 @@ def all_oracles() -> dict[str, str]:
 
 
 def _modules():
-    from uber_data_pipeline_spark.queries import pipeline, training
+    from uber_data_pipeline_spark.queries import pipeline, tpch_extra, training
 
-    return [uber, tpch, events, training, pipeline]
+    return [uber, tpch, tpch_extra, events, training, pipeline]

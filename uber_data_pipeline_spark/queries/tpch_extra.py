@@ -1,0 +1,635 @@
+"""Extended relational coverage (SURVEY.md §2.2, r1 widening): the
+remaining classic TPC-H shapes adapted to the slimmed star schema
+(no partsupp table, no shipmode/commitdate/phone columns — each
+query keeps the original's PLAN shape and swaps the missing column
+for an available stand-in), plus grouping-sets/cube and a
+date-spine gap-fill.
+
+Scale notes per query are inline; the shared rules: dims broadcast,
+facts shuffle on join keys, aggregates reduce before any join-back,
+scalar subqueries (avg thresholds) become broadcast one-row joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from uber_data_pipeline_spark.catalog import load_table
+from uber_data_pipeline_spark.functions.numeric import dsum, sql_dsum
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations, both directions,
+    by year. Supplier nation and customer nation resolved through two
+    independent broadcast joins of the same dim; the OR'd nation-pair
+    filter lands after both (Catalyst pushes each side's IN-list into
+    the dim scans)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(dsum(_revenue()).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of regional market volume per
+    year. Conditional-aggregate ratio (no second pass): the share is
+    SUM(CASE WHEN supplier nation)/SUM(*) inside one groupBy."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    n1 = nation.select("n_nationkey", "n_regionkey")
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = dsum(_revenue(), round_to=None)
+    target = dsum(
+        F.when(F.col("supp_nation") == "NATION_5", _revenue()).otherwise(F.lit(0.0)),
+        round_to=None,
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(region), n1.n_regionkey == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(F.round(target / vol, 6).alias("mkt_share"))
+        .orderBy("order_year")
+    )
+
+
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit by supplier nation and year. The reference
+    schema's ps_supplycost is absent — cost proxy = quantity *
+    p_retailprice * 0.5, keeping the shape (fact x part x supplier x
+    nation, two numeric columns combined per row before the agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = _revenue() - F.col("l_quantity") * F.col("p_retailprice") * 0.5
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(dsum(profit).alias("profit"))
+        .orderBy("nation_name", F.desc("ship_year"))
+    )
+
+
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line counts split into high/low order priority
+    per category (l_returnflag stands in for the absent l_shipmode).
+    Two conditional COUNTs in one aggregate — one scan, one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("return_flag")
+    )
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month — conditional
+    aggregate ratio over the lineitem x part join (part broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    promo = dsum(
+        F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0)),
+        round_to=None,
+    )
+    total = dsum(_revenue(), round_to=None)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(100.0 * promo / total, 6).alias("promo_revenue_pct"))
+    )
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with max revenue for a quarter —
+    aggregate then a window MAX over the (already tiny) per-supplier
+    totals; ties all kept, exactly like the reference's subquery."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(dsum(_revenue()).alias("total_revenue"))
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    return (
+        top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("supp_key"),
+            F.col("s_name").alias("supp_name"),
+            "total_revenue",
+        )
+        .orderBy("supp_key")
+    )
+
+
+def tpch_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute
+    combo (lineitem is the part-supplier bridge — no partsupp table),
+    excluding one brand and restricting sizes. COUNT(DISTINCT) over
+    the join, grouped by low-cardinality attribute keys."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(1, 9, 19, 25, 36, 45))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "brand", "type", "size")
+    )
+
+
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from small-quantity lines of one brand.
+    The correlated per-part AVG subquery becomes an aggregate +
+    join-back: per-part thresholds are reduced first (tiny), then
+    broadcast back onto the fact scan."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li = load_table(spark, sf_dir, "lineitem")
+    li_b = li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    thresholds = (
+        li_b.groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.5).alias("qty_threshold"))
+    )
+    return (
+        li_b.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(
+                dsum(F.col("l_extendedprice"), round_to=None) / 7.0, 2
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under three OR'd conjunctive branches over
+    part attributes and line quantity — the disjunctive-predicate
+    pushdown stress (the common l_partkey = p_partkey equality is
+    still the join key; branches evaluate post-join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(b1 | b2 | b3).agg(
+        dsum(_revenue()).alias("revenue"), F.count("*").alias("n_lines")
+    )
+
+
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: rich-but-idle customers by country code (code =
+    c_custkey % 7 stands in for the absent phone prefix). The scalar
+    AVG subquery is a one-row broadcast cross join; NOT EXISTS is a
+    left_anti against orders."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "cntrycode", (F.col("c_custkey") % 7).cast("int")
+    ).filter(F.col("cntrycode").isin(1, 3, 5))
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part within one region
+    (lineitem min price stands in for ps_supplycost). Offers reduce
+    to (part, supplier) minima FIRST, then a rank()=1 window picks
+    the per-part argmin with deterministic ties — the window runs on
+    the already-aggregated (small) relation, never the fact table."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    offers = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            "l_partkey",
+            "l_suppkey",
+            F.col("s_name").alias("supp_name"),
+            F.col("s_acctbal").alias("supp_acctbal"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("min_price", "l_suppkey")
+    return (
+        offers.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            F.col("l_suppkey").alias("supp_key"),
+            "supp_name",
+            "supp_acctbal",
+            "nation_name",
+            "min_price",
+        )
+        .orderBy(F.desc("supp_acctbal"), "part_key")
+        .limit(100)
+    )
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, year) with GROUPING flags — every subtotal level
+    in one pass (Spark expands grouping sets map-side; each set still
+    partial-aggregates before the shuffle)."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("order_year", F.year("o_orderdate"))
+        .withColumnRenamed("o_orderstatus", "order_status")
+    )
+    return (
+        orders.cube("order_status", "order_year")
+        .agg(
+            # grouping() must live inside the aggregate clause
+            F.grouping("order_status").cast("int").alias("g_status"),
+            F.grouping("order_year").cast("int").alias("g_year"),
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            "order_status", "order_year", "g_status", "g_year",
+            "n_orders", "total_price",
+        )
+    )
+
+
+def orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap-fill: daily order counts per priority for 1996
+    with missing (day, priority) combos zero-filled. The spine is
+    generated (sequence + explode — no driver-side loop), the daily
+    aggregate reduces the fact FIRST, and the spine join is a
+    broadcast (spine cardinality = days x priorities, tiny by
+    construction)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .groupBy(
+            F.to_date("o_orderdate").alias("day"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit("1996-01-01")),
+                F.to_date(F.lit("1996-12-31")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    prios = orders.select(
+        F.col("o_orderpriority").alias("order_priority")
+    ).distinct()
+    spine = days.crossJoin(prios)
+    return (
+        F.broadcast(spine)
+        .join(daily, ["day", "order_priority"], "left")
+        .select(
+            "day",
+            "order_priority",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+QUERIES = {
+    "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q9_product_profit": tpch_q9_product_profit,
+    "tpch_q12_priority_lines": tpch_q12_priority_lines,
+    "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q16_supplier_part_count": tpch_q16_supplier_part_count,
+    "tpch_q17_small_qty_revenue": tpch_q17_small_qty_revenue,
+    "tpch_q19_disjunctive_revenue": tpch_q19_disjunctive_revenue,
+    "tpch_q22_global_sales_opportunity": tpch_q22_global_sales_opportunity,
+    "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+    "orders_cube": orders_cube,
+    "orders_daily_gapfill": orders_daily_gapfill,
+}
+
+ORACLES = {
+    "tpch_q7_volume_shipping": f"""
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INT) AS ship_year,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    "tpch_q8_market_share": f"""
+        SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+               ROUND(
+                 CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_5'
+                       THEN l.l_extendedprice * (1 - l.l_discount)
+                       ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(25,6))) AS DOUBLE),
+               6) AS mkt_share
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE p.p_type = 'ECONOMY'
+          AND r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "tpch_q9_product_profit": f"""
+        SELECT n.n_name AS nation_name,
+               CAST(year(l.l_shipdate) AS INT) AS ship_year,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount) - l.l_quantity * p.p_retailprice * 0.5")} AS profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_type = 'STANDARD'
+        GROUP BY 1, 2
+        ORDER BY 1, 2 DESC
+    """,
+    "tpch_q12_priority_lines": """
+        SELECT l.l_returnflag AS return_flag,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "tpch_q14_promo_revenue": """
+        SELECT ROUND(
+                 100.0
+                 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                       THEN l.l_extendedprice * (1 - l.l_discount)
+                       ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(25,6))) AS DOUBLE),
+               6) AS promo_revenue_pct
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    "tpch_q15_top_supplier": f"""
+        WITH rev AS (
+            SELECT l_suppkey, {sql_dsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY 1
+        )
+        SELECT s.s_suppkey AS supp_key,
+               s.s_name AS supp_name,
+               r.total_revenue
+        FROM rev r
+        JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY supp_key
+    """,
+    "tpch_q16_supplier_part_count": """
+        SELECT p.p_brand AS brand,
+               p.p_type AS type,
+               p.p_size AS size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand != 'Brand#1'
+          AND p.p_size IN (1, 9, 19, 25, 36, 45)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, brand, type, size
+    """,
+    "tpch_q17_small_qty_revenue": """
+        WITH li_b AS (
+            SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand = 'Brand#3'
+        ), thresholds AS (
+            SELECT l_partkey, AVG(l_quantity) * 0.5 AS qty_threshold
+            FROM li_b GROUP BY 1
+        )
+        SELECT ROUND(
+                 CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0,
+               2) AS avg_yearly,
+               COUNT(*) AS n_lines
+        FROM li_b l
+        JOIN thresholds t ON l.l_partkey = t.l_partkey
+        WHERE l.l_quantity < t.qty_threshold
+    """,
+    "tpch_q19_disjunctive_revenue": f"""
+        SELECT {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q22_global_sales_opportunity": f"""
+        WITH cust AS (
+            SELECT c_custkey, c_acctbal,
+                   CAST(c_custkey % 7 AS INT) AS cntrycode
+            FROM customer
+            WHERE CAST(c_custkey % 7 AS INT) IN (1, 3, 5)
+        )
+        SELECT cntrycode,
+               COUNT(*) AS numcust,
+               {sql_dsum("c_acctbal")} AS totacctbal
+        FROM cust c
+        WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM cust WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "tpch_q2_min_cost_supplier": """
+        WITH offers AS (
+            SELECT l.l_partkey, l.l_suppkey,
+                   s.s_name AS supp_name,
+                   s.s_acctbal AS supp_acctbal,
+                   n.n_name AS nation_name,
+                   MIN(l.l_extendedprice) AS min_price
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+            GROUP BY 1, 2, 3, 4, 5
+        ), ranked AS (
+            SELECT *, RANK() OVER (PARTITION BY l_partkey
+                                   ORDER BY min_price, l_suppkey) AS rk
+            FROM offers
+        )
+        SELECT l_partkey AS part_key,
+               l_suppkey AS supp_key,
+               supp_name, supp_acctbal, nation_name, min_price
+        FROM ranked
+        WHERE rk = 1
+        ORDER BY supp_acctbal DESC, part_key
+        LIMIT 100
+    """,
+    "orders_cube": f"""
+        SELECT o_orderstatus AS order_status,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(CAST(year(o_orderdate) AS INT)) AS INT) AS g_year,
+               COUNT(*) AS n_orders,
+               {sql_dsum("o_totalprice")} AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, CAST(year(o_orderdate) AS INT))
+    """,
+    "orders_daily_gapfill": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   o_orderpriority AS order_priority,
+                   COUNT(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY 1, 2
+        ), spine AS (
+            SELECT CAST(d.day AS DATE) AS day, p.order_priority
+            FROM generate_series(DATE '1996-01-01', DATE '1996-12-31',
+                                 INTERVAL 1 DAY) AS d(day)
+            CROSS JOIN (SELECT DISTINCT o_orderpriority AS order_priority
+                        FROM orders) p
+        )
+        SELECT s.day, s.order_priority,
+               COALESCE(d.n_orders, 0) AS n_orders
+        FROM spine s
+        LEFT JOIN daily d USING (day, order_priority)
+    """,
+}
