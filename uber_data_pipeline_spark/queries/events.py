@@ -11,8 +11,13 @@ from pyspark.sql import functions as F
 from uber_data_pipeline_spark.catalog import load_table
 from uber_data_pipeline_spark.functions.numeric import dsum, sql_dsum
 from uber_data_pipeline_spark.operators.sessions import sessionize
+from uber_data_pipeline_spark.operators.temporal import (
+    asof_attach,
+    forward_window_counts,
+)
 
 SESSION_GAP_SECONDS = 1800
+FORWARD_HORIZON_SECONDS = 300
 
 
 def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,7 +117,45 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's latest
+    at-or-before 'view' event (operators/temporal.asof_attach — the
+    union + single-window form: no join, one shuffle on user_id).
+    Outputs the view timestamp, prior-view count, and the exact
+    microsecond gap (integer, so engines agree bit-for-bit)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = asof_attach(purchases, views, "user_id", "ts", "ts")
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("asof_ts").alias("last_view_ts"),
+        F.col("n_prior").alias("n_prior_views"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("micros_since_view"),
+    )
+
+
+def events_forward_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: per event, how many same-user events land
+    strictly within the next 5 minutes (operators/temporal.
+    forward_window_counts — horizon-width bucketing turns the
+    inequality join into an equality join probing two buckets)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = forward_window_counts(
+        ev, "user_id", "ts", "event_id", FORWARD_HORIZON_SECONDS
+    )
+    return out.select(
+        "event_id", "user_id", F.col("n_within_horizon").alias("n_next_5min")
+    )
+
+
 QUERIES = {
+    "events_asof_view_attribution": events_asof_view_attribution,
+    "events_forward_window_join": events_forward_window_join,
     "events_windowed_agg": events_windowed_agg,
     "events_sessionization": events_sessionization,
     "events_funnel": events_funnel,
@@ -124,6 +167,41 @@ ORACLES = {
     # NOTE: the driver's `events` view has ts as TIMESTAMP_NS; Spark
     # reads it truncated to microseconds, and DuckDB's CAST(ts AS
     # TIMESTAMP) truncates the same way — so every oracle casts first.
+    "events_asof_view_attribution": """
+        WITH p AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase'
+        ), v AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'view'
+        ), joined AS (
+            SELECT p.event_id AS purchase_id,
+                   p.user_id,
+                   p.ts AS purchase_ts,
+                   MAX(v.ts) AS last_view_ts,
+                   COUNT(v.ts) AS n_prior_views
+            FROM p
+            LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+            GROUP BY 1, 2, 3
+        )
+        SELECT purchase_id, user_id, purchase_ts, last_view_ts,
+               n_prior_views,
+               date_diff('microsecond', last_view_ts, purchase_ts)
+                   AS micros_since_view
+        FROM joined
+    """,
+    "events_forward_window_join": """
+        WITH e AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        )
+        SELECT a.event_id, a.user_id,
+               COUNT(b.event_id) AS n_next_5min
+        FROM e a
+        LEFT JOIN e b ON b.user_id = a.user_id
+                     AND b.ts > a.ts
+                     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        GROUP BY 1, 2
+    """,
     "events_windowed_agg": f"""
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
                event_type,

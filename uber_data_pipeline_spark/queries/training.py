@@ -25,6 +25,7 @@ from uber_data_pipeline_spark.functions.text import (
 )
 from uber_data_pipeline_spark.functions.vectors import cosine_duck, srp_bucket_duck
 from uber_data_pipeline_spark.operators import dedup, multimodal, similarity, textops
+from uber_data_pipeline_spark.operators.sampling import bucket_duck, stratified_sample
 
 JACCARD_THRESHOLD = 0.5
 EST_JACCARD_THRESHOLD = 0.5
@@ -34,6 +35,7 @@ LSH_ANN_K = 3
 TOPK_TOKENS = 50
 PREP_MIN_QUALITY = 0.72
 PREP_MIN_TOKENS = 12
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.125}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,6 +78,9 @@ QUERIES = {
     "dedup_clusters": lambda spark, sf: dedup.connected_components(
         similarity.cosine_pairs(_emb(spark, sf), COSINE_NEAR_DUP), "vec_a", "vec_b"
     ).withColumnRenamed("doc_id", "vec_id"),
+    "documents_stratified_sample": lambda spark, sf: stratified_sample(
+        _docs(spark, sf).select("doc_id", "lang"), "doc_id", "lang", SAMPLE_RATES
+    ),
 }
 
 
@@ -309,6 +314,20 @@ ORACLES = {
         JOIN canon USING (doc_id)
         WHERE q.quality_score >= {PREP_MIN_QUALITY}
           AND q.n_tokens >= {PREP_MIN_TOKENS}
+    """,
+    "documents_stratified_sample": f"""
+        SELECT doc_id, lang, sample_bucket
+        FROM (
+            SELECT doc_id, lang,
+                   {bucket_duck("doc_id")} AS sample_bucket
+            FROM documents
+        )
+        WHERE sample_bucket < CASE lang
+            WHEN 'en' THEN {int(SAMPLE_RATES["en"] * 256)}
+            WHEN 'de' THEN {int(SAMPLE_RATES["de"] * 256)}
+            WHEN 'fr' THEN {int(SAMPLE_RATES["fr"] * 256)}
+            WHEN 'es' THEN {int(SAMPLE_RATES["es"] * 256)}
+            ELSE 0 END
     """,
     "dedup_clusters": f"""
         WITH RECURSIVE pairs AS (
