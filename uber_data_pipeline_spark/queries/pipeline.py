@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from uber_data_pipeline_spark.catalog import load_table
-from uber_data_pipeline_spark.sources.cdc import merge_latest
+from uber_data_pipeline_spark.sources.cdc import merge_latest, scd2_history
 from uber_data_pipeline_spark.streaming.events import (
     sessionization_stream,
     windowed_agg_stream,
@@ -35,9 +35,8 @@ _ARTIFACT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), ".artifacts")
 
 
-def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """High-watermark load + latest-version-wins merge (the Airbyte
-    CDC role, sources/cdc.py). Full snapshot after one delta batch."""
+def _cdc_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The deterministic CDC scenario: (base snapshot, delta batch)."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
@@ -58,15 +57,49 @@ def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_totalprice", F.expr(_UPLIFT_SQL))
         .withColumn("version", F.lit(1))
     )
-    merged = merge_latest(
-        base, inserts.unionByName(updates), ["o_orderkey"], "version"
-    )
+    return base, inserts.unionByName(updates)
+
+
+def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark load + latest-version-wins merge (the Airbyte
+    CDC role, sources/cdc.py). Full snapshot after one delta batch."""
+    base, delta = _cdc_frames(spark, sf_dir)
+    merged = merge_latest(base, delta, ["o_orderkey"], "version")
     return merged.select(
         "o_orderkey",
         "o_orderstatus",
         F.col("o_totalprice").alias("total_price"),
         "version",
     )
+
+
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 build over the same CDC batch: every version kept as a
+    history row with its validity interval (sources/cdc.scd2_history
+    — one union + one per-key window)."""
+    base, delta = _cdc_frames(spark, sf_dir)
+    hist = scd2_history(base, delta, ["o_orderkey"], "version")
+    return hist.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("total_price"),
+        "version",
+        "valid_to_version",
+        "is_current",
+    )
+
+
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt-test analog: the declared check suite (plans/checks.py
+    — not_null / unique / accepted_values / relationships) over the
+    star schema, one reduced row per check."""
+    from uber_data_pipeline_spark.plans.checks import star_schema_checks
+
+    tables = {
+        name: load_table(spark, sf_dir, name)
+        for name in ("orders", "customer", "lineitem", "events", "nation", "documents")
+    }
+    return star_schema_checks(spark, tables)
 
 
 def pipeline_dag_run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,6 +119,8 @@ def pipeline_dag_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "cdc_incremental_merge": cdc_incremental_merge,
+    "scd2_order_history": scd2_order_history,
+    "data_quality_checks": data_quality_checks,
     "pipeline_dag_run": pipeline_dag_run,
     "streaming_windowed_agg": windowed_agg_stream,
     "streaming_sessionization": sessionization_stream,
@@ -120,12 +155,108 @@ _CDC_ORACLE = f"""
     FROM ranked WHERE rn = 1
 """
 
+_SCD2_ORACLE = f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version
+        FROM orders WHERE o_orderdate < TIMESTAMP '{CDC_CUTOFF}'
+    ),
+    delta AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{CDC_CUTOFF}'
+        UNION ALL
+        SELECT o_orderkey, 'U' AS o_orderstatus, {_UPLIFT_SQL} AS o_totalprice,
+               1 AS version
+        FROM base WHERE o_orderkey % {_UPDATE_EVERY} = 0
+    ),
+    unioned AS (
+        SELECT *, 0 AS src FROM base
+        UNION ALL
+        SELECT *, 1 AS src FROM delta
+    ),
+    hist AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, version,
+               LAG(version) OVER w AS valid_to_version,
+               ROW_NUMBER() OVER w AS rn
+        FROM unioned
+        WINDOW w AS (PARTITION BY o_orderkey ORDER BY version DESC, src DESC)
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice AS total_price,
+           version, valid_to_version, rn = 1 AS is_current
+    FROM hist
+"""
+
+_DQ_ORACLE = """
+    WITH checks AS (
+        SELECT 'orders' AS table_name, 'not_null:o_orderkey' AS check_name,
+               COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'unique:o_orderkey',
+               COUNT(*) - COUNT(DISTINCT o_orderkey)
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'not_null:o_custkey',
+               COUNT(CASE WHEN o_custkey IS NULL THEN 1 END)
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'accepted_values:o_orderpriority',
+               COUNT(CASE WHEN o_orderpriority NOT IN
+                   ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                   THEN 1 END)
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'relationships:o_custkey', COUNT(*)
+        FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'customer', 'unique:c_custkey',
+               COUNT(*) - COUNT(DISTINCT c_custkey)
+        FROM customer
+        UNION ALL
+        SELECT 'customer', 'relationships:c_nationkey', COUNT(*)
+        FROM customer c
+        WHERE c.c_nationkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey)
+        UNION ALL
+        SELECT 'lineitem', 'unique:l_orderkey,l_linenumber',
+               COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem', 'relationships:l_orderkey', COUNT(*)
+        FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'events', 'accepted_values:event_type',
+               COUNT(CASE WHEN event_type NOT IN
+                   ('view','click','purchase','signup','error') THEN 1 END)
+        FROM events
+        UNION ALL
+        SELECT 'documents', 'unique:doc_id',
+               COUNT(*) - COUNT(DISTINCT doc_id)
+        FROM documents
+        UNION ALL
+        SELECT 'documents', 'not_null:text',
+               COUNT(CASE WHEN text IS NULL THEN 1 END)
+        FROM documents
+    )
+    SELECT table_name, check_name, n_violations,
+           n_violations = 0 AS passed
+    FROM checks
+"""
+
 # The streaming runners implement the SAME semantics as the batch
 # events queries, so they share those oracles (events.py).
 from uber_data_pipeline_spark.queries.events import ORACLES as _EVENT_ORACLES  # noqa: E402
 
 ORACLES = {
     "cdc_incremental_merge": _CDC_ORACLE,
+    "scd2_order_history": _SCD2_ORACLE,
+    "data_quality_checks": _DQ_ORACLE,
     # pipeline_dag_run: rows-only (materialization side effects + a
     # report frame; not SQL-expressible)
     "streaming_windowed_agg": _EVENT_ORACLES["events_windowed_agg"],

@@ -20,6 +20,9 @@ from uber_data_pipeline_spark.functions.numeric import dsum, sql_dsum
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"
 
+# declared priority domain (TPC-H enum) — discovery would cost a scan
+ORDER_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
 
 def _revenue() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -362,10 +365,12 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-spine gap-fill: daily order counts per priority for 1996
     with missing (day, priority) combos zero-filled. The spine is
-    generated (sequence + explode — no driver-side loop), the daily
-    aggregate reduces the fact FIRST, and the spine join is a
-    broadcast (spine cardinality = days x priorities, tiny by
-    construction)."""
+    generated (sequence + two chained explodes — no join, no
+    driver-side loop) with the priority domain DECLARED, like the
+    declared-values pivot: discovering it would cost a distinct scan
+    and a nested-loop spine join. The daily aggregate reduces the
+    fact FIRST, and the spine join is a broadcast (spine cardinality
+    = days x priorities, tiny by construction)."""
     orders = load_table(spark, sf_dir, "orders")
     daily = (
         orders.filter(
@@ -378,19 +383,24 @@ def orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_orders"))
     )
-    days = spark.range(1).select(
-        F.explode(
-            F.sequence(
-                F.to_date(F.lit("1996-01-01")),
-                F.to_date(F.lit("1996-12-31")),
-                F.expr("interval 1 day"),
-            )
-        ).alias("day")
+    spine = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.to_date(F.lit("1996-01-01")),
+                    F.to_date(F.lit("1996-12-31")),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("day")
+        )
+        .select(
+            "day",
+            F.explode(
+                F.array(*[F.lit(p) for p in ORDER_PRIORITIES])
+            ).alias("order_priority"),
+        )
     )
-    prios = orders.select(
-        F.col("o_orderpriority").alias("order_priority")
-    ).distinct()
-    spine = days.crossJoin(prios)
     return (
         F.broadcast(spine)
         .join(daily, ["day", "order_priority"], "left")
@@ -624,8 +634,9 @@ ORACLES = {
             SELECT CAST(d.day AS DATE) AS day, p.order_priority
             FROM generate_series(DATE '1996-01-01', DATE '1996-12-31',
                                  INTERVAL 1 DAY) AS d(day)
-            CROSS JOIN (SELECT DISTINCT o_orderpriority AS order_priority
-                        FROM orders) p
+            CROSS JOIN (VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'),
+                               ('4-NOT SPECIFIED'), ('5-LOW'))
+                       AS p(order_priority)
         )
         SELECT s.day, s.order_priority,
                COALESCE(d.n_orders, 0) AS n_orders

@@ -56,6 +56,31 @@ def merge_latest(
     )
 
 
+def scd2_history(
+    base: DataFrame, delta: DataFrame, key_cols: list[str], version_col: str
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: keep EVERY version of a key
+    as a history row with its validity interval instead of merging to
+    latest. valid_to_version = next version's number (null for the
+    open, current row); is_current flags the newest.
+
+    One union + one per-key window (lead + row_number over the same
+    spec — a single shuffle on the key), the standard warehouse
+    dimension-history build."""
+    tagged = base.withColumn("_src", F.lit(0)).unionByName(
+        delta.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(version_col), F.desc("_src")
+    )
+    return (
+        tagged.withColumn("valid_to_version", F.lag(version_col).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("is_current", F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+
 def read_stream_events(spark: SparkSession, path: str) -> DataFrame:
     """File-source change feed for the events table (new parquet files
     matching ``path`` == new changes)."""
