@@ -226,6 +226,7 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
 
 
 def _propagate_min_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    prev_sum = None
     while True:
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -254,20 +255,20 @@ def _propagate_min_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
-            # lazy: materialized by the convergence count below, so each
-            # round costs exactly one job while still cutting lineage
+            # lazy: materialized by the convergence aggregate below, so
+            # each round costs exactly one job while cutting lineage
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # convergence: labels are node-wise non-increasing, so the label
+        # sum strictly decreases until the fixpoint — an exact-decimal
+        # aggregate per round instead of a change-detection join
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
 
 
 def simhash_values(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:

@@ -37,11 +37,17 @@ def run_dag(
     materialize: bool = True,
 ) -> list[BuildResult]:
     """Materialize the selected models (and their upstreams) in
-    dependency order. ``materialize=False`` builds views only (a dry
-    run / `dbt compile`)."""
+    dependency-level order: levels run sequentially, models WITHIN a
+    level concurrently (they are independent by construction — the
+    dbt/Dagster thread-pool execution model; Spark's FIFO scheduler
+    interleaves the sibling jobs across the executor pool).
+    ``materialize=False`` builds views only (a dry run /
+    `dbt compile`)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     load_tables(spark, sf_dir, register_views=True)
-    results: list[BuildResult] = []
-    for model in registry.topo_order(select):
+
+    def build_one(model) -> BuildResult:
         t0 = time.perf_counter()
         df: DataFrame = model.build(spark)
         path = os.path.join(out_dir, model.name)
@@ -49,12 +55,18 @@ def run_dag(
             df.write.mode("overwrite").parquet(path)
             df = spark.read.parquet(path)
         df.createOrReplaceTempView(model.name)
-        results.append(
-            BuildResult(
-                model=model.name,
-                n_rows=df.count(),
-                seconds=round(time.perf_counter() - t0, 3),
-                path=path if materialize else "",
-            )
+        return BuildResult(
+            model=model.name,
+            n_rows=df.count(),
+            seconds=round(time.perf_counter() - t0, 3),
+            path=path if materialize else "",
         )
+
+    results: list[BuildResult] = []
+    for level in registry.topo_levels(select):
+        if len(level) == 1:
+            results.append(build_one(level[0]))
+            continue
+        with ThreadPoolExecutor(max_workers=min(8, len(level))) as pool:
+            results.extend(pool.map(build_one, level))
     return results

@@ -78,3 +78,19 @@ class ModelRegistry:
             cyclic = wanted - {m.name for m in order}
             raise ValueError(f"dependency cycle among {sorted(cyclic)}")
         return order
+
+    def topo_levels(self, select: set[str] | None = None) -> list[list[Model]]:
+        """Dependency levels: level k holds models whose deps are all
+        in levels < k. Models within a level are independent and can
+        materialize concurrently (dbt/Dagster run siblings with a
+        thread pool; Spark's scheduler interleaves their jobs)."""
+        order = self.topo_order(select)
+        depth: dict[str, int] = {}
+        for m in order:
+            depth[m.name] = 1 + max(
+                (depth[d] for d in m.deps if d in depth), default=-1
+            )
+        levels: list[list[Model]] = [[] for _ in range(max(depth.values(), default=-1) + 1)]
+        for m in order:
+            levels[depth[m.name]].append(m)
+        return levels
