@@ -50,9 +50,11 @@ def test_dim_joins_broadcast(spark):
         assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast:\n{plan[:2000]}"
 
 
-# scalar-subquery thresholds plan as a BroadcastNestedLoopJoin whose
-# broadcast side is ONE aggregated row — O(n), not a pair blow-up.
-SCALAR_BROADCAST_OK = {"tpch_q22_global_sales_opportunity"}
+# bounded broadcast nested-loops: the broadcast side is an aggregate
+# of fixed tiny cardinality — one scalar row (q22's threshold) or the
+# label-cardinality IVF centroid table — O(n * constant), not a pair
+# blow-up.
+SCALAR_BROADCAST_OK = {"tpch_q22_global_sales_opportunity", "ann_ivf_topk"}
 
 
 def test_no_cartesian_products(spark):

@@ -101,14 +101,10 @@ def cosine_pairs(
     )
 
 
-def brute_force_topk(
-    emb: DataFrame, k: int, n_blocks: int = DEFAULT_BLOCKS
-) -> DataFrame:
-    """Exact cosine top-k neighbors per vector: per-cell gemm emits k
-    local candidates per query, a global rank window merges the
-    n_blocks*k candidates (tiny) into the exact top-k."""
-    left = _blocked(emb, n_blocks, explode_col="cb", mod_col="qb", prefix="q")
-    right = _blocked(emb, n_blocks, explode_col="qb", mod_col="cb", prefix="n")
+def _local_topk_kernel(k: int):
+    """Shared per-cell gemm top-k: one (q, d) x (d, n) matmul, then k
+    local candidates per query with the (cosine desc, neighbor asc)
+    total order and self-matches excluded."""
 
     def local_topk(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
@@ -139,10 +135,23 @@ def brute_force_topk(
             )
         return pd.concat(frames, ignore_index=True) if frames else empty
 
+    return local_topk
+
+
+def brute_force_topk(
+    emb: DataFrame, k: int, n_blocks: int = DEFAULT_BLOCKS
+) -> DataFrame:
+    """Exact cosine top-k neighbors per vector: per-cell gemm emits k
+    local candidates per query, a global rank window merges the
+    n_blocks*k candidates (tiny) into the exact top-k."""
+    left = _blocked(emb, n_blocks, explode_col="cb", mod_col="qb", prefix="q")
+    right = _blocked(emb, n_blocks, explode_col="qb", mod_col="cb", prefix="n")
     candidates = (
         left.groupBy("qb", "cb")
         .cogroup(right.groupBy("qb", "cb"))
-        .applyInPandas(local_topk, "query_id long, neighbor_id long, cosine double")
+        .applyInPandas(
+            _local_topk_kernel(k), "query_id long, neighbor_id long, cosine double"
+        )
     )
     return rank_topk(candidates, k, partition_cols=("query_id",))
 
@@ -161,6 +170,78 @@ def rank_topk(candidates: DataFrame, k: int, partition_cols=("query_id",)) -> Da
         .filter(F.col("rank") <= k)
         .select(*partition_cols, "neighbor_id", "rank", "cosine")
     )
+
+
+IVF_NPROBE = 2
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """(cell, cvec): the IVF coarse quantizer — per-label centroid as
+    the decimal-exact per-position mean rounded to 6 decimals, so both
+    engines derive bit-identical centroids regardless of sum order.
+    posexplode + one (cell, pos) aggregate; the centroid table is
+    label-cardinality rows (a model artifact, broadcastable always)."""
+    pos = emb.select(
+        F.col("label").alias("cell"), F.posexplode("embedding").alias("pos", "val")
+    )
+    cmean = pos.groupBy("cell", "pos").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m")
+    )
+    return cmean.groupBy("cell").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias(
+            "cvec"
+        )
+    )
+
+
+def ivf_topk(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest
+    centroid's cell (rank 1); queries probe their ``nprobe`` nearest
+    cells; candidates are exact-gemm-reranked inside each probed cell
+    and merged by the global rank window.
+
+    The assignment cosine runs as the JVM fold expression (identical
+    to the oracle's), NOT the gemm kernel — assignment rank
+    boundaries must match the oracle bit-for-bit, and the centroid
+    table is tiny (10s-1000s of rows broadcast). At 100 TB the probe
+    join shuffles on cell (bounded cells, AQE-splittable); candidate
+    volume per query is nprobe * cell-size, never n."""
+    from uber_data_pipeline_spark.functions.vectors import cosine_spark
+
+    from pyspark.sql import Window
+
+    cents = label_centroids(emb)
+    scored = emb.crossJoin(F.broadcast(cents)).selectExpr(
+        "vec_id",
+        "embedding",
+        "cell",
+        f"{cosine_spark('embedding', 'cvec')} AS ccos",
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    ranked = scored.withColumn("crk", F.row_number().over(w))
+    probes = ranked.filter(F.col("crk") <= nprobe).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"), "cell"
+    )
+    # distinct key name on the corpus side: both frames share the
+    # `ranked` lineage, and a same-name cogroup key trips Spark's
+    # ambiguous-self-join check (keys match positionally, not by name)
+    assign = ranked.filter(F.col("crk") == 1).select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nemb"),
+        F.col("cell").alias("ncell"),
+    )
+    candidates = (
+        probes.groupBy("cell")
+        .cogroup(assign.groupBy("ncell"))
+        .applyInPandas(
+            _local_topk_kernel(k), "query_id long, neighbor_id long, cosine double"
+        )
+    )
+    return rank_topk(candidates, k, partition_cols=("query_id",))
 
 
 def with_srp_bucket(emb: DataFrame, n_bits: int = LSH_BITS) -> DataFrame:

@@ -62,6 +62,7 @@ QUERIES = {
         _emb(spark, sf), ANN_K
     ),
     "ann_lsh_topk": lambda spark, sf: similarity.lsh_topk(_emb(spark, sf), LSH_ANN_K),
+    "ann_ivf_topk": lambda spark, sf: similarity.ivf_topk(_emb(spark, sf), ANN_K),
     "text_langid": lambda spark, sf: textops.language_id(_docs(spark, sf)),
     "text_quality": lambda spark, sf: textops.quality_scores(_docs(spark, sf)),
     "text_tokens": lambda spark, sf: textops.token_counts(_docs(spark, sf)),
@@ -231,6 +232,48 @@ ORACLES = {
         )
         SELECT query_id, bucket, neighbor_id, rank, cosine
         FROM ranked WHERE rank <= {LSH_ANN_K}
+    """,
+    "ann_ivf_topk": f"""
+        WITH pos AS (
+            -- constant dim (64 at every SF): DuckDB's range() can't
+            -- lateral-reference the embedding column
+            SELECT label AS cell, i AS pos, embedding[i]::DOUBLE AS val
+            FROM embeddings, unnest(range(1, 65)) AS r(i)
+        ), cmean AS (
+            SELECT cell, pos,
+                   ROUND(CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS m
+            FROM pos GROUP BY 1, 2
+        ), centroids AS (
+            SELECT cell, list(m ORDER BY pos) AS cvec FROM cmean GROUP BY 1
+        ), scored AS (
+            SELECT e.vec_id, c.cell,
+                   {cosine_duck("e.embedding", "c.cvec")} AS ccos
+            FROM embeddings e CROSS JOIN centroids c
+        ), ranked AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY ccos DESC, cell ASC) AS crk
+            FROM scored
+        ), cand AS (
+            SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+            FROM (SELECT vec_id, cell FROM ranked WHERE crk <= {similarity.IVF_NPROBE}) p
+            JOIN (SELECT vec_id, cell FROM ranked WHERE crk = 1) a
+              ON a.cell = p.cell AND a.vec_id != p.vec_id
+        ), rescored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   {cosine_duck("qe.embedding", "ne.embedding")} AS cosine
+            FROM cand c
+            JOIN embeddings qe ON qe.vec_id = c.query_id
+            JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+        ), reranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+            FROM rescored
+        )
+        SELECT query_id, neighbor_id, rank, cosine
+        FROM reranked WHERE rank <= {ANN_K}
     """,
     "text_langid": f"""
         WITH tok AS (
