@@ -90,6 +90,43 @@ def test_whole_stage_codegen_on_hot_path(spark):
     assert "*(1)" in plan, plan[:2000]
 
 
+def test_asof_join_is_windowed_not_joined(spark):
+    """The as-of operator must compile to the union + per-key window
+    form — no join operator at all (a time-inequality join would be a
+    range blow-up at scale)."""
+    plan = plan_of(spark, "events_asof_view_attribution")
+    assert "Window" in plan
+    for marker in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert marker not in plan, f"as-of should not join:\n{plan[:2000]}"
+
+
+def test_forward_window_join_is_equality(spark):
+    """The bounded range join must probe by (key, bucket) equality —
+    SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin are fine, a
+    nested-loop inequality join is not (checked globally by
+    test_no_cartesian_products); here we assert the bucket column is
+    a join key."""
+    plan = plan_of(spark, "events_forward_window_join")
+    assert "__pb" in plan and "__b2" in plan, plan[:2000]
+
+
+def test_new_tpch_scan_pushdown(spark):
+    """Date-range filters of the added TPC-H shapes must land in the
+    parquet scan."""
+    for name in ("tpch_q7_volume_shipping", "tpch_q14_promo_revenue"):
+        plan = explain_formatted(spark, name)
+        assert "PushedFilters: [" in plan, name
+        pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+        assert "l_shipdate" in pushed, f"{name}: {pushed}"
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """Deterministic sampling must be row-local: no Exchange in the
+    plan (the filter is a pure function of the row)."""
+    plan = plan_of(spark, "documents_stratified_sample")
+    assert "Exchange" not in plan, plan[:2000]
+
+
 @pytest.mark.parametrize(
     "name", ["events_windowed_agg", "customer_ltv_window", "top3_pickup_dates_per_base"]
 )

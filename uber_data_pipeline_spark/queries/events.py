@@ -117,6 +117,52 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window: 1-hour windows every 30 minutes per
+    event_type. F.window with a slide replicates each row into
+    width/slide windows map-side (2 here) before the partial
+    aggregate — the replication factor is the constant width/slide,
+    independent of data volume."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, distinct
+    active users per (cohort week, week offset). Two reduced
+    aggregates (per-user first week; distinct user-week activity) and
+    one join on the high-cardinality user key — the weekly matrix
+    itself is tiny."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    )
+    first_week = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = ev.distinct()
+    return (
+        activity.join(first_week, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def events_asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase attributed to the user's latest
     at-or-before 'view' event (operators/temporal.asof_attach — the
@@ -154,6 +200,8 @@ def events_forward_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "events_sliding_window": events_sliding_window,
+    "events_retention_cohorts": events_retention_cohorts,
     "events_asof_view_attribution": events_asof_view_attribution,
     "events_forward_window_join": events_forward_window_join,
     "events_windowed_agg": events_windowed_agg,
@@ -167,6 +215,43 @@ ORACLES = {
     # NOTE: the driver's `events` view has ts as TIMESTAMP_NS; Spark
     # reads it truncated to microseconds, and DuckDB's CAST(ts AS
     # TIMESTAMP) truncates the same way — so every oracle casts first.
+    "events_sliding_window": f"""
+        WITH e AS (
+            SELECT event_type, value,
+                   epoch_us(CAST(ts AS TIMESTAMP))
+                       - (epoch_us(CAST(ts AS TIMESTAMP)) % 1800000000)
+                       AS bucket_us
+            FROM events
+        ), expanded AS (
+            SELECT event_type, value,
+                   unnest([make_timestamp(bucket_us),
+                           make_timestamp(bucket_us - 1800000000)]) AS window_start
+            FROM e
+        )
+        SELECT window_start, event_type,
+               COUNT(*) AS n_events,
+               {sql_dsum("value")} AS sum_value
+        FROM expanded
+        GROUP BY 1, 2
+    """,
+    "events_retention_cohorts": """
+        WITH ev AS (
+            SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+            FROM events
+        ), first_week AS (
+            SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1
+        ), activity AS (
+            SELECT DISTINCT user_id, week FROM ev
+        )
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT)
+                   AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active_users
+        FROM activity a
+        JOIN first_week f USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "events_asof_view_attribution": """
         WITH p AS (
             SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
