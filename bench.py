@@ -50,6 +50,12 @@ def main() -> int:
         .count()
     )
     docs.selectExpr("explode(split(text, ' ')) AS t").groupBy("t").count().count()
+    # parquet-writer classloading (otherwise billed to the first
+    # materializing query)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        orders.limit(10).write.mode("overwrite").parquet(os.path.join(tmp, "w"))
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

@@ -199,10 +199,14 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
         .distinct()
         .cache()
     )
+    # round 0 fused into initialization: label = min(node, neighbors)
+    # straight off the (bidirectional) edge list — one aggregate, no
+    # join, and one fewer loop iteration than starting from
+    # label = node
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .select(F.col("src").alias("node"), "label")
     )
     spark = pairs.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
