@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uber_data_pipeline_spark.catalog import load_table
-from uber_data_pipeline_spark.functions.numeric import dsum, sql_dsum
+from uber_data_pipeline_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"
 
@@ -412,6 +412,119 @@ def orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value held by one nation's
+    suppliers, keeping parts above a share-of-total threshold (no
+    partsupp table — value proxy = SUM(l_extendedprice * l_quantity)
+    over that nation's shipped lines; the absolute 0.0001-of-total
+    HAVING becomes value > 1.2x the mean per-part value so the
+    threshold is scale-factor-independent). The scalar subquery is a
+    one-row broadcast join onto the already-reduced per-part relation
+    — the fact table is aggregated exactly once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    value_per_part = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
+    )
+    threshold = value_per_part.agg(
+        (davg(F.col("part_value")) * 1.2).alias("threshold")
+    )
+    return (
+        value_per_part.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("part_key", "part_value")
+        .orderBy(F.desc("part_value"), "part_key")
+    )
+
+
+def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who shipped an
+    above-average quantity of a name-prefixed part family in 1996 (no
+    partsupp availqty — the "half of shipped quantity" threshold
+    becomes the per-part mean across its suppliers). Nested aggregate
+    + join-back: per-(part, supplier) quantities reduce first, the
+    per-part means reduce off THAT (tiny) relation, and the
+    comparison join plus the supplier resolution are broadcasts."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("cold%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").like("NATION_1%")
+    )
+    shipped = (
+        li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum(F.col("l_quantity")).alias("qty"))
+    )
+    avg_qty = shipped.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        davg(F.col("qty")).alias("avg_qty")
+    )
+    excess = (
+        shipped.join(F.broadcast(avg_qty), shipped.l_partkey == F.col("a_partkey"))
+        .filter(F.col("qty") > F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(excess, supp.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(F.col("s_suppkey").alias("supp_key"), F.col("s_name").alias("supp_name"))
+        .orderBy("supp_key")
+    )
+
+
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier finished order (no receipt/commit dates — "late" =
+    shipped more than 60 days after the order date). The textbook
+    EXISTS + NOT-EXISTS double self-join (the oracle runs that form)
+    is re-expressed as ONE per-order aggregate: count the order's
+    distinct suppliers, its distinct late suppliers, and its late
+    lines; rows with (suppliers >= 2, late suppliers == 1) identify
+    the waiting supplier directly. One fact shuffle instead of three
+    self-join shuffles — the aggregate output is order-count sized,
+    and everything after it is broadcast-joined."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").like("NATION_1%")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        per_order.join(F.broadcast(supp), per_order.late_supp == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("s_name").alias("supp_name"))
+        .agg(F.sum("late_lines").alias("numwait"))
+        .orderBy(F.desc("numwait"), "supp_name")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q8_market_share": tpch_q8_market_share,
@@ -424,6 +537,9 @@ QUERIES = {
     "tpch_q19_disjunctive_revenue": tpch_q19_disjunctive_revenue,
     "tpch_q22_global_sales_opportunity": tpch_q22_global_sales_opportunity,
     "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+    "tpch_q11_important_stock": tpch_q11_important_stock,
+    "tpch_q20_excess_shippers": tpch_q20_excess_shippers,
+    "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
     "orders_cube": orders_cube,
     "orders_daily_gapfill": orders_daily_gapfill,
 }
@@ -609,6 +725,66 @@ ORACLES = {
         FROM ranked
         WHERE rk = 1
         ORDER BY supp_acctbal DESC, part_key
+        LIMIT 100
+    """,
+    "tpch_q11_important_stock": f"""
+        WITH value_per_part AS (
+            SELECT l.l_partkey AS part_key,
+                   {sql_dsum("l.l_extendedprice * l.l_quantity")} AS part_value
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_3'
+            GROUP BY 1
+        )
+        SELECT part_key, part_value
+        FROM value_per_part
+        WHERE part_value > (SELECT 1.2 * {sql_davg("part_value")}
+                            FROM value_per_part)
+        ORDER BY part_value DESC, part_key
+    """,
+    "tpch_q20_excess_shippers": f"""
+        WITH shipped AS (
+            SELECT l.l_partkey, l.l_suppkey,
+                   {sql_dsum("l.l_quantity")} AS qty
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_name LIKE 'cold%'
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY 1, 2
+        ), avg_qty AS (
+            SELECT l_partkey, {sql_davg("qty")} AS avg_qty
+            FROM shipped GROUP BY 1
+        )
+        SELECT DISTINCT s.s_suppkey AS supp_key, s.s_name AS supp_name
+        FROM shipped sh
+        JOIN avg_qty a ON sh.l_partkey = a.l_partkey
+        JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE sh.qty > a.avg_qty AND n.n_name LIKE 'NATION_1%'
+        ORDER BY supp_key
+    """,
+    "tpch_q21_waiting_suppliers": """
+        SELECT s.s_name AS supp_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND n.n_name LIKE 'NATION_1%'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY 1
+        ORDER BY numwait DESC, supp_name
         LIMIT 100
     """,
     "orders_cube": f"""
