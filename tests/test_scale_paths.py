@@ -47,3 +47,29 @@ def test_approx_percentile_within_tolerance(spark):
     assert rows
     for row in rows:
         assert abs(row.approx_p50 - row.exact_p50) <= 0.01 * row.exact_p50, row
+
+
+def test_connected_components_paths_agree(spark):
+    """The single-task union-find fast path and the distributed
+    min-label loop must produce identical clusters on a graph with a
+    long chain (worst case for propagation), a triangle, a pair, and
+    two disjoint stars."""
+    pairs = [(i, i + 1) for i in range(0, 40)]          # chain 0..40
+    pairs += [(100, 101), (101, 102), (100, 102)]       # triangle
+    pairs += [(200, 201)]                               # pair
+    pairs += [(300, 300 + j) for j in range(1, 5)]      # star @300
+    pairs += [(400, 400 + j) for j in range(1, 5)]      # star @400
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    from uber_data_pipeline_spark.operators.dedup import connected_components
+
+    fast = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in connected_components(df).collect()
+    }
+    loop = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in connected_components(df, local_edge_limit=0).collect()
+    }
+    assert fast == loop
+    assert {(0, 0, 41), (100, 100, 3), (200, 200, 2)} <= fast

@@ -181,24 +181,50 @@ def lsh_candidate_pairs(docs: DataFrame, min_est_jaccard: float = 0.5) -> DataFr
     )
 
 
-def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+# Edge-count ceiling for the single-task union-find fast path: 5M
+# (src, dst) longs plus the parent dict stay well under 1 GiB in one
+# executor task. Above it, the distributed min-label loop runs.
+CC_LOCAL_EDGE_LIMIT = 5_000_000
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    local_edge_limit: int = CC_LOCAL_EDGE_LIMIT,
+) -> DataFrame:
     """(doc_id, cluster_id, cluster_size) over the undirected graph of
     near-duplicate pairs — the step that turns pairwise matches into
     dedup groups (cluster_id = smallest member id).
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels; rounds = graph
-    diameter (dedup clusters are shallow — a handful of rounds).
-    Driver only orchestrates; each round is one shuffle join on the
-    (already reduced) label table. Labels are localCheckpoint'ed per
-    round so the lineage doesn't grow unboundedly across iterations —
-    the classic Spark iterative-algorithm trap."""
+    Size-adaptive, like AQE's broadcast decision: the candidate-pair
+    edge list is orders of magnitude smaller than the corpus (pairs
+    survive banding + verification), so the common case even at huge
+    corpus scale is an edge list that fits ONE task — then a single
+    exact union-find pass (path compression, min-id roots) replaces
+    the whole iterative loop. The count that decides the path also
+    fills the edge cache, so it costs nothing extra. Beyond the
+    limit, iterative min-label propagation with fused pointer
+    doubling runs (O(log diameter) rounds, one shuffle join per
+    round, localCheckpoint per round so lineage stays bounded —
+    the classic Spark iterative-algorithm trap)."""
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
         .cache()
     )
+    if edges.count() <= local_edge_limit:
+        labels = (
+            edges.groupBy(F.lit(1).alias("g"))
+            .applyInPandas(_unionfind_kernel, "node long, label long")
+        )
+        sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+        return labels.join(F.broadcast(sizes), "label").select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
     # round 0 fused into initialization: label = min(node, neighbors)
     # straight off the (bidirectional) edge list — one aggregate, no
     # join, and one fewer loop iteration than starting from
@@ -229,36 +255,58 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
     )
 
 
+def _unionfind_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Exact union-find over one partition's (bidirectional) edge
+    list. Roots are always the smallest id among merged roots, and
+    every node starts as its own root, so by induction each final
+    root IS the component's minimum member id."""
+    import pandas as pd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+        rs, rd = find(int(s)), find(int(d))
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    nodes = pd.unique(pdf[["src", "dst"]].to_numpy().ravel())
+    return pd.DataFrame(
+        {"node": nodes, "label": [find(int(n)) for n in nodes]}
+    )
+
+
 def _propagate_min_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Min-label fixpoint in ONE join + ONE aggregate per round.
+
+    Neighbor propagation and pointer doubling are fused: the round's
+    edge list is the real (bidirectional) edges plus one synthetic
+    (node -> current label) edge per node, so the same
+    join-on-dst/groupBy-src pass gives every node
+    min(labels of its neighbors, label of its current label).
+    Labels are node ids with the invariant label(x) <= x, so the
+    synthetic hop is exactly pointer doubling (O(log diameter)
+    rounds) — at 2 shuffles per round instead of the 4 the textbook
+    propagate-then-double pair of joins costs."""
     prev_sum = None
     while True:
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+        aug = edges.unionByName(
+            labels.select(F.col("node").alias("src"), F.col("label").alias("dst"))
         )
-        propagated = labels.join(
-            neighbor_min, labels.node == neighbor_min.src, "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-            ).alias("label"),
-        )
-        # pointer doubling: also adopt the label of the current label
-        # (label is always a node id), shrinking label chains by half
-        # each round — O(log diameter) rounds instead of O(diameter)
-        parent = labels.select(
-            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        dst_labels = labels.select(
+            F.col("node").alias("dst_n"), F.col("label").alias("dst_label")
         )
         new_labels = (
-            propagated.join(parent, propagated.label == parent.p_node, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
-                ).alias("label"),
-            )
+            aug.join(dst_labels, aug.dst == dst_labels.dst_n)
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("label"))
+            .select(F.col("src").alias("node"), "label")
             # lazy: materialized by the convergence aggregate below, so
             # each round costs exactly one job while cutting lineage
             .localCheckpoint(eager=False)
