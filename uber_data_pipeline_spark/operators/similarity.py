@@ -307,3 +307,38 @@ def lsh_topk(emb: DataFrame, k: int, n_bits: int = LSH_BITS) -> DataFrame:
         bucket_topk,
         "query_id long, bucket int, neighbor_id long, rank int, cosine double",
     )
+
+
+def normalize_quantize(emb: DataFrame) -> DataFrame:
+    """Embedding normalize + symmetric int8 quantization summary:
+    per vector, the L2 norm, the quantization scale (max|x| / 127),
+    and the quantized-array invariants (sum, min, max, zero count)
+    that a serving index would store. Row-local JVM array math — no
+    shuffle, no Python; the narrow plan scales linearly with splits.
+
+    Quantized values round through decimal so both engines place
+    x.5 boundaries identically (see functions/numeric.py)."""
+    from uber_data_pipeline_spark.functions.vectors import dot_spark
+
+    norm = f"sqrt({dot_spark('embedding', 'embedding')})"
+    absmax = "array_max(transform(embedding, v -> abs(CAST(v AS double))))"
+    return emb.selectExpr(
+        "vec_id",
+        "embedding",
+        f"round({norm}, 6) AS l2_norm",
+        f"round(greatest({absmax} / 127.0, 1e-12), 6) AS scale",
+    ).selectExpr(
+        "vec_id",
+        "l2_norm",
+        "scale",
+        "transform(embedding, v -> CAST(round(CAST(CAST(v AS double) / scale "
+        "AS decimal(25,6)), 0) AS int)) AS q",
+    ).selectExpr(
+        "vec_id",
+        "l2_norm",
+        "scale",
+        "aggregate(q, CAST(0 AS bigint), (s, v) -> s + v) AS q_sum",
+        "array_min(q) AS q_min",
+        "array_max(q) AS q_max",
+        "size(filter(q, v -> v = 0)) AS n_zero",
+    )

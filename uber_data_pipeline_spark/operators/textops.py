@@ -155,3 +155,80 @@ def training_data_prep(
         )
         .select("doc_id", "n_tokens", "quality_score")
     )
+
+
+def repetition_scores(
+    docs: DataFrame,
+    max_dup_bigram_ratio: float = 0.2,
+    max_top_token_ratio: float = 0.2,
+) -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al.
+    2021 §A1.1): the fraction of word bigrams that are duplicates and
+    the share of the single most frequent token. Boilerplate and
+    degenerate (looping) generations score high on both. Pure column
+    expressions — row-local array math, no shuffle, whole-stage
+    codegen'd end to end."""
+    from uber_data_pipeline_spark.functions.text import shingles_spark
+
+    return docs.selectExpr(
+        "doc_id",
+        f"{TOKENS_SPARK} AS tokens",
+    ).selectExpr(
+        "doc_id",
+        "tokens",
+        f"{shingles_spark('tokens', 2)} AS bigrams",
+    ).selectExpr(
+        "doc_id",
+        "size(tokens) AS n_tokens",
+        "CASE WHEN size(bigrams) = 0 THEN CAST(0.0 AS double) "
+        "ELSE round(1.0 - size(array_distinct(bigrams)) / size(bigrams), 6) "
+        "END AS dup_bigram_ratio",
+        "round(array_max(transform(array_distinct(tokens), "
+        "t -> size(filter(tokens, x -> x = t)))) / size(tokens), 6) "
+        "AS top_token_ratio",
+    ).selectExpr(
+        "doc_id",
+        "n_tokens",
+        "dup_bigram_ratio",
+        "top_token_ratio",
+        f"CAST(dup_bigram_ratio > {max_dup_bigram_ratio} "
+        f"OR top_token_ratio > {max_top_token_ratio} AS boolean) AS repetitive",
+    )
+
+
+DECONTAM_SHINGLE_N = 4
+BENCH_MOD = 101
+
+
+def benchmark_contamination(
+    docs: DataFrame, bench_mod: int = BENCH_MOD, n: int = DECONTAM_SHINGLE_N
+) -> DataFrame:
+    """Benchmark decontamination: training docs that share at least
+    one word n-gram with the held-out benchmark subset (here every
+    doc_id % bench_mod == 0), with the count of matched distinct
+    grams. Catches exact and near-verbatim benchmark leakage.
+
+    Scale shape: benchmark suites are small by nature, so the
+    benchmark gram set is reduced (distinct) and BROADCAST; the
+    training side streams through a map-side hash semi-join — no
+    shuffle of the exploded training grams, which is the term that
+    grows with corpus size."""
+    from uber_data_pipeline_spark.functions.text import shingles_spark
+
+    grams = docs.selectExpr(
+        "doc_id", f"{TOKENS_SPARK} AS tokens"
+    ).selectExpr(
+        "doc_id",
+        f"explode(array_distinct({shingles_spark('tokens', n)})) AS gram",
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % bench_mod == 0).select("gram").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % bench_mod != 0)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        # grams are per-doc distinct already, so count(*) == distinct count
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched_grams"))
+        .orderBy("doc_id")
+    )

@@ -23,7 +23,7 @@ from uber_data_pipeline_spark.functions.text import (
     shingles_duck,
     stopword_count_duck,
 )
-from uber_data_pipeline_spark.functions.vectors import cosine_duck, srp_bucket_duck
+from uber_data_pipeline_spark.functions.vectors import cosine_duck, dot_duck, srp_bucket_duck
 from uber_data_pipeline_spark.operators import dedup, multimodal, similarity, textops
 from uber_data_pipeline_spark.operators.sampling import bucket_duck, stratified_sample
 
@@ -81,6 +81,13 @@ QUERIES = {
     ).withColumnRenamed("doc_id", "vec_id"),
     "documents_stratified_sample": lambda spark, sf: stratified_sample(
         _docs(spark, sf).select("doc_id", "lang"), "doc_id", "lang", SAMPLE_RATES
+    ),
+    "text_repetition": lambda spark, sf: textops.repetition_scores(_docs(spark, sf)),
+    "decontaminate_ngrams": lambda spark, sf: textops.benchmark_contamination(
+        _docs(spark, sf)
+    ),
+    "embeddings_quantize": lambda spark, sf: similarity.normalize_quantize(
+        _emb(spark, sf)
     ),
 }
 
@@ -371,6 +378,65 @@ ORACLES = {
             WHEN 'fr' THEN {int(SAMPLE_RATES["fr"] * 256)}
             WHEN 'es' THEN {int(SAMPLE_RATES["es"] * 256)}
             ELSE 0 END
+    """,
+    "text_repetition": f"""
+        WITH tok AS (
+            SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents
+        ), feats AS (
+            SELECT doc_id, tokens,
+                   {shingles_duck("tokens", 2)} AS bigrams
+            FROM tok
+        ), ratios AS (
+            SELECT doc_id,
+                   CAST(len(tokens) AS INT) AS n_tokens,
+                   CASE WHEN len(bigrams) = 0 THEN 0.0
+                        ELSE ROUND(1.0 - len(list_distinct(bigrams)) / len(bigrams), 6)
+                   END AS dup_bigram_ratio,
+                   ROUND(list_max(list_transform(list_distinct(tokens),
+                         t -> len(list_filter(tokens, x -> x = t)))) / len(tokens), 6)
+                       AS top_token_ratio
+            FROM feats
+        )
+        SELECT doc_id, n_tokens, dup_bigram_ratio, top_token_ratio,
+               (dup_bigram_ratio > 0.2 OR top_token_ratio > 0.2) AS repetitive
+        FROM ratios
+    """,
+    "decontaminate_ngrams": f"""
+        WITH tok AS (
+            SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents
+        ), grams AS (
+            SELECT doc_id, g.gram
+            FROM tok, unnest(list_distinct({shingles_duck("tokens", textops.DECONTAM_SHINGLE_N)}))
+                 AS g(gram)
+        ), bench AS (
+            SELECT DISTINCT gram FROM grams
+            WHERE doc_id % {textops.BENCH_MOD} = 0
+        )
+        SELECT g.doc_id, COUNT(*) AS n_matched_grams
+        FROM grams g JOIN bench b USING (gram)
+        WHERE g.doc_id % {textops.BENCH_MOD} <> 0
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "embeddings_quantize": f"""
+        WITH base AS (
+            SELECT vec_id, embedding,
+                   ROUND(sqrt({dot_duck("embedding", "embedding")}), 6) AS l2_norm,
+                   ROUND(greatest(list_max(list_transform(embedding,
+                         v -> abs(v::DOUBLE))) / 127.0, 1e-12), 6) AS scale
+            FROM embeddings
+        ), qq AS (
+            SELECT vec_id, l2_norm, scale,
+                   list_transform(embedding,
+                       v -> ROUND((v::DOUBLE / scale)::DECIMAL(25,6), 0)::INT) AS q
+            FROM base
+        )
+        SELECT vec_id, l2_norm, scale,
+               list_sum(q)::BIGINT AS q_sum,
+               list_min(q) AS q_min,
+               list_max(q) AS q_max,
+               len(list_filter(q, v -> v = 0)) AS n_zero
+        FROM qq
     """,
     "dedup_clusters": f"""
         WITH RECURSIVE pairs AS (
