@@ -54,7 +54,12 @@ def test_dim_joins_broadcast(spark):
 # of fixed tiny cardinality — one scalar row (q22's threshold) or the
 # label-cardinality IVF centroid table — O(n * constant), not a pair
 # blow-up.
-SCALAR_BROADCAST_OK = {"tpch_q22_global_sales_opportunity", "ann_ivf_topk"}
+SCALAR_BROADCAST_OK = {
+    "tpch_q22_global_sales_opportunity",
+    "ann_ivf_topk",
+    # one-row mean-value threshold broadcast onto the reduced per-part agg
+    "tpch_q11_important_stock",
+}
 
 
 def test_no_cartesian_products(spark):

@@ -209,17 +209,31 @@ def ivf_topk(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
     boundaries must match the oracle bit-for-bit, and the centroid
     table is tiny (10s-1000s of rows broadcast). At 100 TB the probe
     join shuffles on cell (bounded cells, AQE-splittable); candidate
-    volume per query is nprobe * cell-size, never n."""
-    from uber_data_pipeline_spark.functions.vectors import cosine_spark
+    volume per query is nprobe * cell-size, never n.
+
+    The squared norms are folded ONCE per vector and once per
+    centroid instead of inside every (vector, centroid) pair — the
+    pair expression keeps only the dot-product fold. sqrt of the
+    same fold result is the same double, so assignment ranks are
+    unchanged vs the naive three-fold cosine (which is what the
+    oracle still runs)."""
+    from uber_data_pipeline_spark.functions.vectors import dot_spark
 
     from pyspark.sql import Window
 
-    cents = label_centroids(emb)
-    scored = emb.crossJoin(F.broadcast(cents)).selectExpr(
-        "vec_id",
-        "embedding",
-        "cell",
-        f"{cosine_spark('embedding', 'cvec')} AS ccos",
+    cents = label_centroids(emb).withColumn(
+        "cnorm2", F.expr(dot_spark("cvec", "cvec"))
+    )
+    scored = (
+        emb.withColumn("qnorm2", F.expr(dot_spark("embedding", "embedding")))
+        .crossJoin(F.broadcast(cents))
+        .selectExpr(
+            "vec_id",
+            "embedding",
+            "cell",
+            f"round({dot_spark('embedding', 'cvec')} / "
+            f"(sqrt(qnorm2) * sqrt(cnorm2)), {COSINE_ROUND}) AS ccos",
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
     ranked = scored.withColumn("crk", F.row_number().over(w))
