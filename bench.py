@@ -93,6 +93,10 @@ def main() -> int:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators cache intermediates (shingle sets, edge lists) for
+        # their own multi-pass plans; drop them so no query's timing
+        # rides on or pays for another query's leftovers
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

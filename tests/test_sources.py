@@ -69,3 +69,20 @@ def test_merge_latest_tie_prefers_delta(spark):
     delta = spark.createDataFrame([(1, "reread", 0)], "k int, v string, ver int")
     out = merge_latest(base, delta, ["k"], "ver").collect()
     assert len(out) == 1 and out[0]["v"] == "reread"
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """write_orc -> read_orc preserves rows, schema pinning, and
+    partition pruning (partition filter must reach the scan)."""
+    from uber_data_pipeline_spark.sources.readers import read_orc
+    from uber_data_pipeline_spark.sources.writers import write_orc
+
+    orders = load_table(spark, SF_DIR, "orders").limit(200)
+    p = str(tmp_path / "orders_orc")
+    write_orc(orders.withColumn("status", F.col("o_orderstatus")), p, ["status"])
+    back = read_orc(spark, p)
+    assert back.count() == 200
+    one = back.filter(F.col("status") == "F")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(status" in plan, plan
+    assert one.count() == orders.filter(F.col("o_orderstatus") == "F").count()

@@ -123,3 +123,17 @@ def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     return clean, bad
+
+
+def read_orc(
+    spark: SparkSession, path: str, table: str | None = None
+) -> DataFrame:
+    """ORC with a pinned schema when the table is known — the same
+    declared-catalog discipline as the parquet reader (ORC is the
+    other columnar lake format Spark reads natively, with predicate
+    pushdown and column pruning through the same DataSource V2
+    scan)."""
+    reader = spark.read
+    if table in SCHEMAS:
+        reader = reader.schema(SCHEMAS[table])
+    return reader.orc(path)

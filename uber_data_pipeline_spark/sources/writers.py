@@ -61,3 +61,18 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (zlib by default) — same layout rules as the parquet
+    lake writer; for consumers standardized on ORC (Hive-era
+    warehouses)."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(path)
