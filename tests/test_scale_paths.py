@@ -73,3 +73,18 @@ def test_connected_components_paths_agree(spark):
     }
     assert fast == loop
     assert {(0, 0, 41), (100, 100, 3), (200, 200, 2)} <= fast
+
+
+def test_prefix_filter_jaccard_is_lossless(spark):
+    """The PPJoin prefix-filtered exact Jaccard must equal the naive
+    all-pairs inverted-index join on the real documents table."""
+    from uber_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    prefix = {tuple(r) for r in ngram_jaccard_pairs_prefix(docs, 0.5).collect()}
+    naive = {tuple(r) for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    assert prefix == naive
+    assert prefix  # non-trivial on this corpus

@@ -65,20 +65,98 @@ def doc_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     return shingle_arrays(docs, n).selectExpr("doc_id", "explode(shingles) AS shingle")
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact Jaccard similarity over shingle sets for all pairs that
-    share at least one shingle; |A ∩ B| from the inverted-index join,
-    |A ∪ B| = |A| + |B| - |A ∩ B|.
+def ngram_jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via PPJoin-style prefix
+    filtering (Xiao et al., WWW'08) — lossless (pinned equal to
+    ngram_jaccard_pairs by a test), and the right variant when global
+    shingle frequency is SKEWED: a shingle shared by c docs emits
+    c*(c-1)/2 join rows in the inverted-index join, while here hot
+    shingles sort to the end of every prefix and drop out of the
+    index entirely. On near-uniform frequency corpora (like the
+    synthetic testdata, avg df ~22) the rebuild shuffles cost more
+    than they save — ngram_jaccard_pairs stays the default and this
+    is the documented swap-in for skewed corpora.
 
-    Set sizes ride along both join sides (size(shingles) computed
-    row-locally before the explode), so the whole operator is ONE
-    equality join + ONE pair aggregation — no distinct shuffle, no
-    per-side size-lookup joins.
+    Every doc's shingle set is ordered rarest-first by global
+    document frequency; only the first |s| - ceil(t*|s|) + 1 shingles
+    are indexed. Any pair with J >= t must share its smallest-order
+    common shingle inside BOTH prefixes (pigeonhole), so the
+    candidate join only ever touches prefixes. Survivors are
+    verified exactly with one array_intersect over the full sets.
+
+    Shuffle budget: one frequency aggregate, one per-doc rebuild,
+    one prefix self-join (bucket-local), two join-backs on the
+    (already tiny) candidate set. The ordered-array relation is
+    cached — it feeds the probe index and both verify sides."""
+    sh = doc_shingles(docs)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ordered = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, shingle))), s -> s.shingle)"
+            ).alias("shingles")
+        )
+        .selectExpr(
+            "doc_id",
+            "shingles",
+            "size(shingles) AS sz",
+            f"slice(shingles, 1, size(shingles) "
+            f"- CAST(ceil({threshold} * size(shingles)) AS int) + 1) AS prefix",
+        )
+        .cache()
+    )
+    probes = ordered.select("doc_id", F.explode("prefix").alias("shingle"))
+    a, b = probes.alias("a"), probes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = ordered.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = ordered.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard via the plain inverted-index self-join
+    (every shared shingle emits a join row, |A ∩ B| by counting);
+    one equality join + one pair aggregation, set sizes riding along
+    both sides. Candidate volume is sum over shingles of c*(c-1)/2 —
+    fine when document frequency is near-uniform (this corpus), but
+    quadratic in hot-shingle frequency; ngram_jaccard_pairs_prefix
+    is the lossless swap-in for skewed corpora.
 
     The per-doc array relation is cached: without a materialization
     boundary Catalyst re-inlines the (expensive) tokenize+shingle
     expression into the scan filter and the Generate of BOTH join
-    sides — six evaluations of the same expression per document."""
+    sides."""
     sh = shingle_arrays(docs).cache().selectExpr(
         "doc_id", "size(shingles) AS sz", "explode(shingles) AS shingle"
     )
