@@ -6,7 +6,7 @@ scale linearly with input splits).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from uber_data_pipeline_spark.functions.text import (
@@ -231,4 +231,41 @@ def benchmark_contamination(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_matched_grams"))
         .orderBy("doc_id")
+    )
+
+
+PACK_MAX_LEN = 512
+PACK_SHARDS = 16
+
+
+def pack_sequences(
+    docs: DataFrame, max_len: int = PACK_MAX_LEN, n_shards: int = PACK_SHARDS
+) -> DataFrame:
+    """Sharded sequence packing — the batch-prep step that
+    concatenates documents in order and chops every ``max_len``
+    tokens (documents may straddle pack boundaries): each doc gets
+    its token start offset within its shard and the range of packs
+    it lands in.
+
+    Scale shape: a single global concatenation order would be one
+    unbounded window partition; sharding by doc_id % n_shards gives
+    n_shards independent bounded windows (deterministic and
+    engine-neutral — no engine hash involved), which is how packing
+    parallelizes on a cluster: one pack stream per shard."""
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    t = docs.selectExpr(
+        "doc_id",
+        f"CAST(doc_id % {n_shards} AS int) AS shard",
+        f"size({TOKENS_SPARK}) AS n_tokens",
+    ).filter(F.col("n_tokens") > 0)
+    return (
+        t.withColumn("end_offset", F.sum("n_tokens").over(w))
+        .selectExpr(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            "end_offset - n_tokens AS start_offset",
+            f"CAST(floor((end_offset - n_tokens) / {max_len}) AS bigint) AS pack_first",
+            f"CAST(floor((end_offset - 1) / {max_len}) AS bigint) AS pack_last",
+        )
     )

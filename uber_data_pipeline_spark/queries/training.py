@@ -89,6 +89,9 @@ QUERIES = {
     "embeddings_quantize": lambda spark, sf: similarity.normalize_quantize(
         _emb(spark, sf)
     ),
+    "training_pack_sequences": lambda spark, sf: textops.pack_sequences(
+        _docs(spark, sf)
+    ),
 }
 
 
@@ -437,6 +440,24 @@ ORACLES = {
                list_max(q) AS q_max,
                len(list_filter(q, v -> v = 0)) AS n_zero
         FROM qq
+    """,
+    "training_pack_sequences": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(doc_id % {textops.PACK_SHARDS} AS INT) AS shard,
+                   CAST(len({TOKENS_DUCK}) AS INT) AS n_tokens
+            FROM documents
+        ), offs AS (
+            SELECT doc_id, shard, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS end_offset
+            FROM t WHERE n_tokens > 0
+        )
+        SELECT doc_id, shard, n_tokens,
+               end_offset - n_tokens AS start_offset,
+               CAST(floor((end_offset - n_tokens) / {textops.PACK_MAX_LEN}) AS BIGINT) AS pack_first,
+               CAST(floor((end_offset - 1) / {textops.PACK_MAX_LEN}) AS BIGINT) AS pack_last
+        FROM offs
     """,
     "dedup_clusters": f"""
         WITH RECURSIVE pairs AS (
