@@ -179,18 +179,44 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+# Universal-hash minhash family: perm p = (A[p]*h + B[p]) % MOD over
+# one base hash h per shingle. A[p]*h stays under 2^63 (both factors
+# < MOD ~ 2^30), so the arithmetic is exact int64 in BOTH engines.
+MINHASH_MOD = 1_000_000_007
+MINHASH_A = [(2654435761 * (p + 1)) % MINHASH_MOD for p in range(NUM_PERM)]
+MINHASH_B = [(40503 * (p + 1) * (p + 1) + 12345) % MINHASH_MOD for p in range(NUM_PERM)]
+
+# Base hash: the first 12 hex chars of md5(shingle) as an integer
+# (< 2^48), reduced mod MOD. Spark evaluates it with the native conv()
+# (codegen); the DuckDB oracle folds the same 12 nibbles manually —
+# identical values, each engine on its fast path.
+SHINGLE_HASH_SPARK = (
+    "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS bigint) % 1000000007"
+)
+SHINGLE_HASH_DUCK = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 13), "
+    "i -> (instr('0123456789abcdef', substring(md5(shingle), i, 1)) - 1)::BIGINT)), "
+    "(h, c) -> h * 16 + c) % 1000000007"
+)
+
+
 def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
-    """(doc_id, sig: array<string>) — sig[p] = MIN over shingles of
-    md5(p:shingle).
+    """(doc_id, sig: array<bigint>) — sig[p] = MIN over shingles of
+    (A[p] * h(shingle) + B[p]) % MOD, the classic universal-hash
+    minhash family over ONE base hash per shingle.
 
     All ``num_perm`` minhashes are computed as parallel aggregate
     columns in ONE groupBy(doc_id) — a single map-side-combined
-    shuffle of one row per document, instead of exploding the shingle
-    set num_perm times. The md5-of-tagged-shingle family is
-    engine-neutral (oracle computes the identical strings)."""
-    sh = doc_shingles(docs)
+    shuffle of one row per document. The base md5 is hashed once per
+    shingle; the per-perm work is a codegen'd multiply-add-mod, not
+    ``num_perm`` separate string hashes. The family is engine-neutral
+    (the oracle computes identical int64 values)."""
+    sh = doc_shingles(docs).selectExpr("doc_id", f"{SHINGLE_HASH_SPARK} AS h")
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"m{p}")
+        F.min(
+            (F.lit(MINHASH_A[p]) * F.col("h") + F.lit(MINHASH_B[p]))
+            % F.lit(MINHASH_MOD)
+        ).alias(f"m{p}")
         for p in range(num_perm)
     ]
     return (
@@ -212,7 +238,13 @@ def lsh_bands(
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(
-                    F.array_join(F.slice("sig", b * rows_per_band + 1, rows_per_band), "|")
+                    F.array_join(
+                        F.expr(
+                            f"transform(slice(sig, {b * rows_per_band + 1}, "
+                            f"{rows_per_band}), x -> CAST(x AS string))"
+                        ),
+                        "|",
+                    )
                 ).alias("band_key"),
             )
             for b in range(num_bands)

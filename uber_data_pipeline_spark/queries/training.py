@@ -105,12 +105,23 @@ _SHINGLES_CTE = f"""
     )
 """
 
+_PERM_VALUES = ", ".join(
+    f"({p}, {dedup.MINHASH_A[p]}, {dedup.MINHASH_B[p]})"
+    for p in range(dedup.NUM_PERM)
+)
+
 _MINHASH_CTE = f"""
     {_SHINGLES_CTE},
+    hs AS (
+        SELECT doc_id, {dedup.SHINGLE_HASH_DUCK} AS h FROM sh
+    ),
+    perms AS (
+        SELECT * FROM (VALUES {_PERM_VALUES}) AS t(perm_id, a, b)
+    ),
     mh AS (
         SELECT doc_id, p.perm_id,
-               MIN(md5(p.perm_id::VARCHAR || ':' || shingle)) AS minhash
-        FROM sh, unnest(range(0, {dedup.NUM_PERM})) AS p(perm_id)
+               MIN((p.a * hs.h + p.b) % {dedup.MINHASH_MOD}) AS minhash
+        FROM hs, perms p
         GROUP BY doc_id, p.perm_id
     )
 """
@@ -179,7 +190,7 @@ ORACLES = {
         WITH {_MINHASH_CTE},
         bands AS (
             SELECT doc_id, perm_id // {dedup.NUM_PERM // dedup.NUM_BANDS} AS band,
-                   md5(string_agg(minhash, '|' ORDER BY perm_id)) AS band_key
+                   md5(string_agg(minhash::VARCHAR, '|' ORDER BY perm_id)) AS band_key
             FROM mh
             GROUP BY 1, 2
         ),
