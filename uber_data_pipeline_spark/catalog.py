@@ -12,6 +12,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from uber_data_pipeline_spark.session import tune_runtime
+
 TABLES = (
     "region",
     "nation",
@@ -35,6 +37,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    tune_runtime(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized

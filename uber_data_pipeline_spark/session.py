@@ -12,6 +12,26 @@ import os
 
 from pyspark.sql import SparkSession
 
+# InferFiltersFromGenerate re-derives `size(arr) > 0 AND isnotnull(arr)`
+# below every explode; predicate pushdown then substitutes the FULL
+# generator expression into that filter, where it runs as an interpreted
+# Predicate — for computed arrays (tokenize+shingle) the inner split()
+# is re-evaluated per lambda element, an ~8x slowdown on the shingle
+# pipelines. The inferred filter never changes results (explode already
+# drops empty/null arrays); excluding the rule is pure win here.
+EXCLUDED_OPTIMIZER_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def tune_runtime(spark: SparkSession) -> SparkSession:
+    """Runtime (SQLConf-level) tuning that must hold even when the
+    caller owns the SparkSession (the round driver builds a vanilla
+    one) — applied from catalog.load_table so every query path gets
+    it regardless of session factory."""
+    spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
+    return spark
+
 
 def get_spark(
     app_name: str = "uber-data-pipeline-spark",
@@ -41,5 +61,6 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
     )
     return builder.getOrCreate()
