@@ -59,6 +59,12 @@ SCALAR_BROADCAST_OK = {
     "ann_ivf_topk",
     # one-row mean-value threshold broadcast onto the reduced per-part agg
     "tpch_q11_important_stock",
+    # k-row centroid model broadcast onto the vector scan (same shape
+    # as ann_ivf_topk's coarse-quantizer assignment)
+    "embeddings_kmeans_step",
+    # 1-row corpus stats (N, avgdl) broadcast onto term/tf relations
+    "text_bm25_search",
+    "text_tfidf_topk",
 }
 
 

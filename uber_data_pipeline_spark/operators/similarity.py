@@ -356,3 +356,50 @@ def normalize_quantize(emb: DataFrame) -> DataFrame:
         "array_max(q) AS q_max",
         "size(filter(q, v -> v = 0)) AS n_zero",
     )
+
+
+def kmeans_reassign(emb: DataFrame) -> DataFrame:
+    """One Lloyd's k-means step over the embedding column: centroids
+    are the decimal-exact per-label means (:func:`label_centroids`),
+    then every vector is reassigned to its max-cosine centroid —
+    (vec_id, old_cell, new_cell, moved, assign_cos). Iterating this
+    operator IS distributed k-means; one step is exposed as a query
+    so the oracle can replay it exactly (iterated float means drift
+    across engines, a single step from exact-decimal centroids does
+    not).
+
+    Scale shape: the centroid table is k rows — always broadcast; the
+    assignment pass is a narrow map over the vectors (cross join with
+    a k-row broadcast relation + a per-vector rank), so the step costs
+    one scan of the corpus and no wide shuffle. The squared norms fold
+    once per vector and once per centroid, as in :func:`ivf_topk`."""
+    from pyspark.sql import Window
+
+    from uber_data_pipeline_spark.functions.vectors import dot_spark
+
+    cents = label_centroids(emb).withColumn(
+        "cnorm2", F.expr(dot_spark("cvec", "cvec"))
+    )
+    scored = (
+        emb.withColumn("qnorm2", F.expr(dot_spark("embedding", "embedding")))
+        .crossJoin(F.broadcast(cents))
+        .selectExpr(
+            "vec_id",
+            "label AS old_cell",
+            "cell",
+            f"round({dot_spark('embedding', 'cvec')} / "
+            f"(sqrt(qnorm2) * sqrt(cnorm2)), {COSINE_ROUND}) AS ccos",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    return (
+        scored.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") == 1)
+        .selectExpr(
+            "vec_id",
+            "old_cell",
+            "cell AS new_cell",
+            "CAST(cell != old_cell AS boolean) AS moved",
+            "ccos AS assign_cos",
+        )
+    )

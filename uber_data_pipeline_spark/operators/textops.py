@@ -269,3 +269,33 @@ def pack_sequences(
             f"CAST(floor((end_offset - 1) / {max_len}) AS bigint) AS pack_last",
         )
     )
+
+
+def corpus_source_stats(docs: DataFrame) -> DataFrame:
+    """Per (source, lang) corpus report — the health dashboard a
+    training-data pipeline runs after every ingest: document and
+    exact-duplicate counts, token volume, and average length.
+
+    One groupBy over bounded-cardinality keys (sources x langs); the
+    duplicate count is COUNT(DISTINCT text-hash), which Spark expands
+    to a two-phase aggregate so distinct sets stay partition-local.
+    avg_chars divides two exact integers in double — deterministic in
+    both engines, no decimal detour needed."""
+    return (
+        docs.selectExpr(
+            "source",
+            "lang",
+            "n_chars",
+            "md5(lower(trim(text))) AS text_hash",
+            f"size({TOKENS_SPARK}) AS n_tokens",
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.count("*") - F.countDistinct("text_hash")).alias("n_exact_dups"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_chars"),
+        )
+    )

@@ -199,7 +199,71 @@ def events_forward_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_json_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the `props` JSON column with
+    a DECLARED schema (from_json — one typed parse, no per-field
+    re-parse like repeated get_json_object calls) and aggregate the
+    extracted metric per event_type. All-integer outputs, exact in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+    )
+
+
+ZSCORE_THRESHOLD = 2.0
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers: events with |value - mean| >
+    2 std. The moments come from ONE decimal-exact aggregate (sum and
+    sum-of-squares — order-independent, engine-identical), the stats
+    table is event_type-cardinality (broadcast join back), and z runs
+    in IEEE double on exact inputs, so the >2.0 boundary is identical
+    in both engines. sqrt is correctly rounded per IEEE in both."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("s1"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(25,6)")).alias(
+                "s2"
+            ),
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(s1 AS double) / n AS mean",
+            "sqrt(greatest(CAST(s2 AS double) / n "
+            "- (CAST(s1 AS double) / n) * (CAST(s1 AS double) / n), 0.0d)) AS std",
+        )
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs((F.col("value") - F.col("mean")) / F.col("std")) > ZSCORE_THRESHOLD)
+        .selectExpr(
+            "event_id",
+            "event_type",
+            "value",
+            "CAST(CAST((value - mean) / std AS decimal(18,6)) AS double) AS z",
+        )
+    )
+
+
 QUERIES = {
+    "events_json_kpis": events_json_kpis,
+    "events_anomaly_zscore": events_anomaly_zscore,
     "events_sliding_window": events_sliding_window,
     "events_retention_cohorts": events_retention_cohorts,
     "events_asof_view_attribution": events_asof_view_attribution,
@@ -215,6 +279,42 @@ ORACLES = {
     # NOTE: the driver's `events` view has ts as TIMESTAMP_NS; Spark
     # reads it truncated to microseconds, and DuckDB's CAST(ts AS
     # TIMESTAMP) truncates the same way — so every oracle casts first.
+    "events_json_kpis": """
+        WITH parsed AS (
+            SELECT event_type,
+                   json_extract_string(props, '$.k')::INT AS k
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(k) AS n_with_k,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               MIN(k) AS min_k,
+               MAX(k) AS max_k,
+               COUNT(DISTINCT k) AS n_distinct_k
+        FROM parsed
+        GROUP BY 1
+    """,
+    "events_anomaly_zscore": f"""
+        WITH s AS (
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(value AS DECIMAL(25,6))) AS s1,
+                   SUM(CAST(value * value AS DECIMAL(25,6))) AS s2
+            FROM events GROUP BY 1
+        ), st AS (
+            SELECT event_type,
+                   CAST(s1 AS DOUBLE) / n AS mean,
+                   sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                        0.0)) AS std
+            FROM s
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               CAST(CAST((e.value - st.mean) / st.std AS DECIMAL(18,6)) AS DOUBLE)
+                   AS z
+        FROM events e JOIN st USING (event_type)
+        WHERE abs((e.value - st.mean) / st.std) > {ZSCORE_THRESHOLD}
+    """,
     "events_sliding_window": f"""
         WITH e AS (
             SELECT event_type, value,

@@ -24,7 +24,13 @@ from uber_data_pipeline_spark.functions.text import (
     stopword_count_duck,
 )
 from uber_data_pipeline_spark.functions.vectors import cosine_duck, dot_duck, srp_bucket_duck
-from uber_data_pipeline_spark.operators import dedup, multimodal, similarity, textops
+from uber_data_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    search,
+    similarity,
+    textops,
+)
 from uber_data_pipeline_spark.operators.sampling import bucket_duck, stratified_sample
 
 JACCARD_THRESHOLD = 0.5
@@ -91,6 +97,14 @@ QUERIES = {
     ),
     "training_pack_sequences": lambda spark, sf: textops.pack_sequences(
         _docs(spark, sf)
+    ),
+    "text_bm25_search": lambda spark, sf: search.bm25_scores(_docs(spark, sf)),
+    "text_tfidf_topk": lambda spark, sf: search.tfidf_top_terms(_docs(spark, sf)),
+    "documents_source_stats": lambda spark, sf: textops.corpus_source_stats(
+        _docs(spark, sf)
+    ),
+    "embeddings_kmeans_step": lambda spark, sf: similarity.kmeans_reassign(
+        _emb(spark, sf)
     ),
 }
 
@@ -469,6 +483,42 @@ ORACLES = {
                CAST(floor((end_offset - n_tokens) / {textops.PACK_MAX_LEN}) AS BIGINT) AS pack_first,
                CAST(floor((end_offset - 1) / {textops.PACK_MAX_LEN}) AS BIGINT) AS pack_last
         FROM offs
+    """,
+    "text_bm25_search": search.sql_bm25(),
+    "text_tfidf_topk": search.sql_tfidf(),
+    "documents_source_stats": """
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS n_exact_dups,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    "embeddings_kmeans_step": f"""
+        WITH pos AS (
+            SELECT vec_id, label, i AS pos, embedding[i]::DOUBLE AS val
+            FROM embeddings, unnest(range(1, 65)) AS r(i)
+        ), cmean AS (
+            SELECT label AS cell, pos,
+                   ROUND(CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS m
+            FROM pos GROUP BY 1, 2
+        ), centroids AS (
+            SELECT cell, list(m ORDER BY pos) AS cvec FROM cmean GROUP BY 1
+        ), scored AS (
+            SELECT e.vec_id, e.label AS old_cell, c.cell,
+                   {cosine_duck("e.embedding", "c.cvec")} AS ccos
+            FROM embeddings e CROSS JOIN centroids c
+        ), ranked AS (
+            SELECT vec_id, old_cell, cell, ccos,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY ccos DESC, cell ASC) AS crk
+            FROM scored
+        )
+        SELECT vec_id, old_cell, cell AS new_cell,
+               (cell != old_cell) AS moved, ccos AS assign_cos
+        FROM ranked WHERE crk = 1
     """,
     "dedup_clusters": f"""
         WITH RECURSIVE pairs AS (
