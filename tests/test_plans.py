@@ -65,6 +65,8 @@ SCALAR_BROADCAST_OK = {
     # 1-row corpus stats (N, avgdl) broadcast onto term/tf relations
     "text_bm25_search",
     "text_tfidf_topk",
+    # 1-row corpus total broadcast onto the 12-bucket histogram
+    "documents_length_histogram",
 }
 
 

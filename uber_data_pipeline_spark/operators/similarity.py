@@ -358,6 +358,65 @@ def normalize_quantize(emb: DataFrame) -> DataFrame:
     )
 
 
+def dim_stats(emb: DataFrame) -> DataFrame:
+    """Per-dimension embedding health report: n, mean, std, min, max
+    for each of the vector's positions — the check a training pipeline
+    runs to catch dead dimensions (std ~ 0) and scale drift before
+    indexing/ANN.
+
+    posexplode + ONE (pos) aggregate: 64 groups regardless of corpus
+    size, fully map-side-combinable, no joins. Moments use the
+    decimal-exact s1/s2 trick (order-independent sums), std then runs
+    in IEEE double on exact inputs — identical in both engines, same
+    construction as the z-score query."""
+    pos = emb.select(F.posexplode("embedding").alias("pos", "val"))
+    return (
+        pos.groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("val").cast("decimal(25,6)")).alias("s1"),
+            F.sum(
+                (F.col("val").cast("double") * F.col("val").cast("double")).cast(
+                    "decimal(25,6)"
+                )
+            ).alias("s2"),
+            F.round(F.min(F.col("val").cast("double")), 6).alias("dim_min"),
+            F.round(F.max(F.col("val").cast("double")), 6).alias("dim_max"),
+        )
+        .selectExpr(
+            "pos + 1 AS dim",
+            "n",
+            "round(CAST(s1 AS double) / n, 6) AS dim_mean",
+            "round(sqrt(greatest(CAST(s2 AS double) / n "
+            "- (CAST(s1 AS double) / n) * (CAST(s1 AS double) / n), 0.0d)), 6) "
+            "AS dim_std",
+            "dim_min",
+            "dim_max",
+        )
+    )
+
+
+def sql_dim_stats() -> str:
+    return """
+        WITH pos AS (
+            SELECT i AS dim, embedding[i]::DOUBLE AS val
+            FROM embeddings, unnest(range(1, 65)) AS r(i)
+        )
+        SELECT dim, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
+                   AS dim_mean,
+               ROUND(sqrt(greatest(
+                   CAST(SUM(CAST(val * val AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+                   - (CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))
+                     * (CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)),
+                   0.0)), 6) AS dim_std,
+               ROUND(MIN(val), 6) AS dim_min,
+               ROUND(MAX(val), 6) AS dim_max
+        FROM pos
+        GROUP BY 1
+    """
+
+
 def kmeans_reassign(emb: DataFrame) -> DataFrame:
     """One Lloyd's k-means step over the embedding column: centroids
     are the decimal-exact per-label means (:func:`label_centroids`),

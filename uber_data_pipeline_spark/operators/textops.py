@@ -271,6 +271,56 @@ def pack_sequences(
     )
 
 
+HIST_BUCKET_WIDTH = 50
+HIST_NUM_BUCKETS = 12
+
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """Fixed-width document-length histogram (50-char buckets, last
+    bucket open-ended) with each bucket's share of the corpus — the
+    length-distribution panel of a corpus report.
+
+    Bucketing is integer arithmetic (DIV + least), one
+    bounded-cardinality groupBy; the corpus total for the share column
+    is a 1-row aggregate broadcast back (never a global window). Share
+    divides two exact integers in double."""
+    top = HIST_NUM_BUCKETS - 1
+    buckets = (
+        docs.selectExpr(
+            f"least(n_chars DIV {HIST_BUCKET_WIDTH}, {top}) AS bucket"
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    total = docs.groupBy().agg(F.count("*").alias("n_total"))
+    return buckets.crossJoin(F.broadcast(total)).selectExpr(
+        "bucket",
+        f"bucket * {HIST_BUCKET_WIDTH} AS chars_lo",
+        f"CASE WHEN bucket = {top} THEN NULL "
+        f"ELSE (bucket + 1) * {HIST_BUCKET_WIDTH} END AS chars_hi",
+        "n_docs",
+        "round(CAST(n_docs AS double) / n_total, 6) AS share",
+    )
+
+
+def sql_length_histogram() -> str:
+    top = HIST_NUM_BUCKETS - 1
+    return f"""
+        WITH b AS (
+            SELECT least(n_chars // {HIST_BUCKET_WIDTH}, {top}) AS bucket,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY 1
+        ), t AS (SELECT COUNT(*) AS n_total FROM documents)
+        SELECT bucket,
+               bucket * {HIST_BUCKET_WIDTH} AS chars_lo,
+               CASE WHEN bucket = {top} THEN NULL
+                    ELSE (bucket + 1) * {HIST_BUCKET_WIDTH} END AS chars_hi,
+               n_docs,
+               ROUND(CAST(n_docs AS DOUBLE) / n_total, 6) AS share
+        FROM b CROSS JOIN t
+    """
+
+
 def corpus_source_stats(docs: DataFrame) -> DataFrame:
     """Per (source, lang) corpus report — the health dashboard a
     training-data pipeline runs after every ingest: document and

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from uber_data_pipeline_spark.catalog import load_table
 from uber_data_pipeline_spark.functions.numeric import dsum, sql_dsum
+from uber_data_pipeline_spark.operators import sketches
 from uber_data_pipeline_spark.operators.sessions import sessionize
 from uber_data_pipeline_spark.operators.temporal import (
     asof_attach,
@@ -261,8 +262,48 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-users per event_type — the
+    sketch swap-in for events_distinct_users' exact two-phase
+    expansion. See operators/sketches.py for the construction and why
+    the estimate is oracle-checkable bit-for-bit."""
+    return sketches.hll_distinct(load_table(spark, sf_dir, "events"))
+
+
+def events_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch per-user frequency estimates vs exact counts.
+    The 4x512 integer grid is the only state that scales — see
+    operators/sketches.py."""
+    return sketches.countmin_freq(load_table(spark, sf_dir, "events"))
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive
+    event_types per user: lag() over (user_id, ts, event_id) then one
+    bounded-cardinality groupBy (type x type). The window partitions
+    by user_id — millions of small partitions, never a global sort —
+    and the tie-break on event_id makes the sequence (hence the
+    counts) deterministic in both engines. Session entry points
+    surface as prev_type='_start'."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .fillna({"prev_type": "_start"})
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
 QUERIES = {
     "events_json_kpis": events_json_kpis,
+    "events_hll_distinct": events_hll_distinct,
+    "events_countmin_freq": events_countmin_freq,
+    "events_transition_matrix": events_transition_matrix,
     "events_anomaly_zscore": events_anomaly_zscore,
     "events_sliding_window": events_sliding_window,
     "events_retention_cohorts": events_retention_cohorts,
@@ -279,6 +320,22 @@ ORACLES = {
     # NOTE: the driver's `events` view has ts as TIMESTAMP_NS; Spark
     # reads it truncated to microseconds, and DuckDB's CAST(ts AS
     # TIMESTAMP) truncates the same way — so every oracle casts first.
+    "events_hll_distinct": sketches.sql_hll_distinct(),
+    "events_countmin_freq": sketches.sql_countmin_freq(),
+    "events_transition_matrix": """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ) AS prev_raw
+            FROM events
+        )
+        SELECT COALESCE(prev_raw, '_start') AS prev_type, event_type,
+               COUNT(*) AS n_transitions
+        FROM seq
+        GROUP BY 1, 2
+    """,
     "events_json_kpis": """
         WITH parsed AS (
             SELECT event_type,

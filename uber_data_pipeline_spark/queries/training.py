@@ -106,6 +106,12 @@ QUERIES = {
     "embeddings_kmeans_step": lambda spark, sf: similarity.kmeans_reassign(
         _emb(spark, sf)
     ),
+    "embeddings_dim_stats": lambda spark, sf: similarity.dim_stats(
+        _emb(spark, sf)
+    ),
+    "documents_length_histogram": lambda spark, sf: textops.length_histogram(
+        _docs(spark, sf)
+    ),
 }
 
 
@@ -484,6 +490,8 @@ ORACLES = {
                CAST(floor((end_offset - 1) / {textops.PACK_MAX_LEN}) AS BIGINT) AS pack_last
         FROM offs
     """,
+    "embeddings_dim_stats": similarity.sql_dim_stats(),
+    "documents_length_histogram": textops.sql_length_histogram(),
     "text_bm25_search": search.sql_bm25(),
     "text_tfidf_topk": search.sql_tfidf(),
     "documents_source_stats": """
