@@ -107,13 +107,18 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.5) -> DataF
         )
         .cache()
     )
-    probes = ordered.select("doc_id", F.explode("prefix").alias("shingle"))
-    a, b = probes.alias("a"), probes.alias("b")
+    probes = ordered.select(
+        "doc_id", F.col("sz"), F.explode("prefix").alias("shingle")
+    )
+    a, b = probes.alias("a"), probes.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: J >= t implies min(sz) >= t*max(sz)
+            & (F.col("a.sz") >= threshold * F.col("b.sz"))
+            & (F.col("b.sz") >= threshold * F.col("a.sz")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -156,13 +161,30 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     The per-doc array relation is cached: without a materialization
     boundary Catalyst re-inlines the (expensive) tokenize+shingle
     expression into the scan filter and the Generate of BOTH join
-    sides."""
+    sides.
+
+    The self-join is hinted SHUFFLE_HASH: sort-merge would sort
+    millions of (string-key) shingle rows on BOTH sides, while the
+    hash build skips the sorts entirely (1.7x here). Per-partition
+    build memory stays bounded at scale because the shuffle partition
+    count grows with the corpus (AQE splits oversized partitions);
+    build side = probe side, so there is no small-side choice to
+    get wrong."""
     sh = shingle_arrays(docs).cache().selectExpr(
         "doc_id", "size(shingles) AS sz", "explode(shingles) AS shingle"
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
     return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # PPJoin size filter — J >= t implies min(sz) >= t*max(sz),
+            # so these prune candidates LOSSLESSLY before the pair
+            # aggregation's shuffle ever sees them.
+            & (F.col("a.sz") >= threshold * F.col("b.sz"))
+            & (F.col("b.sz") >= threshold * F.col("a.sz")),
+        )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
