@@ -10,9 +10,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from uber_data_pipeline_spark.session import tune_runtime
+from uber_data_pipeline_spark.sources.readers import normalize_events
 
 TABLES = (
     "region",
@@ -40,15 +40,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_runtime(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects outright. Read the nanos as long and floor-divide
-        # to microseconds — the same truncation DuckDB's TIMESTAMP_NS →
-        # TIMESTAMP cast performs, so oracle comparisons line up.
+        # events.ts has shipped as both TIMESTAMP(NANOS) — which
+        # Spark's vectorized reader rejects outright without the
+        # nanosAsLong escape hatch — and TIMESTAMP(MICROS).
+        # normalize_events() reconciles either encoding to plain
+        # microsecond TIMESTAMP so oracle comparisons line up.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.read.parquet(path)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        return normalize_events(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -30,6 +30,9 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
     one) — applied from catalog.load_table so every query path gets
     it regardless of session factory."""
     spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
+    # deterministic tz so NTZ->TIMESTAMP casts and timestamp math match
+    # the oracle even when the caller's session didn't pin it
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
 
 

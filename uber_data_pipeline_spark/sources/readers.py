@@ -20,9 +20,10 @@ from pyspark.sql import types as T
 
 # Pinned source schemas as DDL strings (the "declared catalog") —
 # kept as strings so importing this module needs no live session;
-# DataFrameReader.schema() accepts DDL directly. events.ts is stored
-# as parquet TIMESTAMP(NANOS); it is declared here as long (nanos) and
-# normalized by normalize_events() — see catalog.load_table.
+# DataFrameReader.schema() accepts DDL directly. events.ts has shipped
+# as both parquet TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across
+# generator versions; it is declared here as micros-NTZ and normalized
+# adaptively by normalize_events() — see catalog.load_table.
 SCHEMAS: dict[str, str] = {
         "region": "r_regionkey int, r_name string",
         "nation": "n_nationkey int, n_name string, n_regionkey int",
@@ -46,7 +47,7 @@ SCHEMAS: dict[str, str] = {
             "l_linestatus string, l_shipdate timestamp_ntz"
         ),
         "events": (
-            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
             "value double, props string"
         ),
         "documents": "doc_id bigint, text string, lang string, source string, n_chars bigint",
@@ -60,9 +61,21 @@ def struct_schema(table: str) -> T.StructType:
 
 
 def normalize_events(df: DataFrame) -> DataFrame:
-    """nanos-as-long -> microsecond timestamp (the same truncation
-    DuckDB's TIMESTAMP_NS -> TIMESTAMP cast performs)."""
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Normalize events.ts to plain microsecond TIMESTAMP regardless of
+    how the file encoded it:
+
+    - TIMESTAMP(NANOS) read as long (``nanosAsLong``) -> floor-divide
+      to micros, the same truncation DuckDB's TIMESTAMP_NS -> TIMESTAMP
+      cast performs;
+    - TIMESTAMP(MICROS) read as NTZ -> cast (session tz pinned to UTC
+      by tune_runtime, so the cast is a no-op on the stored micros).
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def read_parquet(
@@ -71,12 +84,15 @@ def read_parquet(
     """Parquet with a pinned schema when the table is known; events
     get the nanos normalization applied."""
     reader = spark.read
+    if table == "events":
+        # no pinned schema here: the footer decides nanos-vs-micros and
+        # normalize_events() reconciles — a pin would break on one of
+        # the two encodings the generator has shipped.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return normalize_events(reader.parquet(path))
     if table in SCHEMAS:
-        if table == "events":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         reader = reader.schema(SCHEMAS[table])
-    df = reader.parquet(path)
-    return normalize_events(df) if table == "events" else df
+    return reader.parquet(path)
 
 
 def read_csv(
