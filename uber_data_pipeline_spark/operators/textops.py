@@ -349,3 +349,63 @@ def corpus_source_stats(docs: DataFrame) -> DataFrame:
             ).alias("avg_chars"),
         )
     )
+
+
+def unigram_scores(docs: DataFrame) -> DataFrame:
+    """Unigram language-model typicality score per document — the
+    cheap statistical stand-in for perplexity filtering: documents
+    whose tokens are corpus-typical score high, token-salad outliers
+    score low. score = mean over the doc's tokens of the corpus
+    unigram probability count(token)/total_tokens.
+
+    Scale shape: the vocabulary aggregate is one map-side-combined
+    groupBy over exploded tokens (hot tokens pre-reduced per
+    partition); the token->count resolution is a join Spark turns
+    into a broadcast when the vocab is small and a shuffle join when
+    it is not — either way the per-doc reduction is a single groupBy
+    on doc_id. The division happens ONCE on exact integer sums
+    (IEEE-exact below 2^53), so Spark and DuckDB round identically.
+    """
+    toks = docs.selectExpr("doc_id", f"explode({TOKENS_SPARK}) AS token")
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = vocab.groupBy().agg(F.sum("cnt").alias("total_tokens"))
+    return (
+        toks.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cnt").alias("sum_token_count"),
+        )
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "sum_token_count",
+            "round(sum_token_count / (n_tokens * total_tokens), 12)"
+            " AS unigram_score",
+        )
+    )
+
+
+def sql_unigram_scores() -> str:
+    """DuckDB twin of :func:`unigram_scores`."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, t.token
+            FROM (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents),
+                 unnest(tokens) AS t(token)
+        ), vocab AS (
+            SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1
+        ), total AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM vocab
+        ), per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   CAST(SUM(cnt) AS BIGINT) AS sum_token_count
+            FROM toks JOIN vocab USING (token)
+            GROUP BY 1
+        )
+        SELECT doc_id, n_tokens, sum_token_count,
+               ROUND(sum_token_count / (n_tokens * total_tokens), 12)
+                   AS unigram_score
+        FROM per_doc CROSS JOIN total
+    """

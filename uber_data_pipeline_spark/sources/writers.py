@@ -76,3 +76,57 @@ def write_orc(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.orc(path)
+
+
+def compact_small_files(
+    df: DataFrame,
+    fragmented_path: str,
+    compacted_path: str,
+    fragment_files: int,
+    target_rows_per_file: int,
+) -> DataFrame:
+    """Small-file compaction — the maintenance job every streamed-into
+    or micro-batched lake needs: thousands of tiny parquet files turn
+    scans into a file-listing + footer-read storm, so periodically
+    rewrite them into right-sized files.
+
+    Stages the input as a deliberately fragmented lake
+    (``fragment_files`` part files), then rewrites it with
+    ``repartition(ceil(rows / target_rows_per_file))`` — round-robin,
+    so output files are even-sized and their COUNT is an exact
+    function of the row count, which is what makes the report
+    oracle-checkable. On a cluster the same rewrite runs per
+    partition directory so compaction parallelizes across partitions
+    and never rewrites cold data.
+
+    Returns a 1-row report: n_rows, n_files_before, n_files_after
+    (files counted from the filesystem, not inferred).
+    """
+    import math
+    import os
+
+    spark = df.sparkSession
+    if not os.path.isdir(fragmented_path) or not any(
+        f.endswith(".parquet") for f in os.listdir(fragmented_path)
+    ):
+        df.repartition(fragment_files).write.mode("overwrite").parquet(
+            fragmented_path
+        )
+
+    frag = spark.read.parquet(fragmented_path)
+    n_rows = frag.count()
+    n_out = max(1, math.ceil(n_rows / target_rows_per_file))
+    frag.repartition(n_out).write.mode("overwrite").parquet(compacted_path)
+
+    def _count_parts(path: str) -> int:
+        return sum(
+            1 for f in os.listdir(path)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+
+    report = [
+        (n_rows, _count_parts(fragmented_path), _count_parts(compacted_path))
+    ]
+    return spark.createDataFrame(
+        report, "n_rows bigint, n_files_before int, n_files_after int"
+    )
