@@ -42,11 +42,27 @@ def main() -> int:
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     orders.count()
+    # footer reads for the dim tables every star-join touches
+    for t in ("customer", "nation", "region", "supplier", "part", "lineitem"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
     (
         orders.groupBy("o_orderstatus")
         .agg(F.sum("o_totalprice"), F.count("*"))
         .join(orders.select("o_orderstatus").distinct(), "o_orderstatus")
         .withColumn("r", F.rank().over(Window.partitionBy().orderBy("o_orderstatus")))
+        .count()
+    )
+    # broadcast-hash-join + partitioned-window + month-extract codegen
+    # paths (otherwise billed to the first star-schema query)
+    (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.month("o_orderdate").alias("m"), "c_nationkey")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "r",
+            F.rank().over(Window.partitionBy("m").orderBy(F.desc("n"), "c_nationkey")),
+        )
         .count()
     )
     docs.selectExpr("explode(split(text, ' ')) AS t").groupBy("t").count().count()

@@ -13,6 +13,7 @@ from uber_data_pipeline_spark.functions.text import (
     DIGITS_ONLY_SPARK,
     PUNCT_STRIPPED_SPARK,
     REGEX_TOKEN_COUNT_SPARK,
+    TOKENS_DUCK,
     TOKENS_SPARK,
     langid_case,
     rolling_hash_spark,

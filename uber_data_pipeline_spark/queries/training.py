@@ -112,6 +112,7 @@ QUERIES = {
     "documents_length_histogram": lambda spark, sf: textops.length_histogram(
         _docs(spark, sf)
     ),
+    "text_unigram_lm": lambda spark, sf: textops.unigram_scores(_docs(spark, sf)),
 }
 
 
@@ -492,6 +493,7 @@ ORACLES = {
     """,
     "embeddings_dim_stats": similarity.sql_dim_stats(),
     "documents_length_histogram": textops.sql_length_histogram(),
+    "text_unigram_lm": textops.sql_unigram_scores(),
     "text_bm25_search": search.sql_bm25(),
     "text_tfidf_topk": search.sql_tfidf(),
     "documents_source_stats": """
