@@ -102,6 +102,44 @@ REGEX_TOKEN_COUNT_SPARK = f"regexp_count(text, '{TOKEN_REGEX}')"
 REGEX_TOKEN_COUNT_DUCK = f"len(regexp_extract_all(text, '{TOKEN_REGEX}'))"
 
 
+# ---- PII patterns (Java regex and RE2 compatible subset: no ---------
+# lookaround, explicit classes instead of \d/\w, and [.] / [+] instead
+# of backslash escapes — Spark's SQL string literals eat unrecognized
+# backslash escapes while DuckDB's don't, so fragments must be
+# backslash-free to mean the same thing in both dialects)
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_PHONE_RE = "[+][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+PII_IPV4_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def pii_count_spark(col: str, pattern: str) -> str:
+    return f"regexp_count({col}, '{pattern}')"
+
+
+def pii_count_duck(col: str, pattern: str) -> str:
+    return f"len(regexp_extract_all({col}, '{pattern}'))"
+
+
+def pii_scrub_spark(col: str) -> str:
+    """Nested replace: emails, then phones, then IPv4 -> typed tags."""
+    return (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"{col}, '{PII_EMAIL_RE}', '<EMAIL>'), "
+        f"'{PII_PHONE_RE}', '<PHONE>'), "
+        f"'{PII_IPV4_RE}', '<IP>')"
+    )
+
+
+def pii_scrub_duck(col: str) -> str:
+    return (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"{col}, '{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PII_PHONE_RE}', '<PHONE>', 'g'), "
+        f"'{PII_IPV4_RE}', '<IP>', 'g')"
+    )
+
+
 # ---- language id (stopword-marker argmax, fixed tie order) -------------
 
 _LANG_ORDER = ("en", "de", "fr", "es")

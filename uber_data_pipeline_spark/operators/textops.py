@@ -410,3 +410,129 @@ def sql_unigram_scores() -> str:
                    AS unigram_score
         FROM per_doc CROSS JOIN total
     """
+
+
+# ---------------------------------------------------------------- PII scrub
+
+# deterministic synthetic PII: every 3rd document gets an email, a
+# phone and an IPv4 derived from doc_id appended — the corpus itself is
+# synthetic word-salad with no real PII, so the injection makes the
+# detector/redactor measurably exercised while staying replayable in
+# the DuckDB oracle (same arithmetic, same concat).
+_PII_INJECT_SPARK = (
+    "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' contact user', "
+    "CAST(doc_id AS STRING), '@example.com or +1-555-', "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' from 10.', "
+    "CAST(doc_id % 256 AS STRING), '.', CAST((doc_id * 7) % 256 AS STRING), "
+    "'.', CAST((doc_id * 13) % 256 AS STRING)) ELSE text END"
+)
+_PII_INJECT_DUCK = (
+    "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' contact user', "
+    "CAST(doc_id AS VARCHAR), '@example.com or +1-555-', "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' from 10.', "
+    "CAST(doc_id % 256 AS VARCHAR), '.', CAST((doc_id * 7) % 256 AS VARCHAR), "
+    "'.', CAST((doc_id * 13) % 256 AS VARCHAR)) ELSE text END"
+)
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII detection + redaction over the documents table: count
+    emails / phone numbers / IPv4 addresses, and emit the scrubbed
+    text's fingerprint (typed tags substituted in place).
+
+    Scale shape: row-local regex work only (narrow plan, no shuffle);
+    the whole operator runs inside whole-stage codegen as JVM regex
+    calls, scaling linearly with input splits. Mirrors the redaction
+    stage every training-data pipeline runs before tokenization.
+    """
+    from uber_data_pipeline_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_count_spark,
+        pii_scrub_spark,
+    )
+
+    return docs.selectExpr(
+        "doc_id", f"{_PII_INJECT_SPARK} AS raw_text"
+    ).selectExpr(
+        "doc_id",
+        f"{pii_count_spark('raw_text', PII_EMAIL_RE)} AS n_emails",
+        f"{pii_count_spark('raw_text', PII_PHONE_RE)} AS n_phones",
+        f"{pii_count_spark('raw_text', PII_IPV4_RE)} AS n_ips",
+        f"length({pii_scrub_spark('raw_text')}) AS scrubbed_len",
+        f"md5({pii_scrub_spark('raw_text')}) AS scrubbed_md5",
+    )
+
+
+def sql_pii_scrub() -> str:
+    """DuckDB twin of :func:`pii_scrub`."""
+    from uber_data_pipeline_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_count_duck,
+        pii_scrub_duck,
+    )
+
+    return f"""
+        WITH injected AS (
+            SELECT doc_id, {_PII_INJECT_DUCK} AS raw_text FROM documents
+        )
+        SELECT doc_id,
+               {pii_count_duck("raw_text", PII_EMAIL_RE)} AS n_emails,
+               {pii_count_duck("raw_text", PII_PHONE_RE)} AS n_phones,
+               {pii_count_duck("raw_text", PII_IPV4_RE)} AS n_ips,
+               length({pii_scrub_duck("raw_text")}) AS scrubbed_len,
+               md5({pii_scrub_duck("raw_text")}) AS scrubbed_md5
+        FROM injected
+    """
+
+
+# ------------------------------------------------------- quality buckets
+
+QUALITY_BUCKET_QS = (0.33333333, 0.66666667)
+
+
+def quality_buckets(docs: DataFrame) -> DataFrame:
+    """CC-Net-style corpus partitioning: split documents into
+    head/middle/tail tertiles of the quality score, with the
+    cutpoints computed from the corpus itself.
+
+    Scale shape: the cutpoints are ONE global aggregate reduced to a
+    single row and broadcast back — no global sort, no global window.
+    EXACT percentile collects values per reducer; at 100 TB swap in
+    approx_percentile (mergeable t-digest, same call shape). The
+    bucket assignment is then row-local."""
+    lo, hi = QUALITY_BUCKET_QS
+    q = quality_scores(docs).select("doc_id", "quality_score")
+    cuts = q.agg(
+        F.round(F.expr(f"percentile(quality_score, {lo})"), 6).alias("c_low"),
+        F.round(F.expr(f"percentile(quality_score, {hi})"), 6).alias("c_high"),
+    )
+    return q.crossJoin(F.broadcast(cuts)).selectExpr(
+        "doc_id",
+        "quality_score",
+        "CASE WHEN quality_score < c_low THEN 'tail' "
+        "WHEN quality_score < c_high THEN 'middle' "
+        "ELSE 'head' END AS bucket",
+    )
+
+
+def sql_quality_buckets(quality_cte: str) -> str:
+    """DuckDB twin of :func:`quality_buckets`; takes the shared
+    quality CTE so the score pipeline is defined once."""
+    lo, hi = QUALITY_BUCKET_QS
+    return f"""
+        WITH {quality_cte},
+        cuts AS (
+            SELECT ROUND(quantile_cont(quality_score, {lo}), 6) AS c_low,
+                   ROUND(quantile_cont(quality_score, {hi}), 6) AS c_high
+            FROM quality
+        )
+        SELECT doc_id, quality_score,
+               CASE WHEN quality_score < c_low THEN 'tail'
+                    WHEN quality_score < c_high THEN 'middle'
+                    ELSE 'head' END AS bucket
+        FROM quality CROSS JOIN cuts
+    """

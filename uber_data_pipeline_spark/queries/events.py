@@ -299,7 +299,47 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement-ratio report
+    every product-analytics warehouse ships.
+
+    Scale shape: two COUNT(DISTINCT) aggregates (per-day and
+    per-month), each expanded by Spark into a two-phase partial
+    aggregate over (key, user_id); the join that combines them is on
+    a ~months-cardinality key, so AQE turns it into a broadcast. The
+    stickiness ratio is ONE division of exact integer sums (both
+    < 2^53), so Spark and DuckDB round identically."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("ts")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    per_month_daily = daily.groupBy(
+        F.trunc("day", "month").alias("month")
+    ).agg(
+        F.count("*").alias("n_days"),
+        F.sum("dau").alias("sum_dau"),
+    )
+    monthly = ev.groupBy(
+        F.trunc(F.to_date("ts"), "month").alias("month")
+    ).agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        per_month_daily.join(monthly, "month")
+        .select(
+            "month",
+            "n_days",
+            "sum_dau",
+            "mau",
+            F.round(
+                F.col("sum_dau") / (F.col("n_days") * F.col("mau")), 9
+            ).alias("stickiness"),
+        )
+    )
+
+
 QUERIES = {
+    "events_user_stickiness": events_user_stickiness,
     "events_json_kpis": events_json_kpis,
     "events_hll_distinct": events_hll_distinct,
     "events_countmin_freq": events_countmin_freq,
@@ -320,6 +360,26 @@ ORACLES = {
     # NOTE: the driver's `events` view has ts as TIMESTAMP_NS; Spark
     # reads it truncated to microseconds, and DuckDB's CAST(ts AS
     # TIMESTAMP) truncates the same way — so every oracle casts first.
+    "events_user_stickiness": """
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                   COUNT(DISTINCT user_id) AS dau
+            FROM events GROUP BY 1
+        ), per_month_daily AS (
+            SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+                   COUNT(*) AS n_days,
+                   CAST(SUM(dau) AS BIGINT) AS sum_dau
+            FROM daily GROUP BY 1
+        ), monthly AS (
+            SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS month,
+                   COUNT(DISTINCT user_id) AS mau
+            FROM events GROUP BY 1
+        )
+        SELECT month, n_days, sum_dau, mau,
+               ROUND(sum_dau / (n_days * mau), 9) AS stickiness
+        FROM per_month_daily JOIN monthly USING (month)
+    """,
     "events_hll_distinct": sketches.sql_hll_distinct(),
     "events_countmin_freq": sketches.sql_countmin_freq(),
     "events_transition_matrix": """

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from uber_data_pipeline_spark.catalog import load_table
 from uber_data_pipeline_spark.sources.cdc import merge_latest, scd2_history
 from uber_data_pipeline_spark.streaming.events import (
+    dedup_stream,
     sessionization_stream,
     windowed_agg_stream,
 )
@@ -124,6 +125,7 @@ QUERIES = {
     "pipeline_dag_run": pipeline_dag_run,
     "streaming_windowed_agg": windowed_agg_stream,
     "streaming_sessionization": sessionization_stream,
+    "streaming_dedup": dedup_stream,
 }
 
 
@@ -261,4 +263,10 @@ ORACLES = {
     # report frame; not SQL-expressible)
     "streaming_windowed_agg": _EVENT_ORACLES["events_windowed_agg"],
     "streaming_sessionization": _EVENT_ORACLES["events_sessionization"],
+    # the redelivered duplicates must vanish: the deduped stream per
+    # type equals the batch distinct-event count per type
+    "streaming_dedup": """
+        SELECT event_type, COUNT(DISTINCT event_id) AS n_events
+        FROM events GROUP BY 1
+    """,
 }

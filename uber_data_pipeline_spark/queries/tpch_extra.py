@@ -525,7 +525,39 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs that appear in
+    the same order, ranked by co-purchase count (tie-broken by the
+    pair keys so top-100 is deterministic).
+
+    Scale shape: the self-join co-partitions both sides on
+    l_orderkey (one shuffle each at most — identical partitioning, so
+    a sort-merge join with no extra exchange), and TPC-H orders have
+    a bounded line count (~7), so the per-order pair blowup is O(k²)
+    with small constant k — never a cross-join. The pair aggregate
+    partial-combines map-side; the top-100 is a TakeOrdered, not a
+    global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
 QUERIES = {
+    "lineitem_copurchase_pairs": lineitem_copurchase_pairs,
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q8_market_share": tpch_q8_market_share,
     "tpch_q9_product_profit": tpch_q9_product_profit,
@@ -545,6 +577,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lineitem_copurchase_pairs": """
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_orders
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a, part_b
+        LIMIT 100
+    """,
     "tpch_q7_volume_shipping": f"""
         SELECT sn.n_name AS supp_nation,
                cn.n_name AS cust_nation,

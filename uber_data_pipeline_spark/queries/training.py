@@ -113,6 +113,10 @@ QUERIES = {
         _docs(spark, sf)
     ),
     "text_unigram_lm": lambda spark, sf: textops.unigram_scores(_docs(spark, sf)),
+    "text_pii_scrub": lambda spark, sf: textops.pii_scrub(_docs(spark, sf)),
+    "documents_quality_buckets": lambda spark, sf: textops.quality_buckets(
+        _docs(spark, sf)
+    ),
 }
 
 
@@ -494,6 +498,8 @@ ORACLES = {
     "embeddings_dim_stats": similarity.sql_dim_stats(),
     "documents_length_histogram": textops.sql_length_histogram(),
     "text_unigram_lm": textops.sql_unigram_scores(),
+    "text_pii_scrub": textops.sql_pii_scrub(),
+    "documents_quality_buckets": textops.sql_quality_buckets(QUALITY_CTE),
     "text_bm25_search": search.sql_bm25(),
     "text_tfidf_topk": search.sql_tfidf(),
     "documents_source_stats": """

@@ -167,6 +167,32 @@ def _session_kernel(
     )
 
 
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the at-least-once ingest guard. The
+    feed replays every 10th event as a duplicate (the redelivery an
+    at-least-once source produces); ``dropDuplicatesWithinWatermark``
+    on event_id keeps the first arrival and drops redeliveries, with
+    the watermark bounding how long each key's fingerprint stays in
+    the state store — the unbounded-state-safe form of streaming
+    DISTINCT. The sink is then reduced per event_type so the result
+    is a small stable frame.
+
+    Scale shape: state is partitioned by event_id hash across the
+    state-store partitions; the watermark evicts fingerprints once no
+    older-than-horizon arrival is possible, so state size is bounded
+    by (arrival rate x watermark) regardless of total stream length."""
+    ev = read_stream_events(spark, events_landing_dir(sf_dir))
+    redelivered = ev.filter(F.col("event_id") % 10 == 0)
+    feed = ev.unionByName(redelivered)
+    deduped = (
+        feed.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    sink = _run_to_memory(deduped, "append")
+    return sink.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
 def sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based (30 min) sessionization as a custom stateful
     streaming operator — applyInPandasWithState keyed by user_id,
