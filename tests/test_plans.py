@@ -67,6 +67,10 @@ SCALAR_BROADCAST_OK = {
     "text_tfidf_topk",
     # 1-row corpus total broadcast onto the 12-bucket histogram
     "documents_length_histogram",
+    # 1-row tertile-cutpoint broadcast onto the quality scan
+    "documents_quality_buckets",
+    # 1-row corpus-total-tokens broadcast onto the per-doc aggregate
+    "text_unigram_lm",
 }
 
 
@@ -138,6 +142,22 @@ def test_stratified_sample_no_shuffle(spark):
     plan (the filter is a pure function of the row)."""
     plan = plan_of(spark, "documents_stratified_sample")
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_pii_scrub_no_shuffle(spark):
+    """PII detect/redact is row-local regex work — no Exchange
+    anywhere in the plan."""
+    plan = plan_of(spark, "text_pii_scrub")
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_copurchase_pairs_partial_agg(spark):
+    """The market-basket pair count must partial-aggregate map-side so
+    the pair shuffle carries combined (pair, count) rows, and the
+    top-100 must be a TakeOrdered, not a global Sort."""
+    plan = plan_of(spark, "lineitem_copurchase_pairs")
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
 
 
 @pytest.mark.parametrize(
