@@ -71,6 +71,9 @@ SCALAR_BROADCAST_OK = {
     "documents_quality_buckets",
     # 1-row corpus-total-tokens broadcast onto the per-doc aggregate
     "text_unigram_lm",
+    # 1-row (total_raw, total_tgt, vocab_size) broadcast onto the
+    # token-scored relation
+    "documents_dsir_weights",
 }
 
 

@@ -536,3 +536,122 @@ def sql_quality_buckets(quality_cte: str) -> str:
                     ELSE 'head' END AS bucket
         FROM quality CROSS JOIN cuts
     """
+
+
+# ------------------------------------------------- DSIR importance weights
+
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights(docs: DataFrame, target_lang: str = DSIR_TARGET_LANG) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023)
+    reduced to its deterministic unigram core: per-document importance
+    weight = mean over tokens of the Laplace-smoothed ratio between
+    the token's probability in the TARGET corpus (here: docs labeled
+    `target_lang`) and in the RAW corpus. Documents that look like the
+    target domain get weight > 1 and survive resampling.
+
+    Determinism contract: each per-token ratio is computed from exact
+    integer counts with ONE double division, rounded to 9 decimals,
+    then summed as DECIMAL (order-free); the final mean is one more
+    exact-integer division. No transcendental functions, so Spark and
+    DuckDB agree bit-for-bit.
+
+    Scale shape: two vocabulary aggregates (raw + target) are
+    map-side-combined groupBys over exploded tokens; both reduce to
+    ~vocab-size frames that join token-to-token (broadcast when the
+    vocab is small); the per-doc reduction is one groupBy on doc_id.
+    The 1-row corpus totals broadcast."""
+    toks = docs.selectExpr("doc_id", "lang", f"explode({TOKENS_SPARK}) AS token")
+    raw_vocab = toks.groupBy("token").agg(F.count("*").alias("tf_raw"))
+    tgt_vocab = (
+        toks.filter(F.col("lang") == target_lang)
+        .groupBy("token")
+        .agg(F.count("*").alias("tf_tgt"))
+    )
+    vocab = raw_vocab.join(tgt_vocab, "token", "left").fillna(0, ["tf_tgt"])
+    totals = vocab.agg(
+        F.sum("tf_raw").alias("total_raw"),
+        F.sum("tf_tgt").alias("total_tgt"),
+        F.count("*").alias("vocab_size"),
+    )
+    # Laplace(+1) smoothed probability ratio, exact-int numerator and
+    # denominator (all products < 2^53 at any SF we run). The ratio is
+    # cast (not round()ed) to decimal: double->decimal casting is
+    # deterministic HALF_UP in both engines, while round(double, k)
+    # diverges on representation boundaries (see functions/numeric.py)
+    ratio = (
+        "((tf_tgt + 1) * (total_raw + vocab_size)) / "
+        "((tf_raw + 1) * (total_tgt + vocab_size))"
+    )
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "doc_id",
+            f"CAST({ratio} AS DECIMAL(28,9)) AS token_ratio",
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("token_ratio").alias("sum_ratio"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            # the mean sits EXACTLY on .5e-9 ties for some docs (the
+            # sum is a 9-decimal grid value divided by a small int), so
+            # round(double) is not tie-safe. Half-up in pure integer
+            # arithmetic instead: floor((2s+n)/2n) of the 1e9-scaled
+            # sum is exact in both engines.
+            "CAST(sum_ratio * 1000000000 AS BIGINT) AS sum_e9",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "CAST((2 * sum_e9 + n_tokens) DIV (2 * n_tokens) AS DOUBLE)"
+            " / 1000000000.0 AS dsir_weight",
+        )
+    )
+
+
+def sql_dsir_weights(target_lang: str = DSIR_TARGET_LANG) -> str:
+    """DuckDB twin of :func:`dsir_weights`."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang, t.token
+            FROM (SELECT doc_id, lang, {TOKENS_DUCK} AS tokens FROM documents),
+                 unnest(tokens) AS t(token)
+        ), raw_vocab AS (
+            SELECT token, COUNT(*) AS tf_raw FROM toks GROUP BY 1
+        ), tgt_vocab AS (
+            SELECT token, COUNT(*) AS tf_tgt FROM toks
+            WHERE lang = '{target_lang}' GROUP BY 1
+        ), vocab AS (
+            SELECT r.token, r.tf_raw, COALESCE(t.tf_tgt, 0) AS tf_tgt
+            FROM raw_vocab r LEFT JOIN tgt_vocab t USING (token)
+        ), totals AS (
+            SELECT CAST(SUM(tf_raw) AS BIGINT) AS total_raw,
+                   CAST(SUM(tf_tgt) AS BIGINT) AS total_tgt,
+                   COUNT(*) AS vocab_size
+            FROM vocab
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(((tf_tgt + 1) * (total_raw + vocab_size)) /
+                        ((tf_raw + 1) * (total_tgt + vocab_size))
+                        AS DECIMAL(28,9)) AS token_ratio
+            FROM toks JOIN vocab USING (token) CROSS JOIN totals
+        )
+        , per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   CAST(SUM(token_ratio) * 1000000000 AS BIGINT) AS sum_e9
+            FROM scored
+            GROUP BY 1
+        )
+        SELECT doc_id, n_tokens,
+               CAST((2 * sum_e9 + n_tokens) // (2 * n_tokens) AS DOUBLE)
+                   / 1000000000.0 AS dsir_weight
+        FROM per_doc
+    """

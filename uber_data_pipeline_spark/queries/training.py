@@ -117,6 +117,9 @@ QUERIES = {
     "documents_quality_buckets": lambda spark, sf: textops.quality_buckets(
         _docs(spark, sf)
     ),
+    "documents_dsir_weights": lambda spark, sf: textops.dsir_weights(
+        _docs(spark, sf)
+    ),
 }
 
 
@@ -500,6 +503,7 @@ ORACLES = {
     "text_unigram_lm": textops.sql_unigram_scores(),
     "text_pii_scrub": textops.sql_pii_scrub(),
     "documents_quality_buckets": textops.sql_quality_buckets(QUALITY_CTE),
+    "documents_dsir_weights": textops.sql_dsir_weights(),
     "text_bm25_search": search.sql_bm25(),
     "text_tfidf_topk": search.sql_tfidf(),
     "documents_source_stats": """
