@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from uber_data_pipeline_spark.functions.text import TOKENS_SPARK
+from uber_data_pipeline_spark.functions.text import TOKENS_DUCK, TOKENS_SPARK
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -215,4 +215,89 @@ def sql_tfidf(
         )
         SELECT doc_id, token, tf, df, tfidf, rank
         FROM ranked WHERE rank <= {terms_per_doc}
+    """
+
+
+# ------------------------------------------------------- inverted index
+
+INDEX_MIN_DF = 2
+INDEX_POSTING_HEAD = 5
+
+
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = INDEX_MIN_DF,
+    head: int = INDEX_POSTING_HEAD,
+) -> DataFrame:
+    """Build the term dictionary + posting-list heads of an inverted
+    index: per token its document frequency, total term frequency, and
+    the top-`head` posting entries by (tf desc, doc_id) — the
+    retrieval index a BM25 searcher probes.
+
+    Scale shape: the (token, doc) tf aggregate partial-combines
+    map-side on the exploded tokens; the posting-head selection is a
+    per-token top-k over ALREADY count-reduced rows (rank window keyed
+    by token, k rows survive per token), so memory per reducer is
+    bounded by df, never raw occurrences; the dictionary aggregate
+    reduces to vocab-cardinality rows. Posting heads serialize as a
+    comma-joined string so the result frame is flat-typed (the full
+    postings would shard by (token, bucket) at 100 TB)."""
+    toks = docs.selectExpr("doc_id", f"explode({TOKENS_SPARK}) AS token")
+    tf = toks.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    dictionary = tf.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("total_tf"),
+    )
+    w = Window.partitionBy("token").orderBy(F.desc("tf"), F.asc("doc_id"))
+    heads = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= head)
+        .groupBy("token")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("rn"), F.col("doc_id")))
+                    ),
+                    lambda x: x.doc_id.cast("string"),
+                ),
+            ).alias("top_docs")
+        )
+    )
+    return (
+        dictionary.filter(F.col("df") >= min_df)
+        .join(heads, "token")
+        .select("token", "df", "total_tf", "top_docs")
+    )
+
+
+def sql_inverted_index(
+    min_df: int = INDEX_MIN_DF, head: int = INDEX_POSTING_HEAD
+) -> str:
+    """DuckDB twin of :func:`inverted_index`."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, t.token
+            FROM (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents),
+                 unnest(tokens) AS t(token)
+        ), tf AS (
+            SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), dict AS (
+            SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+            FROM tf GROUP BY 1
+        ), ranked AS (
+            SELECT token, doc_id, tf, ROW_NUMBER() OVER (
+                PARTITION BY token ORDER BY tf DESC, doc_id) AS rn
+            FROM tf
+        ), heads AS (
+            SELECT token,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn)
+                       AS top_docs
+            FROM ranked WHERE rn <= {head}
+            GROUP BY 1
+        )
+        SELECT token, df, total_tf, top_docs
+        FROM dict JOIN heads USING (token)
+        WHERE df >= {min_df}
     """

@@ -462,3 +462,121 @@ def kmeans_reassign(emb: DataFrame) -> DataFrame:
             "ccos AS assign_cos",
         )
     )
+
+
+# ----------------------------------------------------------- PQ encoding
+
+PQ_SUBSPACES = 4
+PQ_SUBDIM = 16  # 64-dim embeddings / 4 subspaces
+PQ_CODEBOOK = 8  # codes per subspace
+PQ_DIST_ROUND = 6
+
+
+def _sq_l2_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(sequence(1, size({a})), CAST(0 AS double), "
+        f"(acc, i) -> acc + (CAST(element_at({a}, i) AS double) - "
+        f"CAST(element_at({b}, i) AS double)) * "
+        f"(CAST(element_at({a}, i) AS double) - "
+        f"CAST(element_at({b}, i) AS double)))"
+    )
+
+
+def _sq_l2_duck(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a})+1), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * "
+        f"({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+    )
+
+
+def pq_encode(emb: DataFrame) -> DataFrame:
+    """Product-quantization encoding: split each 64-dim embedding
+    into 4 subspaces of 16 dims; in each subspace assign the nearest
+    (squared-L2, 6-decimal-rounded, tie -> lowest code) of 8 codebook
+    centroids. The codebook is deterministic — the subvectors of the
+    8 lowest-vec_id embeddings — so the oracle replays it exactly
+    (trained codebooks drift across engines; the ENCODING operator is
+    what runs at corpus scale).
+
+    Output: one row per vector with its 4 codes and the total
+    quantization error — the compressed representation an IVF-PQ ANN
+    index stores (64 floats -> 4 bytes + error bound).
+
+    Scale shape: the codebook is 32 rows — always broadcast; encoding
+    is a narrow map over vectors (explode to 4 subspace rows, join the
+    broadcast codebook, per-(vector, subspace) rank over 8 candidates,
+    regroup). One scan, no wide shuffle: the groupBy key vec_id is
+    co-partitioned with the explode's parent row."""
+    from pyspark.sql import Window
+    subs = emb.selectExpr(
+        "vec_id",
+        f"explode(sequence(0, {PQ_SUBSPACES - 1})) AS s",
+        "embedding",
+    ).selectExpr(
+        "vec_id", "s", f"slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sub"
+    )
+    book = (
+        emb.filter(F.col("vec_id") < PQ_CODEBOOK)
+        .selectExpr(
+            "vec_id AS code",
+            f"explode(sequence(0, {PQ_SUBSPACES - 1})) AS s",
+            "embedding",
+        )
+        .selectExpr(
+            "code", "s", f"slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS csub"
+        )
+    )
+    scored = subs.join(F.broadcast(book), "s").selectExpr(
+        "vec_id",
+        "s",
+        "code",
+        f"round({_sq_l2_spark('sub', 'csub')}, {PQ_DIST_ROUND}) AS d2",
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("d2"), F.asc("code"))
+    best = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    code_cols = [
+        F.sum(F.when(F.col("s") == i, F.col("code"))).alias(f"code_{i}")
+        for i in range(PQ_SUBSPACES)
+    ]
+    return best.groupBy("vec_id").agg(
+        *code_cols,
+        F.round(
+            F.sum(F.col("d2").cast("decimal(20,6)")).cast("double"), PQ_DIST_ROUND
+        ).alias("pq_err"),
+    )
+
+
+def sql_pq_encode() -> str:
+    """DuckDB twin of :func:`pq_encode`."""
+    lo = f"(s * {PQ_SUBDIM} + 1)"
+    hi = f"(s * {PQ_SUBDIM} + {PQ_SUBDIM})"
+    return f"""
+        WITH subs AS (
+            SELECT vec_id, s.s, embedding[{lo}:{hi}] AS sub
+            FROM embeddings,
+                 (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s) AS s
+        ), book AS (
+            SELECT vec_id AS code, s.s, embedding[{lo}:{hi}] AS csub
+            FROM embeddings,
+                 (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s) AS s
+            WHERE vec_id < {PQ_CODEBOOK}
+        ), scored AS (
+            SELECT vec_id, s, code,
+                   round({_sq_l2_duck("sub", "csub")}, {PQ_DIST_ROUND}) AS d2
+            FROM subs JOIN book USING (s)
+        ), best AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, s ORDER BY d2, code) AS rk
+            FROM scored
+        )
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN s = 0 THEN code END) AS BIGINT) AS code_0,
+               CAST(SUM(CASE WHEN s = 1 THEN code END) AS BIGINT) AS code_1,
+               CAST(SUM(CASE WHEN s = 2 THEN code END) AS BIGINT) AS code_2,
+               CAST(SUM(CASE WHEN s = 3 THEN code END) AS BIGINT) AS code_3,
+               CAST(ROUND(SUM(CAST(d2 AS DECIMAL(20,6))), {PQ_DIST_ROUND})
+                    AS DOUBLE) AS pq_err
+        FROM best WHERE rk = 1
+        GROUP BY 1
+    """

@@ -120,6 +120,8 @@ QUERIES = {
     "documents_dsir_weights": lambda spark, sf: textops.dsir_weights(
         _docs(spark, sf)
     ),
+    "embeddings_pq_encode": lambda spark, sf: similarity.pq_encode(_emb(spark, sf)),
+    "text_inverted_index": lambda spark, sf: search.inverted_index(_docs(spark, sf)),
 }
 
 
@@ -504,6 +506,8 @@ ORACLES = {
     "text_pii_scrub": textops.sql_pii_scrub(),
     "documents_quality_buckets": textops.sql_quality_buckets(QUALITY_CTE),
     "documents_dsir_weights": textops.sql_dsir_weights(),
+    "embeddings_pq_encode": similarity.sql_pq_encode(),
+    "text_inverted_index": search.sql_inverted_index(),
     "text_bm25_search": search.sql_bm25(),
     "text_tfidf_topk": search.sql_tfidf(),
     "documents_source_stats": """
