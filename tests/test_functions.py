@@ -98,3 +98,28 @@ def test_stopword_twins(spark):
         )
         du = duck_eval(f"{T.stopword_count_duck(lang, T.TOKENS_DUCK)}", s)
         assert sp == du, lang
+
+
+pii_texts = st.text(
+    alphabet="ab @.+-0123456789", min_size=0, max_size=50
+).map(lambda s: s.replace("'", ""))
+
+
+@settings(max_examples=20, deadline=None)
+@given(pii_texts)
+def test_pii_twins_and_fixpoint(spark, s):
+    """The PII count/scrub twins must agree across engines, and the
+    scrubbed text must contain no further matches (redaction is a
+    fixpoint — tags themselves can't retrigger the patterns)."""
+    for pattern in (T.PII_EMAIL_RE, T.PII_PHONE_RE, T.PII_IPV4_RE):
+        assert spark_eval(
+            spark, T.pii_count_spark("text", pattern), s
+        ) == duck_eval(T.pii_count_duck("text", pattern), s), (pattern, s)
+    scrub_s = spark_eval(spark, T.pii_scrub_spark("text"), s)
+    scrub_d = duck_eval(T.pii_scrub_duck("text"), s)
+    assert scrub_s == scrub_d, s
+    for pattern in (T.PII_EMAIL_RE, T.PII_PHONE_RE, T.PII_IPV4_RE):
+        assert duck_eval(T.pii_count_duck("text", pattern), scrub_s or "") == 0, (
+            pattern,
+            scrub_s,
+        )

@@ -556,8 +556,55 @@ def lineitem_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parts_abc_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification per supplier nation: rank
+    parts by revenue within each nation, take the running revenue
+    share, and classify A (first 80%), B (to 95%), C (tail).
+
+    Scale shape: the window runs over ALREADY-AGGREGATED
+    (nation, part) rows — revenue is reduced before any ranking — and
+    partitions by nation, so no global single-partition window. The
+    running sum is computed in DECIMAL over a fully tie-broken order
+    (revenue desc, part_key), making the fold order — and therefore
+    the share at every row — identical in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.col("l_partkey").alias("part_key"),
+        )
+        .agg(dsum(_revenue()).alias("revenue"))
+    )
+    w = Window.partitionBy("nation_name").orderBy(
+        F.desc("revenue"), F.asc("part_key")
+    )
+    wtot = Window.partitionBy("nation_name")
+    share = "round(CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6)"
+    return (
+        rev.withColumn(
+            "cum_rev", F.sum(F.col("revenue").cast("decimal(25,2)")).over(w)
+        )
+        .withColumn(
+            "tot_rev", F.sum(F.col("revenue").cast("decimal(25,2)")).over(wtot)
+        )
+        .selectExpr(
+            "nation_name",
+            "part_key",
+            "revenue",
+            f"{share} AS cum_share",
+            f"CASE WHEN {share} <= 0.80 THEN 'A' "
+            f"WHEN {share} <= 0.95 THEN 'B' ELSE 'C' END AS abc_class",
+        )
+    )
+
+
 QUERIES = {
     "lineitem_copurchase_pairs": lineitem_copurchase_pairs,
+    "parts_abc_by_nation": parts_abc_by_nation,
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q8_market_share": tpch_q8_market_share,
     "tpch_q9_product_profit": tpch_q9_product_profit,
@@ -585,6 +632,33 @@ ORACLES = {
         GROUP BY 1, 2
         ORDER BY n_orders DESC, part_a, part_b
         LIMIT 100
+    """,
+    "parts_abc_by_nation": f"""
+        WITH rev AS (
+            SELECT n.n_name AS nation_name, l.l_partkey AS part_key,
+                   {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT nation_name, part_key, revenue,
+                   SUM(CAST(revenue AS DECIMAL(25,2))) OVER (
+                       PARTITION BY nation_name
+                       ORDER BY revenue DESC, part_key) AS cum_rev,
+                   SUM(CAST(revenue AS DECIMAL(25,2))) OVER (
+                       PARTITION BY nation_name) AS tot_rev
+            FROM rev
+        )
+        SELECT nation_name, part_key, revenue,
+               ROUND(CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6)
+                   AS cum_share,
+               CASE WHEN ROUND(CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6)
+                         <= 0.80 THEN 'A'
+                    WHEN ROUND(CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6)
+                         <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM cum
     """,
     "tpch_q7_volume_shipping": f"""
         SELECT sn.n_name AS supp_nation,
