@@ -123,3 +123,75 @@ def media_features_flat(docs: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
         "n_bytes",
         *[F.col("feat")[i].alias(f"f{i}") for i in range(dim)],
     )
+
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+
+def frame_sample(
+    media: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Frame sampling — the video-ingest shape: each payload is a
+    sequence of fixed-size frames; keep every ``stride``-th frame and
+    emit ONE ROW PER SAMPLED FRAME (a 1->N mapInPandas, the row-count
+    amplifying variant of the decode kernel). Emits the frame's
+    fingerprint + length, never the bytes, so downstream stages
+    shuffle fingerprints, not media.
+
+    Scale shape: the kernel is per-partition streaming over Arrow
+    batches — no shuffle at all; output cardinality is bounded by
+    payload_bytes / (frame_bytes * stride) per row. A real deployment
+    replaces the byte-slice "frames" with the container's codec
+    (pyav keyframes, ffmpeg segments); everything around it — the
+    schema, the batch loop, the amplification — stays identical."""
+
+    schema = "media_id long, frame_idx int, frame_md5 string, frame_len int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            md5s: list[str] = []
+            lens: list[int] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    fr = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(mid)
+                    idxs.append(i)
+                    md5s.append(hashlib.md5(fr).hexdigest())
+                    lens.append(len(fr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema)
+
+
+def sql_frame_sample(
+    frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE
+) -> str:
+    """DuckDB twin of :func:`frame_sample` over the documents-derived
+    media table (payload == utf-8 text bytes; the corpus is ASCII so
+    byte frames == char frames)."""
+    return f"""
+        WITH m AS (
+            SELECT doc_id AS media_id, text,
+                   CAST(ceil(length(text) / {frame_bytes}.0) AS INT) AS n_frames
+            FROM documents
+        )
+        SELECT media_id, i.i AS frame_idx,
+               md5(substring(text, i.i * {frame_bytes} + 1, {frame_bytes}))
+                   AS frame_md5,
+               CAST(length(substring(text, i.i * {frame_bytes} + 1,
+                    {frame_bytes})) AS INT) AS frame_len
+        FROM m, unnest(range(0, n_frames)) AS i(i)
+        WHERE i.i % {stride} = 0
+    """

@@ -602,9 +602,42 @@ def parts_abc_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation: yearly aggregate,
+    then lag within each nation's (tiny, bounded) year series.
+
+    Scale shape: the window runs over nation x year rows — already
+    reduced by the aggregate — partitioned by nation; the fact scan
+    aggregates map-side before the (broadcast) dim resolution."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    yearly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").alias("year"),
+        )
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    w = Window.partitionBy("nation_name").orderBy("year")
+    return (
+        yearly.withColumn("prev_revenue", F.lag("revenue").over(w))
+        .selectExpr(
+            "nation_name",
+            "year",
+            "revenue",
+            "prev_revenue",
+            "round((revenue - prev_revenue) / prev_revenue, 6) AS yoy_growth",
+        )
+    )
+
+
 QUERIES = {
     "lineitem_copurchase_pairs": lineitem_copurchase_pairs,
     "parts_abc_by_nation": parts_abc_by_nation,
+    "orders_yoy_growth": orders_yoy_growth,
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q8_market_share": tpch_q8_market_share,
     "tpch_q9_product_profit": tpch_q9_product_profit,
@@ -632,6 +665,25 @@ ORACLES = {
         GROUP BY 1, 2
         ORDER BY n_orders DESC, part_a, part_b
         LIMIT 100
+    """,
+    "orders_yoy_growth": f"""
+        WITH yearly AS (
+            SELECT n.n_name AS nation_name,
+                   CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS year,
+                   {sql_dsum("o.o_totalprice")} AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT nation_name, year, revenue,
+               LAG(revenue) OVER (PARTITION BY nation_name ORDER BY year)
+                   AS prev_revenue,
+               ROUND((revenue - LAG(revenue) OVER (
+                   PARTITION BY nation_name ORDER BY year))
+                   / LAG(revenue) OVER (PARTITION BY nation_name ORDER BY year),
+                   6) AS yoy_growth
+        FROM yearly
     """,
     "parts_abc_by_nation": f"""
         WITH rev AS (

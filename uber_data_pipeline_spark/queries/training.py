@@ -122,6 +122,9 @@ QUERIES = {
     ),
     "embeddings_pq_encode": lambda spark, sf: similarity.pq_encode(_emb(spark, sf)),
     "text_inverted_index": lambda spark, sf: search.inverted_index(_docs(spark, sf)),
+    "multimodal_frame_sample": lambda spark, sf: multimodal.frame_sample(
+        multimodal.attach_media(_docs(spark, sf))
+    ),
 }
 
 
@@ -508,6 +511,7 @@ ORACLES = {
     "documents_dsir_weights": textops.sql_dsir_weights(),
     "embeddings_pq_encode": similarity.sql_pq_encode(),
     "text_inverted_index": search.sql_inverted_index(),
+    "multimodal_frame_sample": multimodal.sql_frame_sample(),
     "text_bm25_search": search.sql_bm25(),
     "text_tfidf_topk": search.sql_tfidf(),
     "documents_source_stats": """
