@@ -86,3 +86,34 @@ def test_orc_round_trip(spark, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(status" in plan, plan
     assert one.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_streaming_parquet_sink_exactly_once(spark, tmp_path):
+    """Streaming file sink + checkpoint: an AvailableNow run writes
+    each input row exactly once, and RE-RUNNING with the same
+    checkpoint writes nothing new (offsets committed — the
+    exactly-once file-sink contract a production ingest relies on)."""
+    from uber_data_pipeline_spark.sources.cdc import read_stream_events
+    from uber_data_pipeline_spark.streaming.events import events_landing_dir
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src = events_landing_dir(SF_DIR)
+
+    def run_once():
+        q = (
+            read_stream_events(spark, src)
+            .select("event_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_expected = load_table(spark, SF_DIR, "events").count()
+    assert spark.read.parquet(out).count() == n_expected
+    run_once()  # same checkpoint: no new files, no duplicated rows
+    assert spark.read.parquet(out).count() == n_expected
