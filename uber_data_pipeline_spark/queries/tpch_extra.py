@@ -634,10 +634,55 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parts_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power-iteration step over the part co-purchase
+    graph (edges: parts appearing in the same order, both directions),
+    from the uniform unnormalized init r0 = 1:
+    r1(v) = 0.15 + 0.85 * sum over in-neighbors u of 1/outdeg(u).
+
+    Iterating this step IS distributed PageRank (same pattern as
+    `embeddings_kmeans_step`: expose one deterministic step so the
+    oracle replays it exactly — iterated float ranks drift).
+
+    Determinism: 1/outdeg is ONE double division cast to
+    DECIMAL(20,12) (deterministic conversion), the neighbor sum is
+    decimal (order-free), and the damping mix is two scalar IEEE ops
+    on the identical decimal sum — bit-equal in both engines.
+
+    Scale shape: edge building shuffles on l_orderkey (bounded ~7
+    lines/order so pair blowup is O(k²) small-constant); outdeg and
+    the contribution sum are map-side-combined groupBys on part keys;
+    no windows, no broadcast of anything unbounded."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    edges = pairs.distinct()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    contrib = edges.join(outdeg, "src").selectExpr(
+        "dst", "CAST(1.0 / outdeg AS DECIMAL(20,12)) AS contrib"
+    )
+    return (
+        contrib.groupBy(F.col("dst").alias("part_key"))
+        .agg(F.sum("contrib").alias("in_sum"))
+        .selectExpr(
+            "part_key",
+            "round(0.15 + 0.85 * CAST(in_sum AS DOUBLE), 9) AS rank1",
+        )
+    )
+
+
 QUERIES = {
     "lineitem_copurchase_pairs": lineitem_copurchase_pairs,
     "parts_abc_by_nation": parts_abc_by_nation,
     "orders_yoy_growth": orders_yoy_growth,
+    "parts_pagerank_step": parts_pagerank_step,
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q8_market_share": tpch_q8_market_share,
     "tpch_q9_product_profit": tpch_q9_product_profit,
@@ -665,6 +710,23 @@ ORACLES = {
         GROUP BY 1, 2
         ORDER BY n_orders DESC, part_a, part_b
         LIMIT 100
+    """,
+    "parts_pagerank_step": """
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey != b.l_partkey
+        ), outdeg AS (
+            SELECT src, COUNT(*) AS outdeg FROM pairs GROUP BY 1
+        ), contrib AS (
+            SELECT dst, CAST(1.0 / outdeg AS DECIMAL(20,12)) AS contrib
+            FROM pairs JOIN outdeg USING (src)
+        )
+        SELECT dst AS part_key,
+               ROUND(0.15 + 0.85 * CAST(SUM(contrib) AS DOUBLE), 9) AS rank1
+        FROM contrib
+        GROUP BY 1
     """,
     "orders_yoy_growth": f"""
         WITH yearly AS (
