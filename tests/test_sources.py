@@ -117,3 +117,29 @@ def test_streaming_parquet_sink_exactly_once(spark, tmp_path):
     assert spark.read.parquet(out).count() == n_expected
     run_once()  # same checkpoint: no new files, no duplicated rows
     assert spark.read.parquet(out).count() == n_expected
+
+
+def test_jdbc_options_partitioned():
+    from uber_data_pipeline_spark.sources.readers import jdbc_read_options
+
+    opts = jdbc_read_options(
+        "jdbc:postgresql://db/uber",
+        "raw_data_janjune_15",
+        partition_column="locationid",
+        lower_bound=1,
+        upper_bound=265,
+        num_partitions=16,
+    )
+    assert opts["partitionColumn"] == "locationid"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("1", "265")
+    assert opts["numPartitions"] == "16"
+    assert int(opts["fetchsize"]) > 0
+
+
+def test_jdbc_options_require_full_bounds():
+    import pytest as _pytest
+
+    from uber_data_pipeline_spark.sources.readers import jdbc_read_options
+
+    with _pytest.raises(ValueError):
+        jdbc_read_options("jdbc:x", "t", partition_column="k")

@@ -153,3 +153,53 @@ def read_orc(
     if table in SCHEMAS:
         reader = reader.schema(SCHEMAS[table])
     return reader.orc(path)
+
+
+def jdbc_read_options(
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 32,
+    fetch_size: int = 10_000,
+) -> dict[str, str]:
+    """Option dict for a partition-parallel JDBC read — the Postgres
+    source role (reference: local Postgres -> Airbyte CDC,
+    `Diary of Making.md` §2). Split out as a pure function so the
+    partitioning contract is unit-testable without a live database.
+
+    Scale rules encoded here: an unpartitioned JDBC read is ONE
+    executor pulling the whole table through one connection — always
+    pass a numeric/temporal ``partition_column`` with real bounds so
+    Spark issues ``num_partitions`` range-predicated queries in
+    parallel; ``fetchsize`` keeps the driver-side row buffer bounded
+    (Postgres defaults to all-rows-at-once otherwise)."""
+    if (partition_column is None) != (lower_bound is None or upper_bound is None):
+        raise ValueError(
+            "partition_column, lower_bound and upper_bound must be set together"
+        )
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "fetchsize": str(fetch_size),
+        # server-side cursor batches instead of full-result buffering
+        "pushDownPredicate": "true",
+    }
+    if partition_column is not None:
+        opts.update(
+            {
+                "partitionColumn": partition_column,
+                "lowerBound": str(lower_bound),
+                "upperBound": str(upper_bound),
+                "numPartitions": str(num_partitions),
+            }
+        )
+    return opts
+
+
+def read_jdbc(spark: SparkSession, **options: str) -> DataFrame:
+    """``spark.read.format("jdbc")`` with the options from
+    :func:`jdbc_read_options` (kept trivial so the partitioning logic
+    stays in the testable builder)."""
+    return spark.read.format("jdbc").options(**options).load()
