@@ -74,6 +74,8 @@ SCALAR_BROADCAST_OK = {
     # 1-row (total_raw, total_tgt, vocab_size) broadcast onto the
     # token-scored relation
     "documents_dsir_weights",
+    # 1-row total-orders broadcast onto the reduced pair relation
+    "basket_association_rules",
 }
 
 

@@ -678,11 +678,76 @@ def parts_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RULES_MIN_PAIR_ORDERS = 2
+RULES_TOPK = 100
+
+
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: for part pairs
+    co-occurring in >= RULES_MIN_PAIR_ORDERS orders, emit
+    support = P(a,b), confidence = P(b|a), lift = P(a,b)/(P(a)P(b)) —
+    the affinity layer on top of the co-purchase counts.
+
+    Determinism: all inputs are exact distinct-order counts; each
+    metric is computed with at most two IEEE ops on those integers
+    (lift as ONE expression: pair_n * total / (n_a * n_b), integer
+    products < 2^53), rounded once.
+
+    Scale shape: per-part and per-pair order counts are two-phase
+    COUNT(DISTINCT) aggregates (map-side partial over the already
+    bounded per-order pair blowup); the per-part counts join back to
+    the pair relation on part keys (broadcast at dim-like part
+    cardinality, shuffle-hash beyond); the corpus total is a 1-row
+    broadcast. Top-k is a TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part_orders = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("n_part")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pair_orders = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+            F.col("a.l_orderkey").alias("okey"),
+        )
+        .distinct()
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= RULES_MIN_PAIR_ORDERS)
+    )
+    total = li.agg(F.countDistinct("l_orderkey").alias("total_orders"))
+    na = part_orders.selectExpr("l_partkey AS part_a", "n_part AS n_a")
+    nb = part_orders.selectExpr("l_partkey AS part_b", "n_part AS n_b")
+    return (
+        pair_orders.join(na, "part_a")
+        .join(nb, "part_b")
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "part_a",
+            "part_b",
+            "pair_n",
+            "round(pair_n / CAST(total_orders AS DOUBLE), 9) AS support",
+            "round(pair_n / CAST(n_a AS DOUBLE), 9) AS confidence",
+            "round((pair_n * total_orders) / CAST(n_a * n_b AS DOUBLE), 9)"
+            " AS lift",
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(RULES_TOPK)
+    )
+
+
 QUERIES = {
     "lineitem_copurchase_pairs": lineitem_copurchase_pairs,
     "parts_abc_by_nation": parts_abc_by_nation,
     "orders_yoy_growth": orders_yoy_growth,
     "parts_pagerank_step": parts_pagerank_step,
+    "basket_association_rules": basket_association_rules,
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q8_market_share": tpch_q8_market_share,
     "tpch_q9_product_profit": tpch_q9_product_profit,
@@ -710,6 +775,35 @@ ORACLES = {
         GROUP BY 1, 2
         ORDER BY n_orders DESC, part_a, part_b
         LIMIT 100
+    """,
+    "basket_association_rules": f"""
+        WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        part_orders AS (
+            SELECT l_partkey, COUNT(DISTINCT l_orderkey) AS n_part
+            FROM li GROUP BY 1
+        ),
+        pair_orders AS (
+            SELECT part_a, part_b, COUNT(*) AS pair_n FROM (
+                SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       a.l_orderkey AS okey
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            ) GROUP BY 1, 2
+            HAVING COUNT(*) >= {RULES_MIN_PAIR_ORDERS}
+        ),
+        total AS (SELECT COUNT(DISTINCT l_orderkey) AS total_orders FROM li)
+        SELECT part_a, part_b, pair_n,
+               ROUND(pair_n / CAST(total_orders AS DOUBLE), 9) AS support,
+               ROUND(pair_n / CAST(na.n_part AS DOUBLE), 9) AS confidence,
+               ROUND((pair_n * total_orders) /
+                     CAST(na.n_part * nb.n_part AS DOUBLE), 9) AS lift
+        FROM pair_orders
+        JOIN part_orders na ON na.l_partkey = part_a
+        JOIN part_orders nb ON nb.l_partkey = part_b
+        CROSS JOIN total
+        ORDER BY lift DESC, part_a, part_b
+        LIMIT {RULES_TOPK}
     """,
     "parts_pagerank_step": """
         WITH pairs AS (
