@@ -526,8 +526,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
             for i, (off, width) in enumerate(segments)
         ]
     )
-    seg_df = sv.select("doc_id", "simhash", F.explode(segs).alias("sk")).select(
-        "doc_id", "simhash", "sk.seg", "sk.val"
+    # cached: the segment relation feeds BOTH sides of the self-join —
+    # without materialization the whole signature pipeline (explode +
+    # 64 aggregates) runs twice (same rule as minhash_signatures);
+    # at corpus scale this is the persisted signature table
+    seg_df = (
+        sv.select("doc_id", "simhash", F.explode(segs).alias("sk"))
+        .select("doc_id", "simhash", "sk.seg", "sk.val")
+        .cache()
     )
     a, b = seg_df.alias("a"), seg_df.alias("b")
     first_match_only = " AND ".join(

@@ -663,6 +663,11 @@ def parts_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     )
+    # NOT cached: both consumers share the identical distinct subtree,
+    # so Spark's ReuseExchange already materializes it once in the
+    # shuffle — an explicit cache measured SLOWER (extra memory
+    # serialization on top of the reused exchange). In an iterated
+    # deployment the edge table is persisted once outside the loop.
     edges = pairs.distinct()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     contrib = edges.join(outdeg, "src").selectExpr(
@@ -700,9 +705,10 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality, shuffle-hash beyond); the corpus total is a 1-row
     broadcast. Top-k is a TakeOrdered."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # cached: joined back twice (antecedent and consequent sides)
     part_orders = li.groupBy("l_partkey").agg(
         F.countDistinct("l_orderkey").alias("n_part")
-    )
+    ).cache()
     a = li.alias("a")
     b = li.alias("b")
     pair_orders = (
