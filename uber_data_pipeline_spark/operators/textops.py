@@ -655,3 +655,70 @@ def sql_dsir_weights(target_lang: str = DSIR_TARGET_LANG) -> str:
                    / 1000000000.0 AS dsir_weight
         FROM per_doc
     """
+
+
+# ----------------------------------------------------------- sentiment
+
+# domain polarity lexicon (performance sentiment over the synthetic
+# database-vocabulary corpus; a real deployment drops in AFINN/VADER
+# wordlists — the operator shape is identical)
+SENTIMENT_POS = ("fast", "small", "merge", "hit")
+SENTIMENT_NEG = ("slow", "big", "dup", "spill")
+
+
+def _wordlist_count(words: tuple[str, ...], tokens: str = "tokens") -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({tokens}, x -> x IN ({lst})))"
+
+
+def _wordlist_count_duck(words: tuple[str, ...], tokens: str = "tokens") -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({tokens}, x -> x IN ({lst})))"
+
+
+def sentiment_scores(docs: DataFrame) -> DataFrame:
+    """Lexicon-based sentiment scoring (the EDBT'16 Spark-sentiment
+    shape): per document, positive/negative lexicon hit counts and the
+    normalized polarity score (pos - neg)/n_tokens with a sign label.
+
+    Scale shape: pure row-local array expressions — no shuffle, fully
+    whole-stage-codegen'd, linear in input splits. The score is ONE
+    division of exact integer counts, so both engines round
+    identically."""
+    return docs.selectExpr(
+        "doc_id", f"{TOKENS_SPARK} AS tokens"
+    ).selectExpr(
+        "doc_id",
+        "size(tokens) AS n_tokens",
+        f"{_wordlist_count(SENTIMENT_POS)} AS n_pos",
+        f"{_wordlist_count(SENTIMENT_NEG)} AS n_neg",
+    ).selectExpr(
+        "doc_id",
+        "n_tokens",
+        "n_pos",
+        "n_neg",
+        "round((n_pos - n_neg) / CAST(n_tokens AS DOUBLE), 6) AS polarity",
+        "CASE WHEN n_pos > n_neg THEN 'positive' "
+        "WHEN n_pos < n_neg THEN 'negative' ELSE 'neutral' END AS label",
+    )
+
+
+def sql_sentiment_scores() -> str:
+    """DuckDB twin of :func:`sentiment_scores`."""
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents
+        ), counts AS (
+            SELECT doc_id,
+                   CAST(len(tokens) AS INT) AS n_tokens,
+                   CAST({_wordlist_count_duck(SENTIMENT_POS)} AS INT) AS n_pos,
+                   CAST({_wordlist_count_duck(SENTIMENT_NEG)} AS INT) AS n_neg
+            FROM tok
+        )
+        SELECT doc_id, n_tokens, n_pos, n_neg,
+               ROUND((n_pos - n_neg) / CAST(n_tokens AS DOUBLE), 6) AS polarity,
+               CASE WHEN n_pos > n_neg THEN 'positive'
+                    WHEN n_pos < n_neg THEN 'negative'
+                    ELSE 'neutral' END AS label
+        FROM counts
+    """

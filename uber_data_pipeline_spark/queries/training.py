@@ -125,6 +125,7 @@ QUERIES = {
     "multimodal_frame_sample": lambda spark, sf: multimodal.frame_sample(
         multimodal.attach_media(_docs(spark, sf))
     ),
+    "text_sentiment": lambda spark, sf: textops.sentiment_scores(_docs(spark, sf)),
 }
 
 
@@ -512,6 +513,7 @@ ORACLES = {
     "embeddings_pq_encode": similarity.sql_pq_encode(),
     "text_inverted_index": search.sql_inverted_index(),
     "multimodal_frame_sample": multimodal.sql_frame_sample(),
+    "text_sentiment": textops.sql_sentiment_scores(),
     "text_bm25_search": search.sql_bm25(),
     "text_tfidf_topk": search.sql_tfidf(),
     "documents_source_stats": """
