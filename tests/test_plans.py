@@ -76,6 +76,9 @@ SCALAR_BROADCAST_OK = {
     "documents_dsir_weights",
     # 1-row total-orders broadcast onto the reduced pair relation
     "basket_association_rules",
+    # fixed 50-row head-segment broadcast for the bounded pairwise
+    # profile comparison (all-pairs-over-everyone is the LSH path)
+    "events_profile_similarity",
 }
 
 

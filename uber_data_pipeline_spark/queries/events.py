@@ -338,7 +338,60 @@ def events_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROFILE_HEAD_USERS = 50
+PROFILE_MIN_COS = 0.5
+
+
+def events_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over behavioral profiles: each
+    user's 24-dim hour-of-day activity histogram (exact integer
+    counts), pairwise cosine over the top-`PROFILE_HEAD_USERS` most
+    active users, pairs above PROFILE_MIN_COS.
+
+    Scale shape: the profile build is ONE map-side-combined aggregate
+    (24 conditional counts per user); the pairwise stage runs only on
+    the head segment — a fixed-size (50-row) relation selected by a
+    TakeOrdered, then broadcast for the O(n_head²) comparison, which
+    is bounded by construction (the all-pairs-over-everyone version
+    is what `ann_lsh_topk` / bucketed ANN is for). Cosine folds in
+    index order over exact int arrays — identical in both engines."""
+    from uber_data_pipeline_spark.functions.vectors import cosine_spark
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "CAST(hour(ts) AS INT) AS h"
+    )
+    profiles = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            *[
+                F.sum(F.when(F.col("h") == h, 1).otherwise(0)).alias(f"c{h}")
+                for h in range(24)
+            ],
+        )
+        .selectExpr(
+            "user_id",
+            "n_events",
+            f"array({', '.join(f'CAST(c{h} AS DOUBLE)' for h in range(24))}) AS prof",
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(PROFILE_HEAD_USERS)
+    )
+    a = profiles.selectExpr("user_id AS user_a", "prof AS pa")
+    b = profiles.selectExpr("user_id AS user_b", "prof AS pb")
+    return (
+        a.join(F.broadcast(b), F.col("user_a") < F.col("user_b"))
+        .selectExpr(
+            "user_a",
+            "user_b",
+            f"{cosine_spark('pa', 'pb')} AS profile_cos",
+        )
+        .filter(F.col("profile_cos") >= PROFILE_MIN_COS)
+    )
+
+
 QUERIES = {
+    "events_profile_similarity": events_profile_similarity,
     "events_user_stickiness": events_user_stickiness,
     "events_json_kpis": events_json_kpis,
     "events_hll_distinct": events_hll_distinct,
@@ -356,10 +409,38 @@ QUERIES = {
     "events_pivot_daily": events_pivot_daily,
 }
 
+def _profile_similarity_oracle() -> str:
+    from uber_data_pipeline_spark.functions.vectors import cosine_duck
+
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN h = {h} THEN 1 ELSE 0 END) AS DOUBLE)"
+        for h in range(24)
+    )
+    cos = cosine_duck("a.prof", "b.prof")
+    return f"""
+        WITH ev AS (
+            SELECT user_id,
+                   CAST(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS INT) AS h
+            FROM events
+        ), profiles AS (
+            SELECT user_id, COUNT(*) AS n_events,
+                   list_value({sums}) AS prof
+            FROM ev GROUP BY 1
+            ORDER BY n_events DESC, user_id
+            LIMIT {PROFILE_HEAD_USERS}
+        )
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               {cos} AS profile_cos
+        FROM profiles a JOIN profiles b ON a.user_id < b.user_id
+        WHERE {cos} >= {PROFILE_MIN_COS}
+    """
+
+
 ORACLES = {
     # NOTE: the driver's `events` view has ts as TIMESTAMP_NS; Spark
     # reads it truncated to microseconds, and DuckDB's CAST(ts AS
     # TIMESTAMP) truncates the same way — so every oracle casts first.
+    "events_profile_similarity": _profile_similarity_oracle(),
     "events_user_stickiness": """
         WITH daily AS (
             SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
