@@ -23,6 +23,7 @@ from uber_data_pipeline_spark.streaming.events import (
     dedup_stream,
     sessionization_stream,
     windowed_agg_stream,
+    windowed_topk_stream,
 )
 
 CDC_CUTOFF = "2000-01-01 00:00:00"
@@ -126,6 +127,7 @@ QUERIES = {
     "streaming_windowed_agg": windowed_agg_stream,
     "streaming_sessionization": sessionization_stream,
     "streaming_dedup": dedup_stream,
+    "streaming_windowed_topk": windowed_topk_stream,
 }
 
 
@@ -268,5 +270,17 @@ ORACLES = {
     "streaming_dedup": """
         SELECT event_type, COUNT(DISTINCT event_id) AS n_events
         FROM events GROUP BY 1
+    """,
+    "streaming_windowed_topk": f"""
+        WITH base AS ({_EVENT_ORACLES["events_windowed_agg"]}),
+        ranked AS (
+            SELECT window_start, event_type, n_events,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY window_start
+                       ORDER BY n_events DESC, event_type) AS INT) AS rk
+            FROM base
+        )
+        SELECT window_start, event_type, n_events, rk
+        FROM ranked WHERE rk <= 3
     """,
 }

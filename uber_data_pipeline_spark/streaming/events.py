@@ -167,6 +167,30 @@ def _session_kernel(
     )
 
 
+WINDOW_TOPK = 3
+
+
+def windowed_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed top-k: the watermarked tumbling-window
+    aggregate (same stateful operator as `streaming_windowed_agg`)
+    followed by a per-window rank on the drained sink — the
+    "trending items per window" report. The rank runs OVER THE
+    ALREADY-REDUCED window x type rows (bounded cardinality), so the
+    expensive stateful part stays incremental and the top-k is a
+    cheap batch epilogue per trigger."""
+    from pyspark.sql import Window
+
+    agg = windowed_agg_stream(spark, sf_dir)
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WINDOW_TOPK)
+        .select("window_start", "event_type", "n_events", "rk")
+    )
+
+
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: the at-least-once ingest guard. The
     feed replays every 10th event as a duplicate (the redelivery an
