@@ -201,6 +201,53 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def containment_pairs(
+    docs: DataFrame, threshold: float = CONTAINMENT_THRESHOLD
+) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT C(A->B) = |A∩B|/|A|.
+    Jaccard misses a short document fully embedded in a long one
+    (the quote/boilerplate/excerpt case — J is dragged down by the
+    size gap); containment flags it. Pairs where either direction
+    >= threshold.
+
+    Same inverted-index self-join shape as :func:`ngram_jaccard_pairs`
+    but WITHOUT the PPJoin size filter — that pruning is Jaccard
+    -specific (a tiny doc can be 100% contained in a huge one), which
+    is exactly why this is a separate operator with its own cost
+    profile. Candidate volume is bounded by shingle document
+    frequency; skewed corpora route through banding first."""
+    sh = shingle_arrays(docs).cache().selectExpr(
+        "doc_id", "size(shingles) AS sz", "explode(shingles) AS shingle"
+    )
+    a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "round(n_common / CAST(sz_a AS DOUBLE), 6) AS cont_a_in_b",
+            "round(n_common / CAST(sz_b AS DOUBLE), 6) AS cont_b_in_a",
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
+        )
+    )
+
+
 # Universal-hash minhash family: perm p = (A[p]*h + B[p]) % MOD over
 # one base hash h per shingle. A[p]*h stays under 2^63 (both factors
 # < MOD ~ 2^30), so the arithmetic is exact int64 in BOTH engines.

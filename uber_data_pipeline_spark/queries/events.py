@@ -390,7 +390,40 @@ def events_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: per day, how many active users are
+    NEW (first-ever activity that day) vs RETURNING — the
+    acquisition/retention split on every growth dashboard.
+
+    Scale shape: first-seen is one map-side-combined MIN aggregate
+    per user; the classification join is user-keyed (co-partitioned
+    with the distinct-activity aggregate); the final per-day rollup
+    reduces to date cardinality. No windows."""
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "to_date(ts) AS day"
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    active = ev.distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("active_users"),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)).alias(
+                "new_users"
+            ),
+        )
+        .selectExpr(
+            "day",
+            "active_users",
+            "new_users",
+            "active_users - new_users AS returning_users",
+        )
+    )
+
+
 QUERIES = {
+    "events_new_vs_returning": events_new_vs_returning,
     "events_profile_similarity": events_profile_similarity,
     "events_user_stickiness": events_user_stickiness,
     "events_json_kpis": events_json_kpis,
@@ -441,6 +474,25 @@ ORACLES = {
     # reads it truncated to microseconds, and DuckDB's CAST(ts AS
     # TIMESTAMP) truncates the same way — so every oracle casts first.
     "events_profile_similarity": _profile_similarity_oracle(),
+    "events_new_vs_returning": """
+        WITH ev AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+            FROM events
+        ), first_seen AS (
+            SELECT user_id, MIN(day) AS first_day FROM ev GROUP BY 1
+        ), active AS (
+            SELECT DISTINCT user_id, day FROM ev
+        )
+        SELECT day,
+               COUNT(*) AS active_users,
+               CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+                   AS new_users,
+               COUNT(*) - CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                   AS BIGINT) AS returning_users
+        FROM active JOIN first_seen USING (user_id)
+        GROUP BY 1
+    """,
     "events_user_stickiness": """
         WITH daily AS (
             SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,

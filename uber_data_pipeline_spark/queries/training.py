@@ -126,6 +126,7 @@ QUERIES = {
         multimodal.attach_media(_docs(spark, sf))
     ),
     "text_sentiment": lambda spark, sf: textops.sentiment_scores(_docs(spark, sf)),
+    "dedup_containment": lambda spark, sf: dedup.containment_pairs(_docs(spark, sf)),
 }
 
 
@@ -514,6 +515,24 @@ ORACLES = {
     "text_inverted_index": search.sql_inverted_index(),
     "multimodal_frame_sample": multimodal.sql_frame_sample(),
     "text_sentiment": textops.sql_sentiment_scores(),
+    "dedup_containment": f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(n_common / CAST(sa.sz AS DOUBLE), 6) AS cont_a_in_b,
+               ROUND(n_common / CAST(sb.sz AS DOUBLE), 6) AS cont_b_in_a
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_common / CAST(sa.sz AS DOUBLE), 6) >= {dedup.CONTAINMENT_THRESHOLD}
+           OR ROUND(n_common / CAST(sb.sz AS DOUBLE), 6) >= {dedup.CONTAINMENT_THRESHOLD}
+    """,
     "text_bm25_search": search.sql_bm25(),
     "text_tfidf_topk": search.sql_tfidf(),
     "documents_source_stats": """
