@@ -91,6 +91,69 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the nightly rollup
+    (revenue + order count per (status, month)) is NOT recomputed from
+    scratch when the delta batch lands — the delta is aggregated alone
+    and MERGED with the stored partial aggregate (sums add, counts
+    add). This query materializes base-side and delta-side partials
+    from the same CDC split used by `cdc_incremental_merge` and
+    returns the merged rollup; the oracle recomputes the rollup from
+    the full union, proving merge == recompute.
+
+    Scale shape: the base partial is month x status cardinality
+    (tiny, stored); only the DELTA is scanned and aggregated per
+    refresh — the 100 TB history is never re-read. Works because SUM
+    and COUNT are commutative monoids; AVG-style views must store
+    (sum, count) parts, which is exactly what this does.
+
+    Note: the CDC updates in the delta are new VERSIONS of existing
+    keys; for additive view maintenance each update contributes a
+    retraction of the old row + insertion of the new one, so the
+    delta partial here is built from (inserts + updates - retracted
+    old versions) — the retraction is the negated base row."""
+    base, delta = _cdc_frames(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+
+    def rollup(df: DataFrame, sign: int) -> DataFrame:
+        return (
+            df.join(orders, "o_orderkey")
+            .groupBy(month, F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.sum(
+                    (F.lit(sign) * F.col("o_totalprice")).cast("decimal(25,4)")
+                ).alias("rev_part"),
+                (F.lit(sign) * F.count("*")).alias("cnt_part"),
+            )
+        )
+
+    retracted = base.join(
+        delta.filter(F.col("o_orderstatus") == "U").select("o_orderkey"),
+        "o_orderkey",
+        "left_semi",
+    )
+    parts = (
+        rollup(base, 1)
+        .unionByName(rollup(delta, 1))
+        .unionByName(rollup(retracted, -1))
+    )
+    return (
+        parts.groupBy("month", "status")
+        .agg(
+            F.sum("rev_part").alias("rev_dec"),
+            F.sum("cnt_part").alias("n_orders"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .selectExpr(
+            "month",
+            "status",
+            "CAST(rev_dec AS DOUBLE) AS revenue",
+            "n_orders",
+        )
+    )
+
+
 def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dbt-test analog: the declared check suite (plans/checks.py
     — not_null / unique / accepted_values / relationships) over the
@@ -128,6 +191,7 @@ QUERIES = {
     "streaming_sessionization": sessionization_stream,
     "streaming_dedup": dedup_stream,
     "streaming_windowed_topk": windowed_topk_stream,
+    "incremental_agg_maintenance": incremental_agg_maintenance,
 }
 
 
@@ -270,6 +334,44 @@ ORACLES = {
     "streaming_dedup": """
         SELECT event_type, COUNT(DISTINCT event_id) AS n_events
         FROM events GROUP BY 1
+    """,
+    # merge == recompute: the oracle rebuilds the rollup from the
+    # fully merged (latest-version-wins) table
+    "incremental_agg_maintenance": f"""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderdate < TIMESTAMP '{CDC_CUTOFF}'
+        ),
+        delta AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderdate >= TIMESTAMP '{CDC_CUTOFF}'
+            UNION ALL
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   {_UPLIFT_SQL} AS o_totalprice
+            FROM base WHERE o_orderkey % {_UPDATE_EVERY} = 0
+        ),
+        unioned AS (
+            SELECT *, 0 AS src FROM base
+            UNION ALL
+            SELECT *, 1 AS src FROM delta
+        ),
+        ranked AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                       ORDER BY src DESC) AS rn
+            FROM unioned
+        ),
+        merged AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM ranked WHERE rn = 1
+        )
+        SELECT strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+               m.o_orderstatus AS status,
+               CAST(SUM(CAST(m.o_totalprice AS DECIMAL(25,4))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_orders
+        FROM merged m JOIN orders o USING (o_orderkey)
+        GROUP BY 1, 2
     """,
     "streaming_windowed_topk": f"""
         WITH base AS ({_EVENT_ORACLES["events_windowed_agg"]}),
