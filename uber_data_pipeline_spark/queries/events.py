@@ -422,7 +422,91 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATHS_TOPK = 25
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the most common 3-step event-type journeys
+    (A -> B -> C) across user sessions-in-order — the k-step
+    generalization of the 1-step transition matrix.
+
+    Scale shape: two lead() calls over the per-user time-ordered
+    window (bounded per-user cardinality, same partitioning both
+    windows — ONE shuffle + sort serves both), then a
+    map-side-combined path aggregate and a TakeOrdered top-k."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.withColumn("e2", F.lead("event_type").over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+        .selectExpr("concat(event_type, '>', e2, '>', e3) AS path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_journeys"))
+        .orderBy(F.desc("n_journeys"), "path")
+        .limit(PATHS_TOPK)
+    )
+
+
+BURST_TRAIL_HOURS = 6
+BURST_MIN_RATIO = 2.0
+
+
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection with a RANGE-frame window: hourly event counts
+    per type compared to the average over the PRECEDING
+    `BURST_TRAIL_HOURS` hours (range frame on the epoch-hour key, so
+    gaps in the series are handled correctly — a ROWS frame would
+    silently span them). Hours at >= BURST_MIN_RATIO x trailing
+    average are flagged.
+
+    Determinism: counts are exact ints; the trailing mean and ratio
+    are each ONE double division of exact ints, rounded once.
+
+    Scale shape: the window runs over ALREADY-REDUCED (type, hour)
+    rows partitioned by type — bounded rows per partition; the raw
+    scan only feeds a map-side-combined count."""
+    from pyspark.sql import Window
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT) AS epoch_hour",
+        )
+        .groupBy("event_type", "epoch_hour")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch_hour")
+        .rangeBetween(-BURST_TRAIL_HOURS, -1)
+    )
+    return (
+        hourly.withColumn("trail_n", F.sum("n_events").over(w))
+        .withColumn("trail_hours", F.count("*").over(w))
+        .filter(F.col("trail_hours") > 0)
+        .selectExpr(
+            "event_type",
+            "epoch_hour",
+            "n_events",
+            "round(trail_n / CAST(trail_hours AS DOUBLE), 6) AS trail_avg",
+            "round(n_events * trail_hours / CAST(trail_n AS DOUBLE), 6)"
+            " AS burst_ratio",
+        )
+        .filter(F.col("burst_ratio") >= BURST_MIN_RATIO)
+    )
+
+
 QUERIES = {
+    "events_top_paths": events_top_paths,
+    "events_burst_detection": events_burst_detection,
     "events_new_vs_returning": events_new_vs_returning,
     "events_profile_similarity": events_profile_similarity,
     "events_user_stickiness": events_user_stickiness,
@@ -474,6 +558,46 @@ ORACLES = {
     # reads it truncated to microseconds, and DuckDB's CAST(ts AS
     # TIMESTAMP) truncates the same way — so every oracle casts first.
     "events_profile_similarity": _profile_similarity_oracle(),
+    "events_top_paths": f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER w AS e2,
+                   LEAD(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        )
+        SELECT event_type || '>' || e2 || '>' || e3 AS path,
+               COUNT(*) AS n_journeys
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY 1
+        ORDER BY n_journeys DESC, path
+        LIMIT {PATHS_TOPK}
+    """,
+    "events_burst_detection": f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+                       AS epoch_hour,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), trail AS (
+            SELECT *, CAST(SUM(n_events) OVER w AS BIGINT) AS trail_n,
+                   COUNT(*) OVER w AS trail_hours
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY epoch_hour
+                         RANGE BETWEEN {BURST_TRAIL_HOURS} PRECEDING
+                         AND 1 PRECEDING)
+        )
+        SELECT event_type, epoch_hour, n_events,
+               ROUND(trail_n / CAST(trail_hours AS DOUBLE), 6) AS trail_avg,
+               ROUND(n_events * trail_hours / CAST(trail_n AS DOUBLE), 6)
+                   AS burst_ratio
+        FROM trail
+        WHERE trail_hours > 0
+          AND ROUND(n_events * trail_hours / CAST(trail_n AS DOUBLE), 6)
+              >= {BURST_MIN_RATIO}
+    """,
     "events_new_vs_returning": """
         WITH ev AS (
             SELECT user_id,
