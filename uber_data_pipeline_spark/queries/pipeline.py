@@ -321,12 +321,59 @@ _DQ_ORACLE = """
 # events queries, so they share those oracles (events.py).
 from uber_data_pipeline_spark.queries.events import ORACLES as _EVENT_ORACLES  # noqa: E402
 
+# the DAG build report is (model, n_rows) — deterministic, so the
+# oracle recomputes every model's cardinality from the same relations
+# (the materialization side effects stay untested by design; the
+# report content is what the run contract promises)
+_DAG_ORACLE = """
+    WITH stg AS (
+        SELECT o.o_orderkey, o.o_orderdate, n.n_nationkey AS nation_key,
+               n.n_name AS nation_name, n.n_regionkey, c.c_mktsegment
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT 'stg_pickups' AS model, CAST(COUNT(*) AS BIGINT) AS n_rows FROM stg
+    UNION ALL
+    SELECT 'top_3_bases_by_total_pickups',
+           LEAST(3, (SELECT COUNT(*) FROM
+               (SELECT 1 FROM stg GROUP BY nation_key, nation_name)))
+    UNION ALL
+    SELECT 'pickup_percentile_by_base_per_month',
+           (SELECT COUNT(*) FROM (SELECT 1 FROM stg GROUP BY
+               EXTRACT(MONTH FROM CAST(o_orderdate AS TIMESTAMP)), nation_name))
+    UNION ALL
+    SELECT 'top_3_pickup_dates_per_base',
+           (SELECT COUNT(*) FROM (
+               SELECT RANK() OVER (PARTITION BY nation_key
+                   ORDER BY cnt DESC) AS rnk
+               FROM (SELECT nation_key, nation_name,
+                            CAST(o_orderdate AS DATE) AS d, COUNT(*) AS cnt
+                     FROM stg GROUP BY 1, 2, 3))
+            WHERE rnk <= 3)
+    UNION ALL
+    SELECT 'pickup_count_vs_average_per_base',
+           (SELECT COUNT(*) FROM (SELECT 1 FROM stg GROUP BY nation_name,
+               EXTRACT(MONTH FROM CAST(o_orderdate AS TIMESTAMP))))
+    UNION ALL
+    SELECT 'unter_grun_pickups_in_bronx',
+           (SELECT COUNT(*) FROM stg s
+            JOIN region r ON r.r_regionkey = s.n_regionkey
+            WHERE s.nation_name IN ('NATION_1', 'NATION_6')
+              AND r.r_name = 'AMERICA')
+    UNION ALL
+    SELECT 'total_pickups_in_may_by_base',
+           (SELECT COUNT(*) FROM (SELECT 1 FROM stg
+            WHERE EXTRACT(MONTH FROM CAST(o_orderdate AS TIMESTAMP)) = 5
+            GROUP BY nation_name))
+"""
+
+
 ORACLES = {
     "cdc_incremental_merge": _CDC_ORACLE,
     "scd2_order_history": _SCD2_ORACLE,
     "data_quality_checks": _DQ_ORACLE,
-    # pipeline_dag_run: rows-only (materialization side effects + a
-    # report frame; not SQL-expressible)
+    "pipeline_dag_run": _DAG_ORACLE,
     "streaming_windowed_agg": _EVENT_ORACLES["events_windowed_agg"],
     "streaming_sessionization": _EVENT_ORACLES["events_sessionization"],
     # the redelivered duplicates must vanish: the deduped stream per
