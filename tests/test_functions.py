@@ -123,3 +123,40 @@ def test_pii_twins_and_fixpoint(spark, s):
             pattern,
             scrub_s,
         )
+
+
+vec_pairs = st.lists(
+    st.tuples(
+        st.floats(min_value=-8, max_value=8, allow_nan=False, width=32),
+        st.floats(min_value=-8, max_value=8, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(vec_pairs)
+def test_sq_l2_twins(spark, pairs):
+    """The PQ squared-L2 twin fragments must fold to the IDENTICAL
+    double in both engines (exact equality, not approx — the PQ code
+    assignment ranks on this value)."""
+    from uber_data_pipeline_spark.operators.similarity import _sq_l2_duck, _sq_l2_spark
+
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+    a_sp = "array(" + ", ".join(f"CAST({v!r} AS float)" for v in xs) + ")"
+    b_sp = "array(" + ", ".join(f"CAST({v!r} AS float)" for v in ys) + ")"
+    # literals go through ::DOUBLE first: DuckDB types a bare decimal
+    # literal as DECIMAL (losing digits past scale 18) before a ::FLOAT
+    # cast, which is a literal-parsing artifact the parquet-read path
+    # never hits
+    a_du = "[" + ", ".join(f"{v!r}::DOUBLE::FLOAT" for v in xs) + "]"
+    b_du = "[" + ", ".join(f"{v!r}::DOUBLE::FLOAT" for v in ys) + "]"
+    sp = spark.sql(
+        f"SELECT {_sq_l2_spark('a', 'b')} AS v FROM (SELECT {a_sp} AS a, {b_sp} AS b)"
+    ).collect()[0]["v"]
+    du = duckdb.sql(
+        f"SELECT {_sq_l2_duck('a', 'b')} AS v FROM (SELECT {a_du} AS a, {b_du} AS b)"
+    ).fetchone()[0]
+    assert sp == du, (sp, du, pairs)
