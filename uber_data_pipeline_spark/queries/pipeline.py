@@ -154,6 +154,43 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source-connector exercise as a query: stage the events
+    fact to CSV once (the landing-file format half the world's ingest
+    still arrives in), read it back through the PERMISSIVE
+    explicit-schema reader, and aggregate — the oracle computes the
+    same aggregate from the original parquet, so the roundtrip must
+    preserve
+    every value bit-exactly (doubles survive because the writer emits
+    shortest-roundtrip decimal strings).
+
+    Scale shape: the CSV read is splittable (no multiline), schema is
+    declared (no inference scan), and the aggregate is the standard
+    map-side-combined groupBy."""
+    from uber_data_pipeline_spark.sources.readers import read_csv
+
+    stage = os.path.join(
+        _ARTIFACT_DIR, "csv_stage", os.path.basename(sf_dir.rstrip("/"))
+    )
+    if not os.path.isdir(stage):
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value")
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(stage)
+        )
+    back = read_csv(
+        spark, stage, "event_id bigint, event_type string, value double"
+    )
+    from uber_data_pipeline_spark.functions.numeric import dsum
+
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
 def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dbt-test analog: the declared check suite (plans/checks.py
     — not_null / unique / accepted_values / relationships) over the
@@ -192,6 +229,7 @@ QUERIES = {
     "streaming_dedup": dedup_stream,
     "streaming_windowed_topk": windowed_topk_stream,
     "incremental_agg_maintenance": incremental_agg_maintenance,
+    "events_csv_roundtrip": events_csv_roundtrip,
 }
 
 
@@ -374,6 +412,13 @@ ORACLES = {
     "scd2_order_history": _SCD2_ORACLE,
     "data_quality_checks": _DQ_ORACLE,
     "pipeline_dag_run": _DAG_ORACLE,
+    # roundtrip == source-of-truth: aggregate straight off the parquet
+    "events_csv_roundtrip": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE)
+                   AS sum_value
+        FROM events GROUP BY 1
+    """,
     "streaming_windowed_agg": _EVENT_ORACLES["events_windowed_agg"],
     "streaming_sessionization": _EVENT_ORACLES["events_sessionization"],
     # the redelivered duplicates must vanish: the deduped stream per
