@@ -22,6 +22,7 @@ from uber_data_pipeline_spark.sources.cdc import merge_latest, scd2_history
 from uber_data_pipeline_spark.streaming.events import (
     dedup_stream,
     sessionization_stream,
+    stream_stream_join,
     windowed_agg_stream,
     windowed_topk_stream,
 )
@@ -230,6 +231,7 @@ QUERIES = {
     "streaming_windowed_topk": windowed_topk_stream,
     "incremental_agg_maintenance": incremental_agg_maintenance,
     "events_csv_roundtrip": events_csv_roundtrip,
+    "streaming_stream_join": stream_stream_join,
 }
 
 
@@ -412,6 +414,18 @@ ORACLES = {
     "scd2_order_history": _SCD2_ORACLE,
     "data_quality_checks": _DQ_ORACLE,
     "pipeline_dag_run": _DAG_ORACLE,
+    # the streamed interval join must equal the batch range join
+    "streaming_stream_join": """
+        SELECT v.user_id, COUNT(*) AS n_attributed
+        FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'view') v
+        JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'purchase') p
+          ON p.user_id = v.user_id
+         AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 30 MINUTES
+        GROUP BY 1
+    """,
     # roundtrip == source-of-truth: aggregate straight off the parquet
     "events_csv_roundtrip": """
         SELECT event_type, COUNT(*) AS n_events,

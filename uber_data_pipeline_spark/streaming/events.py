@@ -167,6 +167,45 @@ def _session_kernel(
     )
 
 
+ATTRIBUTION_WINDOW_MINUTES = 30
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every view joined to the same
+    user's purchases within the next ATTRIBUTION_WINDOW_MINUTES —
+    real-time attribution, the flagship two-sided stateful operator.
+    Both sides carry watermarks and the join carries a time-range
+    constraint, which is what lets Spark BOUND the join state: a
+    buffered view can be evicted once the purchase-side watermark
+    passes view_ts + window (without the constraint, both sides
+    buffer forever). The drained result reduces to attributed
+    purchase counts per user.
+
+    Scale shape: the join shuffles both streams on user_id (state
+    co-partitioned), state size ~= arrival-rate x (watermark + range
+    window) per side — independent of total stream length."""
+    ev = read_stream_events(spark, events_landing_dir(sf_dir))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .selectExpr("user_id AS v_user", "event_id AS view_id", "ts AS vts")
+        .withWatermark("vts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .selectExpr("user_id AS p_user", "event_id AS purchase_id", "ts AS pts")
+        .withWatermark("pts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"""v_user = p_user AND pts >= vts
+            AND pts <= vts + INTERVAL {ATTRIBUTION_WINDOW_MINUTES} MINUTES"""
+        ),
+    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
+    sink = _run_to_memory(joined, "append")
+    return sink.groupBy("user_id").agg(F.count("*").alias("n_attributed"))
+
+
 WINDOW_TOPK = 3
 
 
