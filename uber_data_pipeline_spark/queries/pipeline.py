@@ -173,7 +173,9 @@ def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(
         _ARTIFACT_DIR, "csv_stage", os.path.basename(sf_dir.rstrip("/"))
     )
-    if not os.path.isdir(stage):
+    # _SUCCESS, not directory existence: a crashed partial write must
+    # be re-staged, not trusted
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         (
             load_table(spark, sf_dir, "events")
             .select("event_id", "event_type", "value")
