@@ -169,7 +169,16 @@ def test_copurchase_pairs_partial_agg(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["events_windowed_agg", "customer_ltv_window", "top3_pickup_dates_per_base"]
+    "name",
+    [
+        "events_windowed_agg",
+        "customer_ltv_window",
+        "top3_pickup_dates_per_base",
+        "events_top_paths",
+        "events_burst_detection",
+        "parts_abc_by_nation",
+        "orders_yoy_growth",
+    ],
 )
 def test_windows_partitioned(spark, name):
     """No window function may run over a single global partition —
