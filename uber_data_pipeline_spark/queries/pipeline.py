@@ -194,6 +194,50 @@ def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GDPR_KEY_MOD = 1000
+GDPR_KEY_REMAINDER = 7
+
+
+def gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit: for a deterministic
+    deletion cohort (synthetic stand-in for the real request list),
+    count the rows each table would purge — the pre-delete impact
+    report a governed lake produces before destructive propagation.
+
+    Scale shape: the request list reduces to a small key relation and
+    broadcasts into LEFT SEMI joins per table (no fact-fact shuffle);
+    each per-table count is a one-row aggregate, unioned into the
+    report. The actual delete at scale is the same semi-join driving
+    a rewrite of affected partitions only."""
+    subjects_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % GDPR_KEY_MOD == GDPR_KEY_REMAINDER)
+    )
+    subjects_custs = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .filter(F.col("c_custkey") % GDPR_KEY_MOD == GDPR_KEY_REMAINDER)
+    )
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def purge_count(df: DataFrame, keys: DataFrame, on: str, name: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(keys), df[on] == keys[keys.columns[0]], "left_semi")
+            .agg(F.count("*").alias("n_rows_to_purge"))
+            .selectExpr(f"'{name}' AS table_name", "n_rows_to_purge")
+        )
+
+    return (
+        purge_count(events, subjects_users, "user_id", "events")
+        .unionByName(purge_count(orders, subjects_custs, "o_custkey", "orders"))
+        .unionByName(purge_count(customer, subjects_custs, "c_custkey", "customer"))
+    )
+
+
 def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dbt-test analog: the declared check suite (plans/checks.py
     — not_null / unique / accepted_values / relationships) over the
@@ -234,6 +278,7 @@ QUERIES = {
     "incremental_agg_maintenance": incremental_agg_maintenance,
     "events_csv_roundtrip": events_csv_roundtrip,
     "streaming_stream_join": stream_stream_join,
+    "gdpr_delete_audit": gdpr_delete_audit,
 }
 
 
@@ -416,6 +461,16 @@ ORACLES = {
     "scd2_order_history": _SCD2_ORACLE,
     "data_quality_checks": _DQ_ORACLE,
     "pipeline_dag_run": _DAG_ORACLE,
+    "gdpr_delete_audit": f"""
+        SELECT 'events' AS table_name, COUNT(*) AS n_rows_to_purge
+        FROM events WHERE user_id % {GDPR_KEY_MOD} = {GDPR_KEY_REMAINDER}
+        UNION ALL
+        SELECT 'orders', COUNT(*) FROM orders
+        WHERE o_custkey % {GDPR_KEY_MOD} = {GDPR_KEY_REMAINDER}
+        UNION ALL
+        SELECT 'customer', COUNT(*) FROM customer
+        WHERE c_custkey % {GDPR_KEY_MOD} = {GDPR_KEY_REMAINDER}
+    """,
     # the streamed interval join must equal the batch range join
     "streaming_stream_join": """
         SELECT v.user_id, COUNT(*) AS n_attributed
