@@ -115,17 +115,39 @@ def main() -> int:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # The driver captures stdout with a line-length bound (r1's full
+    # per-query map got truncated -> "parsed": null). Print a SHORT
+    # summary line FIRST — total/sf/count plus only the top-10 slowest
+    # queries — and write the complete per-query map to
+    # bench_detail.json next to this script.
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "total wall seconds, all registered queries",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": top10,
                 "sf": sf_val,
+                "n_queries": len(timings),
+                "detail": "bench_detail.json",
             }
         )
     )
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "total wall seconds, all registered queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            },
+            f,
+            indent=1,
+        )
     spark.stop()
     return 0
 

@@ -160,3 +160,19 @@ def test_sq_l2_twins(spark, pairs):
         f"SELECT {_sq_l2_duck('a', 'b')} AS v FROM (SELECT {a_du} AS a, {b_du} AS b)"
     ).fetchone()[0]
     assert sp == du, (sp, du, pairs)
+
+
+def test_compare_flags_dtype_only_mismatch():
+    """r1 regression: DuckDB SUM(int) -> HUGEINT -> float64 vs Spark
+    int64 hashed differently at the driver while the old compare()
+    passed (values equal cell-by-cell). compare() must now flag it."""
+    import pandas as pd
+
+    from uber_data_pipeline_spark.testing import compare
+
+    a = pd.DataFrame({"k": ["x", "y"], "n": pd.array([1, 2], dtype="int64")})
+    b = pd.DataFrame({"k": ["x", "y"], "n": pd.array([1.0, 2.0], dtype="float64")})
+    problems = compare("dtype_case", a, b)
+    assert problems and any("dtype mismatch" in p for p in problems)
+    # identical frames still pass
+    assert compare("same", a, a.copy()) == []

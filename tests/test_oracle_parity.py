@@ -27,6 +27,9 @@ def test_oracle_keys_subset_of_queries():
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, duck):
     sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    # operators cache self-join intermediates; drop them so storage
+    # memory doesn't accumulate across the 100+ queries this session runs
+    spark.catalog.clearCache()
     if name not in ORACLES:
         assert len(sdf) >= 0  # rows-only check for non-SQL-expressible ops
         return

@@ -49,6 +49,7 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
+            spark.catalog.clearCache()
             print(f"ok?  {name}: rows-only check, {len(sdf)} rows (no oracle)")
             continue
         try:
@@ -58,6 +59,12 @@ def main() -> int:
             print(f"FAIL {name}: oracle error: {e}")
             continue
         problems = compare(name, sdf, odf)
+        # operators cache intermediates (shingle arrays, signatures,
+        # basket relations) for their own multi-pass plans and cannot
+        # unpersist them before the caller's action runs; drop them
+        # here so storage memory doesn't accumulate across the sweep
+        # (same per-query discipline as bench.py)
+        spark.catalog.clearCache()
         if problems:
             failed.append(name)
             print(f"FAIL {name}: " + "; ".join(problems))

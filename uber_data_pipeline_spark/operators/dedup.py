@@ -14,6 +14,14 @@ inside whole-stage codegen and scale horizontally:
 - simhash: 32-bit signature per doc; pair search via the pigeonhole
   banded join (max_hamming+1 segments, exact-match bucket join).
 
+Cache contract: several operators `.cache()` an intermediate relation
+(shingle arrays, signatures) that feeds a self-join; the cache cannot
+be unpersisted inside the operator because the caller triggers the
+action after we return a lazy DataFrame. Harnesses that run many
+queries in one SparkSession (bench.py, tools/check_correctness.py)
+call `spark.catalog.clearCache()` after each query's action so cached
+relations never accumulate across queries.
+
 Min-hash trick: we need a hash family both the engine and the DuckDB
 oracle compute identically. md5 hex strings are uniform and ordered,
 so MIN(md5(perm_id || ':' || shingle)) over shingles IS a minhash —

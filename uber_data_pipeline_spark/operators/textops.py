@@ -503,12 +503,22 @@ def quality_buckets(docs: DataFrame) -> DataFrame:
     single row and broadcast back — no global sort, no global window.
     EXACT percentile collects values per reducer; at 100 TB swap in
     approx_percentile (mergeable t-digest, same call shape). The
-    bucket assignment is then row-local."""
+    bucket assignment is then row-local.
+
+    Determinism: the cutpoints go through CAST(.. AS DECIMAL(25,6)) —
+    deterministic HALF_UP in both engines — NOT round(double, 6),
+    whose tie-breaking differs between Spark (shortest-repr HALF_UP)
+    and DuckDB (binary-value rounding) when a cutpoint lands on a
+    .5e-7 representation boundary."""
     lo, hi = QUALITY_BUCKET_QS
     q = quality_scores(docs).select("doc_id", "quality_score")
     cuts = q.agg(
-        F.round(F.expr(f"percentile(quality_score, {lo})"), 6).alias("c_low"),
-        F.round(F.expr(f"percentile(quality_score, {hi})"), 6).alias("c_high"),
+        F.expr(
+            f"CAST(percentile(quality_score, {lo}) AS DECIMAL(25,6))"
+        ).alias("c_low"),
+        F.expr(
+            f"CAST(percentile(quality_score, {hi}) AS DECIMAL(25,6))"
+        ).alias("c_high"),
     )
     return q.crossJoin(F.broadcast(cuts)).selectExpr(
         "doc_id",
@@ -526,8 +536,8 @@ def sql_quality_buckets(quality_cte: str) -> str:
     return f"""
         WITH {quality_cte},
         cuts AS (
-            SELECT ROUND(quantile_cont(quality_score, {lo}), 6) AS c_low,
-                   ROUND(quantile_cont(quality_score, {hi}), 6) AS c_high
+            SELECT CAST(quantile_cont(quality_score, {lo}) AS DECIMAL(25,6)) AS c_low,
+                   CAST(quantile_cont(quality_score, {hi}) AS DECIMAL(25,6)) AS c_high
             FROM quality
         )
         SELECT doc_id, quality_score,
@@ -697,7 +707,10 @@ def sentiment_scores(docs: DataFrame) -> DataFrame:
         "n_tokens",
         "n_pos",
         "n_neg",
-        "round((n_pos - n_neg) / CAST(n_tokens AS DOUBLE), 6) AS polarity",
+        # zero-token guard: unguarded, Spark's non-ANSI x/0 yields NULL
+        # but DuckDB yields NaN — guard both twins identically
+        "CASE WHEN n_tokens = 0 THEN NULL "
+        "ELSE round((n_pos - n_neg) / CAST(n_tokens AS DOUBLE), 6) END AS polarity",
         "CASE WHEN n_pos > n_neg THEN 'positive' "
         "WHEN n_pos < n_neg THEN 'negative' ELSE 'neutral' END AS label",
     )
@@ -716,7 +729,9 @@ def sql_sentiment_scores() -> str:
             FROM tok
         )
         SELECT doc_id, n_tokens, n_pos, n_neg,
-               ROUND((n_pos - n_neg) / CAST(n_tokens AS DOUBLE), 6) AS polarity,
+               CASE WHEN n_tokens = 0 THEN NULL
+                    ELSE ROUND((n_pos - n_neg) / CAST(n_tokens AS DOUBLE), 6)
+               END AS polarity,
                CASE WHEN n_pos > n_neg THEN 'positive'
                     WHEN n_pos < n_neg THEN 'negative'
                     ELSE 'neutral' END AS label

@@ -930,10 +930,10 @@ ORACLES = {
     """,
     "tpch_q12_priority_lines": """
         SELECT l.l_returnflag AS return_flag,
-               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -500,7 +500,7 @@ ORACLES = {
             FROM t WHERE n_tokens > 0
         )
         SELECT doc_id, shard, n_tokens,
-               end_offset - n_tokens AS start_offset,
+               CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
                CAST(floor((end_offset - n_tokens) / {textops.PACK_MAX_LEN}) AS BIGINT) AS pack_first,
                CAST(floor((end_offset - 1) / {textops.PACK_MAX_LEN}) AS BIGINT) AS pack_last
         FROM offs

@@ -175,7 +175,10 @@ def jdbc_read_options(
     Spark issues ``num_partitions`` range-predicated queries in
     parallel; ``fetchsize`` keeps the driver-side row buffer bounded
     (Postgres defaults to all-rows-at-once otherwise)."""
-    if (partition_column is None) != (lower_bound is None or upper_bound is None):
+    part_params = (partition_column, lower_bound, upper_bound)
+    if any(p is None for p in part_params) and any(
+        p is not None for p in part_params
+    ):
         raise ValueError(
             "partition_column, lower_bound and upper_bound must be set together"
         )
