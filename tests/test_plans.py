@@ -187,3 +187,14 @@ def test_windows_partitioned(spark, name):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "SinglePartition" not in line, f"{name}: global window\n{line}"
+
+
+def test_embedding_dedup_is_bucket_local(spark):
+    """dedup_embedding_cosine must run the banded-SRP plan: a
+    single-relation groupBy(band, bucket) kernel
+    (FlatMapGroupsInPandas), NOT the exact path's n_blocks x n_blocks
+    cogroup cell fan-out (FlatMapCoGroupsInPandas) — candidates stay
+    bucket-local so the pair work shards with the buckets."""
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+    assert "FlatMapCoGroupsInPandas" not in plan, plan[:2000]

@@ -88,3 +88,64 @@ def test_prefix_filter_jaccard_is_lossless(spark):
     naive = {tuple(r) for r in ngram_jaccard_pairs(docs, 0.5).collect()}
     assert prefix == naive
     assert prefix  # non-trivial on this corpus
+
+
+def test_banded_cosine_pairs_is_lossless_here(spark):
+    """The banded-SRP candidate path (dedup_embedding_cosine's plan)
+    must reproduce the exact tiled all-pairs engine EXACTLY on this
+    corpus — same pairs, same cosines. This is the pin that lets the
+    registry keep the exact SQL oracle while running the bucketed
+    plan; recall was measured 0-missed at sf0.001/0.01/0.1 for the
+    (SRP_BANDS x SRP_BAND_BITS) fallback this threshold selects."""
+    from uber_data_pipeline_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_banded,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    banded = {tuple(r) for r in cosine_pairs_banded(emb, 0.4).collect()}
+    exact = {tuple(r) for r in cosine_pairs(emb, 0.4).collect()}
+    assert banded == exact
+    assert banded  # non-trivial on this corpus
+
+
+def test_srp_band_plan_sizing():
+    """The (bits, bands) cost model: prunes hard at real near-dup
+    thresholds, admits it can't at low ones, and always meets the
+    recall bound it was asked for."""
+    import math
+
+    from uber_data_pipeline_spark.operators.similarity import (
+        SRP_BAND_BITS,
+        SRP_BANDS,
+        srp_band_plan,
+    )
+
+    r9, b9, prunes9 = srp_band_plan(0.9)
+    assert prunes9 and b9 / 2**r9 < 0.05  # >20x pruning at tau=0.9
+    r8, b8, prunes8 = srp_band_plan(0.8)
+    assert prunes8 and b8 / 2**r8 < 0.2
+    # the recall bound holds for the returned plan
+    for tau, (r, b) in ((0.9, (r9, b9)), (0.8, (r8, b8))):
+        p = 1 - math.acos(tau) / math.pi
+        assert (1 - p**r) ** b <= 1e-3
+    # low threshold: not prunable, falls back to the validated setting
+    r4, b4, prunes4 = srp_band_plan(0.4)
+    assert not prunes4
+    assert (SRP_BAND_BITS, SRP_BANDS) == (2, 16)
+
+
+def test_auto_sizing_functions():
+    from uber_data_pipeline_spark.operators.similarity import (
+        auto_blocks,
+        auto_lsh_bits,
+    )
+
+    assert auto_blocks(0) == 1
+    assert auto_blocks(500) == 1
+    assert auto_blocks(4096) == 1
+    assert auto_blocks(4097) == 2
+    assert auto_blocks(1_000_000) == 245
+    assert auto_lsh_bits(500) == 4
+    assert auto_lsh_bits(1_000_000) == 12
+    assert 20 <= auto_lsh_bits(1_000_000_000) <= 24

@@ -25,6 +25,7 @@ tie-breaker, so rank boundaries cannot flip on summation-order noise.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -35,6 +36,72 @@ from pyspark.sql import functions as F
 COSINE_ROUND = 6
 LSH_BITS = 8
 DEFAULT_BLOCKS = 4  # raise ~ sqrt(n_rows / rows_per_cell) at larger n
+
+# --------------------------------------------------------- auto-sizing
+#
+# The gemm/LSH constants above are the small-corpus defaults; these
+# derive them from corpus size so the operators keep bounded cells
+# without manual retuning (unit-tested in tests/test_functions.py).
+
+ROWS_PER_GEMM_BLOCK = 4096  # (4096, 64) f64 block = 2 MiB per cogroup side
+TARGET_BUCKET_ROWS = 256  # expected SRP bucket size the rerank gemm sees
+
+
+def auto_blocks(n_rows: int) -> int:
+    """Tile count for the exact gemm paths: keeps each cogroup cell at
+    ~ROWS_PER_GEMM_BLOCK rows per side regardless of corpus size."""
+    return max(1, math.ceil(max(n_rows, 0) / ROWS_PER_GEMM_BLOCK))
+
+
+def auto_lsh_bits(n_rows: int) -> int:
+    """SRP bit width for bucketed ANN: expected bucket size is
+    n/2^bits, so bits tracks log2(n / TARGET_BUCKET_ROWS); clamped to
+    [4, 24] (below 4 buckets stop separating, above 24 buckets go
+    mostly empty and recall collapses)."""
+    if n_rows <= TARGET_BUCKET_ROWS:
+        return 4
+    return min(24, max(4, round(math.log2(n_rows / TARGET_BUCKET_ROWS))))
+
+
+def srp_band_plan(
+    threshold: float, target_miss: float = 1e-3, max_bits: int = 12, max_bands: int = 64
+) -> tuple[int, int, bool]:
+    """Choose (band_bits r, n_bands B, prunes) for banded-SRP candidate
+    generation at a cosine threshold.
+
+    Math: two vectors at angle θ agree on one SRP bit with
+    p = 1 - θ/π, so a pair AT the threshold collides in one r-bit band
+    with p^r and is missed by all B bands with (1 - p^r)^B ≤
+    target_miss ⇒ B = ceil(ln(target_miss) / ln(1 - p^r)). A RANDOM
+    pair (cosine ~ 0) collides with 2^-r per band, so candidate volume
+    relative to the exact all-pairs scan is ~B/2^r. We pick the r ≤
+    max_bits whose recall-satisfying B ≤ max_bands (replication cap —
+    each row is shuffled B times) minimizes B/2^r; `prunes` reports
+    whether that minimum beats exact (< 1).
+
+    Honest limit, measured on the synthetic corpus: at τ=0.4 (the
+    registry's near-dup threshold; p=0.63) NO (r, B) under the caps
+    prunes — B/2^r bottoms out ≈ 2.6 — because low-threshold
+    similarity is simply not LSH-prunable; the caller falls back to
+    the validated-lossless (SRP_BAND_BITS, SRP_BANDS) setting. At real
+    near-dup thresholds the plan prunes hard: τ=0.8 → (9, 51),
+    ~10× fewer candidates than exact; τ=0.9 → (12, 41), ~100×."""
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    best: tuple[int, int, float] | None = None
+    for r in range(1, max_bits + 1):
+        pr = p**r
+        if pr >= 1.0:
+            continue
+        bands = max(1, math.ceil(math.log(target_miss) / math.log(1.0 - pr)))
+        if bands > max_bands:
+            continue
+        cost = bands / 2.0**r
+        if best is None or cost < best[2]:
+            best = (r, bands, cost)
+    if best is None:  # threshold so low no capped plan reaches the recall
+        return SRP_BAND_BITS, SRP_BANDS, False
+    r, bands, cost = best
+    return r, bands, cost < 1.0
 
 
 def _stack(series: pd.Series) -> np.ndarray:
@@ -78,9 +145,16 @@ def _blocked(
 
 
 def cosine_pairs(
-    emb: DataFrame, threshold: float, n_blocks: int = DEFAULT_BLOCKS
+    emb: DataFrame, threshold: float, n_blocks: int | None = DEFAULT_BLOCKS
 ) -> DataFrame:
-    """All unordered pairs with cosine >= threshold (embedding near-dup)."""
+    """All unordered pairs with cosine >= threshold (embedding near-dup).
+
+    This is the EXACT all-pairs engine — O(n²) compute by definition —
+    kept as the small-corpus path and the recall yardstick;
+    :func:`cosine_pairs_banded` is the bucketed scale path. Pass
+    ``n_blocks=None`` to size the tiling from the corpus row count."""
+    if n_blocks is None:
+        n_blocks = auto_blocks(emb.count())
     left = _blocked(emb, n_blocks, explode_col="cb", mod_col="qb", prefix="q")
     right = _blocked(emb, n_blocks, explode_col="qb", mod_col="cb", prefix="n")
 
@@ -139,11 +213,14 @@ def _local_topk_kernel(k: int):
 
 
 def brute_force_topk(
-    emb: DataFrame, k: int, n_blocks: int = DEFAULT_BLOCKS
+    emb: DataFrame, k: int, n_blocks: int | None = DEFAULT_BLOCKS
 ) -> DataFrame:
     """Exact cosine top-k neighbors per vector: per-cell gemm emits k
     local candidates per query, a global rank window merges the
-    n_blocks*k candidates (tiny) into the exact top-k."""
+    n_blocks*k candidates (tiny) into the exact top-k. Pass
+    ``n_blocks=None`` to size the tiling from the corpus row count."""
+    if n_blocks is None:
+        n_blocks = auto_blocks(emb.count())
     left = _blocked(emb, n_blocks, explode_col="cb", mod_col="qb", prefix="q")
     right = _blocked(emb, n_blocks, explode_col="qb", mod_col="cb", prefix="n")
     candidates = (
@@ -278,6 +355,100 @@ def with_srp_bucket(emb: DataFrame, n_bits: int = LSH_BITS) -> DataFrame:
             yield pd.Series((signs @ weights).astype(np.int32))
 
     return emb.withColumn("bucket", bucket_udf(F.col("embedding")))
+
+
+# SRP_BANDS x SRP_BAND_BITS is the recall-validated fallback when
+# srp_band_plan reports the threshold is not prunable: measured 100%
+# recall vs the exact path at τ=0.4 on the synthetic corpus at
+# sf0.001/0.01/0.1 (66/59/920 qualifying pairs, 0 missed) — pinned by
+# tests/test_scale_paths.py. At 2 bits a random pair collides in a
+# band with 1/4, so candidate volume is bounded ~4n² pair-scores — a
+# constant factor over exact, but executed as per-bucket BLAS gemms
+# with bucket-local shuffles, which is the shape that scales out.
+SRP_BAND_BITS = 2
+SRP_BANDS = 16
+
+
+def with_srp_band_buckets(
+    emb: DataFrame, n_bands: int, band_bits: int
+) -> DataFrame:
+    """Append an array of ``n_bands`` SRP bucket ids (band b uses the
+    global hyperplane rows b*band_bits .. b*band_bits+band_bits-1, so
+    bands are independent). One (n, d) x (d, bands*bits) gemm per
+    Arrow batch — the model is derived, never stored or broadcast."""
+    total_bits = n_bands * band_bits
+
+    @F.pandas_udf("array<int>")
+    def bands_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        h_t: np.ndarray | None = None
+        weights = (1 << np.arange(band_bits)).astype(np.int64)
+        for ser in batches:
+            if ser.empty:
+                yield pd.Series([], dtype="object")
+                continue
+            mat = _stack(ser)
+            if h_t is None:
+                h_t = srp_hyperplanes(total_bits, mat.shape[1]).T
+            signs = (mat @ h_t) >= 0  # (n, total_bits)
+            codes = [
+                (signs[:, b * band_bits : (b + 1) * band_bits] @ weights).astype(
+                    np.int32
+                )
+                for b in range(n_bands)
+            ]
+            stacked = np.stack(codes, axis=1)  # (n, n_bands)
+            yield pd.Series(list(stacked))
+
+    return emb.withColumn("band_buckets", bands_udf(F.col("embedding")))
+
+
+def cosine_pairs_banded(
+    emb: DataFrame,
+    threshold: float,
+    n_bands: int | None = None,
+    band_bits: int | None = None,
+) -> DataFrame:
+    """All unordered pairs with cosine >= threshold via banded-SRP
+    candidate generation + exact in-bucket verification — the scale
+    path for embedding near-dup (same output contract as
+    :func:`cosine_pairs`, which remains the exact small-corpus path).
+
+    Plan shape: one narrow Arrow pass computes every band bucket,
+    posexplode replicates each row n_bands times (a constant), ONE
+    shuffle groups by (band, bucket), each group runs a dense gemm and
+    emits only pairs over the threshold, and a final tiny groupBy
+    dedups pairs that collided in several bands. Candidate work is
+    bucket-local — there is no n_blocks x n_blocks cell fan-out and
+    no O(n^2) compute when srp_band_plan prunes; see srp_band_plan's
+    docstring for the τ-dependent honesty about when it can't."""
+    if n_bands is None or band_bits is None:
+        r, bands, prunes = srp_band_plan(threshold)
+        if not prunes:
+            r, bands = SRP_BAND_BITS, SRP_BANDS
+        band_bits, n_bands = r, bands
+    bucketed = with_srp_band_buckets(emb, n_bands, band_bits).select(
+        "vec_id", "embedding", F.posexplode("band_buckets").alias("band", "bucket")
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        if len(pdf) < 2:
+            return empty
+        mat = _normalize(_stack(pdf["embedding"]))
+        sims = np.round(mat @ mat.T, COSINE_ROUND)
+        ids = pdf["vec_id"].to_numpy()
+        i, j = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"vec_a": ids[i], "vec_b": ids[j], "cosine": sims[i, j]})
+
+    candidates = bucketed.groupBy("band", "bucket").applyInPandas(
+        score, "vec_a long, vec_b long, cosine double"
+    )
+    # a qualifying pair surfaces once per colliding band with an
+    # IDENTICAL cosine (same float inputs, same gemm rounding), so
+    # min() is pure dedup, not a numeric choice
+    return candidates.groupBy("vec_a", "vec_b").agg(
+        F.min("cosine").alias("cosine")
+    )
 
 
 def lsh_topk(emb: DataFrame, k: int, n_bits: int = LSH_BITS) -> DataFrame:

@@ -61,7 +61,10 @@ QUERIES = {
         _docs(spark, sf), EST_JACCARD_THRESHOLD
     ),
     "dedup_simhash": lambda spark, sf: dedup.simhash_pairs(_docs(spark, sf)),
-    "dedup_embedding_cosine": lambda spark, sf: similarity.cosine_pairs(
+    # banded-SRP candidates + exact in-bucket verify (the scale path;
+    # pinned equal to the exact cosine_pairs engine on this corpus by
+    # tests/test_scale_paths.py, so the exact SQL oracle stays valid)
+    "dedup_embedding_cosine": lambda spark, sf: similarity.cosine_pairs_banded(
         _emb(spark, sf), COSINE_NEAR_DUP
     ),
     "ann_bruteforce_topk": lambda spark, sf: similarity.brute_force_topk(
@@ -83,7 +86,9 @@ QUERIES = {
         _docs(spark, sf), PREP_MIN_QUALITY, PREP_MIN_TOKENS
     ),
     "dedup_clusters": lambda spark, sf: dedup.connected_components(
-        similarity.cosine_pairs(_emb(spark, sf), COSINE_NEAR_DUP), "vec_a", "vec_b"
+        similarity.cosine_pairs_banded(_emb(spark, sf), COSINE_NEAR_DUP),
+        "vec_a",
+        "vec_b",
     ).withColumnRenamed("doc_id", "vec_id"),
     "documents_stratified_sample": lambda spark, sf: stratified_sample(
         _docs(spark, sf).select("doc_id", "lang"), "doc_id", "lang", SAMPLE_RATES
