@@ -30,8 +30,9 @@ PARITY = {
 
 def test_topo_order_puts_staging_first():
     order = [m.name for m in build_registry().topo_order()]
-    assert order[0] == "stg_pickups"
-    assert len(order) == 7
+    # both roots (staging join + the incremental rollup) precede every mart
+    assert set(order[:2]) == {"stg_pickups", "monthly_status_rollup"}
+    assert len(order) == 8
 
 
 def test_selection_pulls_upstreams():

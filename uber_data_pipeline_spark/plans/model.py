@@ -17,6 +17,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 @dataclass(frozen=True)
+class IncrementalSpec:
+    """dbt-incremental materialization contract for a model whose SQL
+    contains an ``{incremental_filter}`` placeholder: on a full build
+    the placeholder becomes ``1=1``; on a refresh it becomes the delta
+    predicate and the delta's partial rows are MERGED with the stored
+    table by summing the additive columns per key — valid because the
+    additive columns are commutative monoids (SUM/COUNT parts), the
+    same algebra proven by incremental_agg_maintenance
+    (queries/pipeline.py)."""
+
+    keys: tuple[str, ...]
+    additive: tuple[str, ...]
+    event_col: str  # the high-watermark column the delta filter cuts on
+
+
+@dataclass(frozen=True)
 class Model:
     name: str
     deps: tuple[str, ...]
@@ -24,10 +40,20 @@ class Model:
     sql: str | None = None
     fn: Callable[[SparkSession], DataFrame] | None = None
     description: str = ""
+    # cron string — the Dagster ScheduleDefinition analog (the
+    # reference runs its asset graph @daily,
+    # /root/reference/Dagster_Files/definitions.py); None = unscheduled
+    schedule: str | None = None
+    incremental: IncrementalSpec | None = None
 
-    def build(self, spark: SparkSession) -> DataFrame:
+    def build(
+        self, spark: SparkSession, incremental_filter: str = "1=1"
+    ) -> DataFrame:
         if self.sql is not None:
-            return spark.sql(self.sql)
+            sql = self.sql
+            if self.incremental is not None:
+                sql = sql.format(incremental_filter=incremental_filter)
+            return spark.sql(sql)
         assert self.fn is not None, f"model {self.name} has neither sql nor fn"
         return self.fn(spark)
 
@@ -42,8 +68,25 @@ class ModelRegistry:
         self.models[model.name] = model
         return model
 
-    def sql_model(self, name: str, deps: tuple[str, ...], sql: str, description: str = "") -> Model:
-        return self.register(Model(name=name, deps=deps, sql=sql, description=description))
+    def sql_model(
+        self,
+        name: str,
+        deps: tuple[str, ...],
+        sql: str,
+        description: str = "",
+        schedule: str | None = None,
+        incremental: IncrementalSpec | None = None,
+    ) -> Model:
+        return self.register(
+            Model(
+                name=name,
+                deps=deps,
+                sql=sql,
+                description=description,
+                schedule=schedule,
+                incremental=incremental,
+            )
+        )
 
     def topo_order(self, select: set[str] | None = None) -> list[Model]:
         """Kahn topological order over the selected models and all of

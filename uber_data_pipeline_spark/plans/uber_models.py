@@ -9,9 +9,13 @@ SQL views playing the warehouse relations.
 from __future__ import annotations
 
 from uber_data_pipeline_spark.functions.datetime import MONTH_NAME_CASE_SQL
-from uber_data_pipeline_spark.plans.model import ModelRegistry
+from uber_data_pipeline_spark.plans.model import IncrementalSpec, ModelRegistry
 
 _MONTH_CASE = MONTH_NAME_CASE_SQL.format(col="month_num")
+
+# the reference's ScheduleDefinition: every asset materializes on the
+# @daily tick (Dagster_Files/definitions.py:17-20, cron "0 0 * * *")
+DAILY = "0 0 * * *"
 
 
 def build_registry() -> ModelRegistry:
@@ -21,6 +25,7 @@ def build_registry() -> ModelRegistry:
         "stg_pickups",
         deps=("orders", "customer", "nation"),
         description="fact JOIN base dim: the shared staging relation",
+        schedule=DAILY,
         sql="""
             SELECT o.o_orderkey, o.o_orderdate, o.o_custkey,
                    n.n_nationkey AS nation_key, n.n_name AS nation_name,
@@ -33,6 +38,7 @@ def build_registry() -> ModelRegistry:
 
     r.sql_model(
         "top_3_bases_by_total_pickups",
+        schedule=DAILY,
         deps=("stg_pickups",),
         description="ref model top_3_base_names_by_total_pickups.sql",
         sql="""
@@ -46,6 +52,7 @@ def build_registry() -> ModelRegistry:
 
     r.sql_model(
         "pickup_percentile_by_base_per_month",
+        schedule=DAILY,
         deps=("stg_pickups",),
         description="ref model pickup_percentile_by_base_per_month.sql",
         sql=f"""
@@ -63,6 +70,7 @@ def build_registry() -> ModelRegistry:
 
     r.sql_model(
         "top_3_pickup_dates_per_base",
+        schedule=DAILY,
         deps=("stg_pickups",),
         description="ref model top_3_pickup_dates_per_base.sql",
         sql="""
@@ -82,6 +90,7 @@ def build_registry() -> ModelRegistry:
 
     r.sql_model(
         "pickup_count_vs_average_per_base",
+        schedule=DAILY,
         deps=("stg_pickups",),
         description="ref model pickup_count_vs_average_per_base.sql",
         sql=f"""
@@ -100,6 +109,7 @@ def build_registry() -> ModelRegistry:
 
     r.sql_model(
         "unter_grun_pickups_in_bronx",
+        schedule=DAILY,
         deps=("stg_pickups", "region"),
         description="ref model unter_grun_pickups_in_bronx.sql",
         sql="""
@@ -114,6 +124,7 @@ def build_registry() -> ModelRegistry:
 
     r.sql_model(
         "total_pickups_in_may_by_base",
+        schedule=DAILY,
         deps=("stg_pickups",),
         description="ref model total_pickups_in_may_by_base.sql",
         sql="""
@@ -122,6 +133,33 @@ def build_registry() -> ModelRegistry:
             WHERE MONTH(o_orderdate) = 5
             GROUP BY 1
             ORDER BY pickups_in_may DESC, nation_name ASC
+        """,
+    )
+
+    # dbt-style INCREMENTAL model: full builds substitute 1=1 for the
+    # placeholder; scheduled refreshes aggregate only the delta window
+    # and merge by summing the additive part columns per key (the
+    # commutative-monoid maintenance proven by
+    # incremental_agg_maintenance). The part columns stay DECIMAL so
+    # merge order can never change the float result.
+    r.sql_model(
+        "monthly_status_rollup",
+        schedule=DAILY,
+        deps=("orders",),
+        description="incremental revenue/count rollup per (month, status)",
+        incremental=IncrementalSpec(
+            keys=("month", "status"),
+            additive=("revenue_part", "n_orders"),
+            event_col="o_orderdate",
+        ),
+        sql="""
+            SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                   o_orderstatus AS status,
+                   SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS revenue_part,
+                   COUNT(*) AS n_orders
+            FROM orders
+            WHERE {incremental_filter}
+            GROUP BY 1, 2
         """,
     )
 

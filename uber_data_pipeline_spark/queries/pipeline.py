@@ -266,8 +266,99 @@ def pipeline_dag_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_dag_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt-incremental materialization wired through the DAG
+    registry: `monthly_status_rollup` (plans/uber_models.py, declared
+    with an IncrementalSpec) is fully built over the pre-cutoff window
+    (the previous @daily run), then REFRESHED from only the post-cutoff
+    delta via plans.dag.refresh_incremental — partial decimal sums
+    merged per (month, status). The oracle recomputes the rollup from
+    the full table, proving incremental == full rebuild.
+
+    Scale shape: the refresh scans only the delta (event-time
+    predicate pushed to the scan); history is touched only as its
+    already-reduced partial rows (key-cardinality, tiny)."""
+    from uber_data_pipeline_spark.plans.dag import refresh_incremental
+    from uber_data_pipeline_spark.plans.uber_models import build_registry
+
+    out_dir = os.path.join(
+        _ARTIFACT_DIR, "dag_incr", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    merged = refresh_incremental(
+        spark,
+        build_registry(),
+        "monthly_status_rollup",
+        sf_dir,
+        out_dir,
+        base_filter=f"o_orderdate < TIMESTAMP '{CDC_CUTOFF}'",
+        delta_filter=f"o_orderdate >= TIMESTAMP '{CDC_CUTOFF}'",
+    )
+    return merged.selectExpr(
+        "month",
+        "status",
+        "CAST(revenue_part AS DOUBLE) AS revenue",
+        "CAST(n_orders AS BIGINT) AS n_orders",
+    )
+
+
+def dag_schedules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ScheduleDefinition surface: (model, cron, n_deps,
+    is_incremental) for every registered model — "what runs when"
+    (reference: the @daily ScheduleDefinition over the Dagster asset
+    graph, Dagster_Files/definitions.py:17-20). Pure metadata, but
+    value-checked: the oracle pins the declared schedule table."""
+    from uber_data_pipeline_spark.plans.dag import schedule_report
+    from uber_data_pipeline_spark.plans.uber_models import build_registry
+
+    return spark.createDataFrame(
+        schedule_report(build_registry()),
+        "model string, schedule string, n_deps int, is_incremental boolean",
+    )
+
+
+MERGE_SINK_PARTS = 16
+
+
+def cdc_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-into-storage: the CDC delta is UPSERTED into a partitioned
+    parquet target via sources.writers.merge_upsert_partitioned
+    (partition-pruned read of touched partitions, anti-join out
+    replaced keys, dynamic partition overwrite) — the BigQuery-MERGE
+    role in the reference's load step, on a plain parquet lake. The
+    re-read table must equal the pure-relational CDC merge, so this
+    entry shares `cdc_incremental_merge`'s oracle."""
+    from uber_data_pipeline_spark.sources.writers import merge_upsert_partitioned
+
+    base, delta = _cdc_frames(spark, sf_dir)
+    part = (F.col("o_orderkey") % MERGE_SINK_PARTS).cast("int")
+    target = os.path.join(
+        _ARTIFACT_DIR, "merge_sink", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    base.withColumn("pk_mod", part).write.partitionBy("pk_mod").mode(
+        "overwrite"
+    ).parquet(target)
+    merge_upsert_partitioned(
+        spark,
+        target,
+        delta.withColumn("pk_mod", part),
+        ["o_orderkey"],
+        "pk_mod",
+    )
+    return spark.read.parquet(target).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("total_price"),
+        "version",
+    )
+
+
 QUERIES = {
     "cdc_incremental_merge": cdc_incremental_merge,
+    "cdc_merge_sink": cdc_merge_sink,
+    "pipeline_dag_incremental": pipeline_dag_incremental,
+    "dag_schedules": dag_schedules,
     "scd2_order_history": scd2_order_history,
     "data_quality_checks": data_quality_checks,
     "pipeline_dag_run": pipeline_dag_run,
@@ -453,11 +544,44 @@ _DAG_ORACLE = """
            (SELECT COUNT(*) FROM (SELECT 1 FROM stg
             WHERE EXTRACT(MONTH FROM CAST(o_orderdate AS TIMESTAMP)) = 5
             GROUP BY nation_name))
+    UNION ALL
+    SELECT 'monthly_status_rollup',
+           (SELECT COUNT(*) FROM (SELECT 1 FROM orders
+            GROUP BY strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m'),
+                     o_orderstatus))
+"""
+
+# incremental == full rebuild: the oracle recomputes the rollup from
+# the entire orders table in one pass
+_DAG_INCR_ORACLE = """
+    SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+           o_orderstatus AS status,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+"""
+
+_SCHEDULES_ORACLE = """
+    SELECT * FROM (VALUES
+        ('monthly_status_rollup',            '0 0 * * *', 1, TRUE),
+        ('pickup_count_vs_average_per_base', '0 0 * * *', 1, FALSE),
+        ('pickup_percentile_by_base_per_month', '0 0 * * *', 1, FALSE),
+        ('stg_pickups',                      '0 0 * * *', 3, FALSE),
+        ('top_3_bases_by_total_pickups',     '0 0 * * *', 1, FALSE),
+        ('top_3_pickup_dates_per_base',      '0 0 * * *', 1, FALSE),
+        ('total_pickups_in_may_by_base',     '0 0 * * *', 1, FALSE),
+        ('unter_grun_pickups_in_bronx',      '0 0 * * *', 2, FALSE)
+    ) AS t(model, schedule, n_deps, is_incremental)
 """
 
 
 ORACLES = {
     "cdc_incremental_merge": _CDC_ORACLE,
+    # the lake upsert must land exactly the relational merge result
+    "cdc_merge_sink": _CDC_ORACLE,
+    "pipeline_dag_incremental": _DAG_INCR_ORACLE,
+    "dag_schedules": _SCHEDULES_ORACLE,
     "scd2_order_history": _SCD2_ORACLE,
     "data_quality_checks": _DQ_ORACLE,
     "pipeline_dag_run": _DAG_ORACLE,

@@ -17,6 +17,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -61,6 +62,49 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    part_col: str,
+) -> None:
+    """MERGE INTO for a plain parquet lake: upsert ``changes`` into
+    the table at ``target_path`` (partitioned by ``part_col``, which
+    must be present in ``changes``) — the role BigQuery's MERGE plays
+    in the reference's Airbyte->BigQuery load (`Diary of Making.md`
+    §3-4), and what Delta/Iceberg MERGE does, reduced to the
+    partition-overwrite upsert pattern that needs no table format:
+
+    1. the partitions touched by ``changes`` are identified (the
+       collect is bounded by partition cardinality, a layout constant);
+    2. ONLY those partitions are read back (partition pruning — the
+       predicate is on the partition column), matched rows are
+       anti-joined out, and the change rows unioned in;
+    3. dynamic partition overwrite rewrites exactly those partitions;
+       untouched partitions are never read or written.
+
+    At 100 TB the cost is proportional to the churned partitions, not
+    the table. Not transactional across partitions (that's what a
+    table format adds); each partition swap is atomic at the
+    directory level."""
+    changed = [r[0] for r in changes.select(part_col).distinct().collect()]
+    stored = spark.read.parquet(target_path).filter(
+        F.col(part_col).isin(changed)
+    )
+    surviving = stored.join(
+        changes.select(*key_cols), key_cols, "left_anti"
+    )
+    merged = surviving.unionByName(changes)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # localCheckpoint: the merged plan reads the same files it is about
+    # to overwrite — materialize it first or the overwrite would corrupt
+    # its own input mid-job
+    merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+        part_col
+    ).parquet(target_path)
 
 
 def write_orc(
