@@ -198,3 +198,73 @@ def test_embedding_dedup_is_bucket_local(spark):
     plan = plan_of(spark, "dedup_embedding_cosine")
     assert "FlatMapGroupsInPandas" in plan, plan[:2000]
     assert "FlatMapCoGroupsInPandas" not in plan, plan[:2000]
+
+
+def test_aqe_skew_split_fires_on_hot_shingle_partition(spark):
+    """The shingle self-join's documented skew story, demonstrated:
+    when one shuffle partition of the inverted-index join is hot, AQE
+    must split it (ShuffledHashJoin(skew=true) + 'skewed' shuffle
+    reads) instead of letting one task absorb the partition.
+
+    The corpus is engineered for partition-level skew: thousands of
+    single-shingle docs whose shingle hashes to shuffle partition 0
+    (placement replicated via pmod(hash(key), n) — the same function
+    HashPartitioning uses), plus a sprinkle of near-dup docs so the
+    result is non-empty (AQE collapses empty stages to EmptyRelation,
+    which would hide the join node). Thresholds are shrunk to test
+    scale; at production defaults (256MB) the same mechanics fire on
+    genuinely hot buckets."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from uber_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k, v in (
+            ("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"),
+            ("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"),
+            ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB"),
+            # the 100 TB sides would never broadcast; stop AQE from
+            # converting the small test corpus to a broadcast join
+            ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+            ("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"),
+        ):
+            spark.conf.set(k, v)
+
+        hot = spark.range(24000).selectExpr(
+            "id AS doc_id",
+            "concat('sk', id, 'a gw', id, 'b pq', id, 'c') AS text",
+        ).filter(F.expr("pmod(hash(text), 8) = 0"))
+        random.seed(7)
+        rows = [
+            (100000 + i, " ".join(f"w{random.randrange(10**6)}" for _ in range(20)))
+            for i in range(100)
+        ]
+        rows += [(200000 + i, "alpha beta gamma delta epsilon") for i in range(4)]
+        cold = spark.createDataFrame(rows, "doc_id long, text string")
+
+        df = ngram_jaccard_pairs(hot.unionByName(cold), 0.5)
+        result = df.collect()
+        assert len(result) == 6  # the 4 identical docs -> C(4,2) pairs
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:3000]
+        assert "skewed" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.catalog.clearCache()
