@@ -21,7 +21,9 @@ from uber_data_pipeline_spark.catalog import load_table
 from uber_data_pipeline_spark.sources.cdc import merge_latest, scd2_history
 from uber_data_pipeline_spark.streaming.events import (
     dedup_stream,
+    merge_sink_stream,
     sessionization_stream,
+    sessionization_stream_rocksdb,
     stream_stream_join,
     windowed_agg_stream,
     windowed_topk_stream,
@@ -354,9 +356,43 @@ def cdc_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC delta applied as a STREAM: the delta batch is staged as
+    4 landing files, consumed one micro-batch per file
+    (maxFilesPerTrigger=1), each batch MERGEd into the partitioned
+    parquet target via foreachBatch (streaming.events.merge_sink_stream)
+    — the always-on Airbyte-sync analog. The final table must equal the
+    one-shot relational merge, so this shares `cdc_incremental_merge`'s
+    oracle."""
+    base, delta = _cdc_frames(spark, sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_ARTIFACT_DIR, "stream_merge", sf_name)
+    shutil.rmtree(root, ignore_errors=True)
+    delta_dir = os.path.join(root, "delta")
+    delta.repartition(4).write.mode("overwrite").parquet(delta_dir)
+    merged = merge_sink_stream(
+        spark,
+        base,
+        delta_dir,
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double, version int",
+        target_path=os.path.join(root, "target"),
+        checkpoint_dir=os.path.join(root, "checkpoint"),
+        key_cols=["o_orderkey"],
+        part_expr=f"CAST(o_orderkey % {MERGE_SINK_PARTS} AS INT)",
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("total_price"),
+        "version",
+    )
+
+
 QUERIES = {
     "cdc_incremental_merge": cdc_incremental_merge,
     "cdc_merge_sink": cdc_merge_sink,
+    "streaming_merge_sink": streaming_merge_sink,
+    "streaming_sessionization_rocksdb": sessionization_stream_rocksdb,
     "pipeline_dag_incremental": pipeline_dag_incremental,
     "dag_schedules": dag_schedules,
     "scd2_order_history": scd2_order_history,
@@ -580,6 +616,8 @@ ORACLES = {
     "cdc_incremental_merge": _CDC_ORACLE,
     # the lake upsert must land exactly the relational merge result
     "cdc_merge_sink": _CDC_ORACLE,
+    # ... and so must the per-micro-batch streaming merge
+    "streaming_merge_sink": _CDC_ORACLE,
     "pipeline_dag_incremental": _DAG_INCR_ORACLE,
     "dag_schedules": _SCHEDULES_ORACLE,
     "scd2_order_history": _SCD2_ORACLE,
@@ -616,6 +654,8 @@ ORACLES = {
     """,
     "streaming_windowed_agg": _EVENT_ORACLES["events_windowed_agg"],
     "streaming_sessionization": _EVENT_ORACLES["events_sessionization"],
+    # provider swap must not change results: RocksDB run, same oracle
+    "streaming_sessionization_rocksdb": _EVENT_ORACLES["events_sessionization"],
     # the redelivered duplicates must vanish: the deduped stream per
     # type equals the batch distinct-event count per type
     "streaming_dedup": """

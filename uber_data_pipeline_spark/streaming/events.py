@@ -56,9 +56,22 @@ def events_landing_dir(sf_dir: str) -> str:
 
 STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
 
+# HDFS-backed (heap) state store is the default; RocksDB is the
+# large-state path — state lives off-heap/on-disk per partition, so
+# stateful queries whose working state exceeds executor heap (billions
+# of session/dedup keys at 100 TB) keep running instead of OOMing.
+# Same query code either way; the provider is a checkpoint-lifetime
+# choice.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
 
 def _run_to_memory(
-    stream_df: DataFrame, output_mode: str, state_partitions: int = STATE_PARTITIONS
+    stream_df: DataFrame,
+    output_mode: str,
+    state_partitions: int = STATE_PARTITIONS,
+    state_store_provider: str | None = None,
 ) -> DataFrame:
     """Run an AvailableNow streaming query into a memory sink and
     return the sink as a DataFrame.
@@ -72,7 +85,11 @@ def _run_to_memory(
     spark = stream_df.sparkSession
     name = f"udp_stream_sink_{next(_sink_ids)}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if state_store_provider is not None:
+        spark.conf.set(provider_key, state_store_provider)
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -84,6 +101,11 @@ def _run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if state_store_provider is not None:
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
     return spark.table(name)
 
 
@@ -256,7 +278,9 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
 
-def sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sessionization_stream(
+    spark: SparkSession, sf_dir: str, state_store_provider: str | None = None
+) -> DataFrame:
     """Gap-based (30 min) sessionization as a custom stateful
     streaming operator — applyInPandasWithState keyed by user_id,
     keyed state carried across micro-batches.
@@ -276,4 +300,76 @@ def sessionization_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(sessions, "update")
+    return _run_to_memory(
+        sessions, "update", state_store_provider=state_store_provider
+    )
+
+
+def merge_sink_stream(
+    spark: SparkSession,
+    base: DataFrame,
+    delta_dir: str,
+    delta_schema: str,
+    target_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    part_expr: str,
+    part_col: str = "pk_mod",
+) -> DataFrame:
+    """Streaming MERGE: a file stream of change rows is upserted into
+    a partitioned parquet target per micro-batch via foreachBatch +
+    merge_upsert_partitioned — the always-on form of the CDC load
+    (Airbyte sync cadence -> continuous). `maxFilesPerTrigger=1`
+    forces one micro-batch per landed file, so the merge really runs
+    incrementally, not as one big batch.
+
+    Exactly-once: the checkpoint records which source files each batch
+    consumed; foreachBatch re-runs a failed batch, and the partition
+    overwrite inside the merge is idempotent per batch (same keys ->
+    same partitions -> same result), which is the standard recipe for
+    an idempotent lake sink without a table format.
+
+    Scale shape: per batch, cost is bounded by the touched partitions
+    (see merge_upsert_partitioned); state is only the file-source log.
+    Returns the final merged table."""
+    from uber_data_pipeline_spark.sources.writers import merge_upsert_partitioned
+
+    base.withColumn(part_col, F.expr(part_expr)).write.partitionBy(
+        part_col
+    ).mode("overwrite").parquet(target_path)
+
+    changes = (
+        spark.readStream.schema(delta_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(delta_dir)
+    )
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        merge_upsert_partitioned(
+            bdf.sparkSession,
+            target_path,
+            bdf.withColumn(part_col, F.expr(part_expr)),
+            key_cols,
+            part_col,
+        )
+
+    q = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target_path)
+
+
+def sessionization_stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sessionizer on the RocksDB state store provider — the
+    100 TB state path (keyed state off-heap/on-disk instead of
+    executor heap, changelog-checkpointed). Results must be IDENTICAL
+    to the default provider, which is exactly what sharing the batch
+    sessionization oracle proves; what changes is the state-size
+    ceiling and the per-partition open/commit profile."""
+    return sessionization_stream(
+        spark, sf_dir, state_store_provider=ROCKSDB_PROVIDER
+    )
