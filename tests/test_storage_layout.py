@@ -88,3 +88,41 @@ def test_dynamic_partition_overwrite_is_incremental(spark):
         orders.filter(F.col("o_orderstatus") != "F").count()
     )
     assert after.count() < before
+
+
+def test_merge_upsert_touches_only_changed_partitions(spark):
+    """The MERGE sink's cost contract: partitions with no change rows
+    must not be rewritten — their part files stay byte-identical on
+    disk (checked by mtime+inode, not re-reading), while changed
+    partitions pick up the upserts with replaced keys gone."""
+    from uber_data_pipeline_spark.sources.writers import merge_upsert_partitioned
+
+    path = os.path.join(ART, "merge_upsert_unit")
+    shutil.rmtree(path, ignore_errors=True)
+    base = spark.range(1000).selectExpr(
+        "id AS k", "CAST(id % 8 AS INT) AS part", "'old' AS val"
+    )
+    base.write.partitionBy("part").parquet(path)
+
+    def files_of(part):
+        d = os.path.join(path, f"part={part}")
+        return {
+            f: (os.stat(os.path.join(d, f)).st_mtime_ns,
+                os.stat(os.path.join(d, f)).st_ino)
+            for f in os.listdir(d) if f.endswith(".parquet")
+        }
+
+    untouched_before = {p: files_of(p) for p in (2, 3, 4, 5, 6, 7)}
+    # changes hit partitions 0 and 1 only: update k=0,8 and insert k=2000
+    changes = spark.createDataFrame(
+        [(0, 0, "new"), (8, 0, "new"), (2001, 1, "new")],
+        "k long, part int, val string",
+    )
+    merge_upsert_partitioned(spark, path, changes, ["k"], "part")
+
+    for p, before in untouched_before.items():
+        assert files_of(p) == before, f"partition {p} was rewritten"
+    after = spark.read.parquet(path)
+    assert after.count() == 1001  # 1000 - 2 replaced + 2 new + 1 insert
+    assert after.filter("val = 'new'").count() == 3
+    assert after.filter("k = 0 AND val = 'old'").count() == 0
