@@ -66,6 +66,10 @@ def main() -> int:
         .count()
     )
     docs.selectExpr("explode(split(text, ' ')) AS t").groupBy("t").count().count()
+    # local-rows createDataFrame path (schema parse + Python->JVM
+    # conversion classloading — otherwise billed to the first
+    # metadata/report query, ~1.5 s cold)
+    spark.createDataFrame([("w", 1)], "a string, b int").count()
     # parquet-writer classloading (otherwise billed to the first
     # materializing query)
     import tempfile
