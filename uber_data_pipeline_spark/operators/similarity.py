@@ -494,6 +494,40 @@ def lsh_topk(emb: DataFrame, k: int, n_bits: int = LSH_BITS) -> DataFrame:
     )
 
 
+def lsh_recall(emb: DataFrame, k: int, n_bits: int = LSH_BITS) -> DataFrame:
+    """Recall@k of the SRP-LSH index against the exact brute-force
+    ranking — the index-quality gate a training pipeline runs before
+    trusting an ANN index for dedup/retrieval: per query,
+    |approx top-k ∩ exact top-k| / k.
+
+    Both rankings use the same (rounded cosine desc, neighbor_id asc)
+    total order, so the intersection is deterministic and the DuckDB
+    oracle replays the whole evaluation bit-for-bit.
+
+    Scale shape: the two top-k relations are already reduced (n*k
+    rows); the intersection is one hash join on (query, neighbor) and
+    one groupBy — nothing here is all-pairs beyond the underlying
+    exact baseline itself, which is the point of the measurement. At
+    100 TB you run this on a deterministic hash-bucket SAMPLE of
+    queries (operators/sampling.py) rather than every vector."""
+    exact = brute_force_topk(emb, k).select("query_id", "neighbor_id")
+    approx = lsh_topk(emb, k, n_bits).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        emb.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .selectExpr(
+            "query_id",
+            "CAST(coalesce(n_hits, 0) AS INT) AS n_hits",
+            f"round(coalesce(n_hits, 0) / CAST({k} AS DOUBLE), 6) AS recall_at_k",
+        )
+    )
+
+
 def normalize_quantize(emb: DataFrame) -> DataFrame:
     """Embedding normalize + symmetric int8 quantization summary:
     per vector, the L2 norm, the quantization scale (max|x| / 127),

@@ -72,6 +72,11 @@ QUERIES = {
     ),
     "ann_lsh_topk": lambda spark, sf: similarity.lsh_topk(_emb(spark, sf), LSH_ANN_K),
     "ann_ivf_topk": lambda spark, sf: similarity.ivf_topk(_emb(spark, sf), ANN_K),
+    # index-quality gate: recall@k of the LSH index vs the exact
+    # ranking, replayed bit-for-bit by the composed oracle
+    "ann_lsh_recall": lambda spark, sf: similarity.lsh_recall(
+        _emb(spark, sf), LSH_ANN_K
+    ),
     "text_langid": lambda spark, sf: textops.language_id(_docs(spark, sf)),
     "text_quality": lambda spark, sf: textops.quality_scores(_docs(spark, sf)),
     "text_tokens": lambda spark, sf: textops.token_counts(_docs(spark, sf)),
@@ -136,6 +141,48 @@ QUERIES = {
 
 
 # ---------------------------------------------------------------- oracles
+
+
+def _sql_ann_exact(k: int) -> str:
+    """Exact brute-force top-k oracle, parameterized on k so the
+    recall evaluation can replay it at the LSH k."""
+    return f"""
+        WITH scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {cosine_duck("a.embedding", "b.embedding")} AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
+def _sql_ann_lsh(k: int) -> str:
+    """SRP-bucketed top-k oracle, parameterized on k (same SRP
+    derivation as the engine: md5-parity hyperplanes)."""
+    return f"""
+        WITH be AS (
+            SELECT vec_id, embedding,
+                   {srp_bucket_duck("embedding", similarity.LSH_BITS)} AS bucket
+            FROM embeddings
+        ), scored AS (
+            SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
+                   {cosine_duck("a.embedding", "b.embedding")} AS cosine
+            FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+        ), ranked AS (
+            SELECT query_id, bucket, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, bucket, neighbor_id, rank, cosine
+        FROM ranked WHERE rank <= {k}
+    """
+
 
 _SHINGLES_CTE = f"""
     tok AS (SELECT doc_id, text, {TOKENS_DUCK} AS tokens FROM documents),
@@ -263,36 +310,22 @@ ORACLES = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE {cosine_duck("a.embedding", "b.embedding")} >= {COSINE_NEAR_DUP}
     """,
-    "ann_bruteforce_topk": f"""
-        WITH scored AS (
-            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                   {cosine_duck("a.embedding", "b.embedding")} AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
-        ), ranked AS (
-            SELECT query_id, neighbor_id, cosine,
-                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
-            FROM scored
+    "ann_bruteforce_topk": _sql_ann_exact(ANN_K),
+    "ann_lsh_topk": _sql_ann_lsh(LSH_ANN_K),
+    "ann_lsh_recall": f"""
+        WITH exact AS ({_sql_ann_exact(LSH_ANN_K)}),
+        approx AS ({_sql_ann_lsh(LSH_ANN_K)}),
+        hits AS (
+            SELECT a.query_id, COUNT(*) AS n_hits
+            FROM approx a JOIN exact e
+              ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+            GROUP BY 1
         )
-        SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {ANN_K}
-    """,
-    "ann_lsh_topk": f"""
-        WITH be AS (
-            SELECT vec_id, embedding,
-                   {srp_bucket_duck("embedding", similarity.LSH_BITS)} AS bucket
-            FROM embeddings
-        ), scored AS (
-            SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
-                   {cosine_duck("a.embedding", "b.embedding")} AS cosine
-            FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
-        ), ranked AS (
-            SELECT query_id, bucket, neighbor_id, cosine,
-                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
-            FROM scored
-        )
-        SELECT query_id, bucket, neighbor_id, rank, cosine
-        FROM ranked WHERE rank <= {LSH_ANN_K}
+        SELECT v.vec_id AS query_id,
+               CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+               ROUND(COALESCE(h.n_hits, 0) / CAST({LSH_ANN_K} AS DOUBLE), 6)
+                   AS recall_at_k
+        FROM embeddings v LEFT JOIN hits h ON h.query_id = v.vec_id
     """,
     "ann_ivf_topk": f"""
         WITH pos AS (
