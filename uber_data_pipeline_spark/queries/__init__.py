@@ -56,11 +56,31 @@ def _last_green_round() -> dict[str, int]:
     return out
 
 
+def _bench_seconds() -> dict[str, float]:
+    """name -> last measured per-query wall seconds (bench_detail.json,
+    written by bench.py each round); absent/unmeasured = 0."""
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    try:
+        with open(os.path.join(root, "bench_detail.json")) as f:
+            data = json.load(f)
+        qs = data.get("queries", {})
+        return {k: float(v) for k, v in qs.items()}
+    except (OSError, ValueError, TypeError):
+        return {}
+
+
 def _rotated(items: dict) -> dict:
     greens = _last_green_round()
+    secs = _bench_seconds()
     names = list(items)
     order = {n: i for i, n in enumerate(names)}
-    names.sort(key=lambda n: (greens.get(n, -1), order[n]))
+    # primary: least-recently driver-verified first; secondary: cheaper
+    # first (so a TIME-bounded driver sweep fits the most unverified
+    # entries — works for a count-bounded sweep too); tertiary: stable
+    # module order
+    names.sort(key=lambda n: (greens.get(n, -1), secs.get(n, 0.0), order[n]))
     return {n: items[n] for n in names}
 
 
