@@ -176,3 +176,21 @@ def test_compare_flags_dtype_only_mismatch():
     assert problems and any("dtype mismatch" in p for p in problems)
     # identical frames still pass
     assert compare("same", a, a.copy()) == []
+
+
+@given(st.floats(min_value=0.5, max_value=0.99))
+@settings(max_examples=60, deadline=None)
+def test_srp_band_plan_meets_recall_bound(tau):
+    """For any threshold, the returned (bits, bands) must satisfy the
+    miss bound it was derived from: (1 - p^r)^B <= target_miss with
+    p = 1 - acos(tau)/pi (pairs exactly AT the threshold)."""
+    import math
+
+    from uber_data_pipeline_spark.operators.similarity import srp_band_plan
+
+    r, b, prunes = srp_band_plan(tau)
+    assert r >= 1 and b >= 1
+    p = 1 - math.acos(tau) / math.pi
+    assert (1 - p**r) ** b <= 1e-3 + 1e-12
+    if prunes:
+        assert b / 2**r < 1
