@@ -332,6 +332,31 @@ def lsh_bands(
     ).select("doc_id", "bk.band", "bk.band_key")
 
 
+def minhash_recall(
+    docs: DataFrame, threshold: float = 0.5, est_threshold: float | None = None
+) -> DataFrame:
+    """Dedup-quality gate: for every TRUE near-dup pair (exact shingle
+    Jaccard >= threshold), did the minhash-LSH path surface it? One
+    row per true pair with its jaccard and a `found` flag — the
+    measurement that justifies trusting the LSH path as the 100 TB
+    dedup plan (run on a sampled corpus slice at scale).
+
+    Both sides are the already-registered operators; the check itself
+    is one hash join of two reduced pair relations. The composed
+    DuckDB oracle replays BOTH pipelines (engine-neutral md5 minhash),
+    so the evaluation is verified bit-for-bit, not spot-checked."""
+    exact = ngram_jaccard_pairs(docs, threshold)
+    approx = lsh_candidate_pairs(
+        docs, threshold if est_threshold is None else est_threshold
+    ).select("doc_a", "doc_b")
+    return (
+        exact.join(approx.withColumn("found", F.lit(True)), ["doc_a", "doc_b"], "left")
+        .selectExpr(
+            "doc_a", "doc_b", "jaccard", "coalesce(found, false) AS found"
+        )
+    )
+
+
 def lsh_candidate_pairs(docs: DataFrame, min_est_jaccard: float = 0.5) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: band-bucket collision ->
     candidate, then estimated Jaccard = fraction of agreeing minhash

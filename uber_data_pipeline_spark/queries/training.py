@@ -60,6 +60,11 @@ QUERIES = {
     "dedup_minhash_lsh": lambda spark, sf: dedup.lsh_candidate_pairs(
         _docs(spark, sf), EST_JACCARD_THRESHOLD
     ),
+    # dedup-quality gate: every true Jaccard pair flagged found/missed
+    # by the minhash-LSH path, evaluation replayed by the oracle
+    "dedup_minhash_recall": lambda spark, sf: dedup.minhash_recall(
+        _docs(spark, sf), JACCARD_THRESHOLD, EST_JACCARD_THRESHOLD
+    ),
     "dedup_simhash": lambda spark, sf: dedup.simhash_pairs(_docs(spark, sf)),
     # banded-SRP candidates + exact in-bucket verify (the scale path;
     # pinned equal to the exact cosine_pairs engine on this corpus by
@@ -213,6 +218,48 @@ _MINHASH_CTE = f"""
     )
 """
 
+# full-SELECT oracle bodies shared between the standalone dedup
+# entries and the dedup_minhash_recall composition
+_SQL_NGRAM_JACCARD = f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(n_common / (sa.sz + sb.sz - n_common), 6) >= {JACCARD_THRESHOLD}
+"""
+
+_SQL_MINHASH_LSH = f"""
+    WITH {_MINHASH_CTE},
+    bands AS (
+        SELECT doc_id, perm_id // {dedup.NUM_PERM // dedup.NUM_BANDS} AS band,
+               md5(string_agg(minhash::VARCHAR, '|' ORDER BY perm_id)) AS band_key
+        FROM mh
+        GROUP BY 1, 2
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(COUNT(CASE WHEN sa.minhash = sb.minhash THEN 1 END)
+                 / {float(dedup.NUM_PERM)}, 6) AS est_jaccard
+    FROM candidates c
+    JOIN mh sa ON sa.doc_id = c.doc_a
+    JOIN mh sb ON sb.doc_id = c.doc_b AND sa.perm_id = sb.perm_id
+    GROUP BY 1, 2
+    HAVING est_jaccard >= {EST_JACCARD_THRESHOLD}
+"""
+
 _SIMHASH_NIBBLE = "(instr('0123456789abcdef', substring(md5(t), (j // 4) + 1, 1)) - 1)"
 _SIMHASH_CONTRIB = f"CASE WHEN (({_SIMHASH_NIBBLE} >> (j % 4)) & 1) = 1 THEN 1 ELSE -1 END"
 _SIMHASH_EXPR = f"""
@@ -258,43 +305,15 @@ ORACLES = {
         FROM documents
         GROUP BY 1
     """,
-    "dedup_ngram_jaccard": f"""
-        WITH {_SHINGLES_CTE},
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b,
-               ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE ROUND(n_common / (sa.sz + sb.sz - n_common), 6) >= {JACCARD_THRESHOLD}
-    """,
-    "dedup_minhash_lsh": f"""
-        WITH {_MINHASH_CTE},
-        bands AS (
-            SELECT doc_id, perm_id // {dedup.NUM_PERM // dedup.NUM_BANDS} AS band,
-                   md5(string_agg(minhash::VARCHAR, '|' ORDER BY perm_id)) AS band_key
-            FROM mh
-            GROUP BY 1, 2
-        ),
-        candidates AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a
-            JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-                        AND a.doc_id < b.doc_id
-        )
-        SELECT c.doc_a, c.doc_b,
-               ROUND(COUNT(CASE WHEN sa.minhash = sb.minhash THEN 1 END)
-                     / {float(dedup.NUM_PERM)}, 6) AS est_jaccard
-        FROM candidates c
-        JOIN mh sa ON sa.doc_id = c.doc_a
-        JOIN mh sb ON sb.doc_id = c.doc_b AND sa.perm_id = sb.perm_id
-        GROUP BY 1, 2
-        HAVING est_jaccard >= {EST_JACCARD_THRESHOLD}
+    "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+    "dedup_minhash_lsh": _SQL_MINHASH_LSH,
+    "dedup_minhash_recall": f"""
+        WITH exact AS ({_SQL_NGRAM_JACCARD}),
+        approx AS ({_SQL_MINHASH_LSH})
+        SELECT e.doc_a, e.doc_b, e.jaccard,
+               (a.doc_a IS NOT NULL) AS found
+        FROM exact e
+        LEFT JOIN approx a ON a.doc_a = e.doc_a AND a.doc_b = e.doc_b
     """,
     "dedup_simhash": f"""
         WITH tok AS (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents),
