@@ -57,6 +57,8 @@ def test_dim_joins_broadcast(spark):
 SCALAR_BROADCAST_OK = {
     "tpch_q22_global_sales_opportunity",
     "ann_ivf_topk",
+    # same k-row centroid broadcast, via the embedded ivf_topk side
+    "ann_ivf_recall",
     # one-row mean-value threshold broadcast onto the reduced per-part agg
     "tpch_q11_important_stock",
     # k-row centroid model broadcast onto the vector scan (same shape

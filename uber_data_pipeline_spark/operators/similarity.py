@@ -510,8 +510,23 @@ def lsh_recall(emb: DataFrame, k: int, n_bits: int = LSH_BITS) -> DataFrame:
     exact baseline itself, which is the point of the measurement. At
     100 TB you run this on a deterministic hash-bucket SAMPLE of
     queries (operators/sampling.py) rather than every vector."""
-    exact = brute_force_topk(emb, k).select("query_id", "neighbor_id")
     approx = lsh_topk(emb, k, n_bits).select("query_id", "neighbor_id")
+    return _recall_vs_exact(emb, approx, k)
+
+
+def ivf_recall(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """Recall@k of the IVF index vs the exact ranking — same gate as
+    :func:`lsh_recall` for the cell-probing index family (recall here
+    is governed by nprobe and centroid quality rather than bit
+    width)."""
+    approx = ivf_topk(emb, k, nprobe).select("query_id", "neighbor_id")
+    return _recall_vs_exact(emb, approx, k)
+
+
+def _recall_vs_exact(emb: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """(query_id, n_hits, recall_at_k) for an approximate neighbor
+    relation against the exact brute-force top-k at the same k."""
+    exact = brute_force_topk(emb, k).select("query_id", "neighbor_id")
     hits = (
         approx.join(exact, ["query_id", "neighbor_id"])
         .groupBy("query_id")

@@ -158,6 +158,85 @@ def training_data_prep(
     )
 
 
+def attrition_funnel(
+    docs: DataFrame,
+    min_quality: float = 0.55,
+    min_tokens: int = 5,
+    rates: dict[str, float] | None = None,
+    bench_mod: int | None = None,
+) -> DataFrame:
+    """The corpus-prep ATTRITION FUNNEL: one row per pipeline stage
+    (raw -> exact-dedup -> quality gate -> length gate ->
+    decontaminated -> stratified sample) with surviving doc count and
+    share of raw — the report a training-data team reads before every
+    run ("where did my tokens go?").
+
+    Scale shape: every stage predicate is computed as a FLAG in one
+    pass over the corpus (the dedup flag is a min-over-text_hash
+    window — same shuffle the dedup groupBy would pay; contamination
+    is the broadcast bench-gram semi-join), then ONE conditional
+    aggregate (count_if per stage) reduces to a single row that
+    stack() unpivots. The corpus is scanned once — no per-stage
+    re-computation, no unions of six aggregate jobs."""
+    from pyspark.sql import Window
+
+    from uber_data_pipeline_spark.operators.sampling import bucket_spark
+
+    rates = rates or {}
+    mod = BENCH_MOD if bench_mod is None else bench_mod
+    q = quality_scores(docs).select("doc_id", "n_tokens", "quality_score")
+    base = docs.selectExpr(
+        "doc_id", "lang", "md5(lower(trim(text))) AS text_hash"
+    ).join(q, "doc_id")
+    contaminated = (
+        benchmark_contamination(docs, mod)
+        .select("doc_id")
+        .withColumn("is_contam", F.lit(True))
+    )
+    thr = (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN {int(v * 256)}" for k, v in rates.items())
+        + " ELSE 0 END"
+    )
+    w = Window.partitionBy("text_hash")
+    flags = (
+        base.withColumn("keep_dedup", F.col("doc_id") == F.min("doc_id").over(w))
+        .join(contaminated, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "keep_dedup",
+            f"keep_dedup AND quality_score >= {min_quality} AS keep_quality",
+            f"keep_dedup AND quality_score >= {min_quality} "
+            f"AND n_tokens >= {min_tokens} AS keep_length",
+            f"keep_dedup AND quality_score >= {min_quality} "
+            f"AND n_tokens >= {min_tokens} AND doc_id % {mod} != 0 "
+            "AND is_contam IS NULL AS keep_decontam",
+            f"keep_dedup AND quality_score >= {min_quality} "
+            f"AND n_tokens >= {min_tokens} AND doc_id % {mod} != 0 "
+            f"AND is_contam IS NULL AND ({bucket_spark('doc_id')}) < ({thr}) "
+            "AS keep_sample",
+        )
+    )
+    row = flags.agg(
+        F.count("*").alias("raw"),
+        F.expr("count_if(keep_dedup)").alias("s1"),
+        F.expr("count_if(keep_quality)").alias("s2"),
+        F.expr("count_if(keep_length)").alias("s3"),
+        F.expr("count_if(keep_decontam)").alias("s4"),
+        F.expr("count_if(keep_sample)").alias("s5"),
+    )
+    return row.selectExpr(
+        """stack(6,
+            '0_raw',          raw, round(raw / raw, 6),
+            '1_exact_dedup',  s1,  round(s1 / raw, 6),
+            '2_quality_gate', s2,  round(s2 / raw, 6),
+            '3_length_gate',  s3,  round(s3 / raw, 6),
+            '4_decontaminated', s4, round(s4 / raw, 6),
+            '5_sampled',      s5,  round(s5 / raw, 6)
+        ) AS (stage, n_docs, pct_of_raw)"""
+    )
+
+
 def repetition_scores(
     docs: DataFrame,
     max_dup_bigram_ratio: float = 0.2,

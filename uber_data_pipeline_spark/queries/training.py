@@ -82,6 +82,9 @@ QUERIES = {
     "ann_lsh_recall": lambda spark, sf: similarity.lsh_recall(
         _emb(spark, sf), LSH_ANN_K
     ),
+    "ann_ivf_recall": lambda spark, sf: similarity.ivf_recall(
+        _emb(spark, sf), ANN_K
+    ),
     "text_langid": lambda spark, sf: textops.language_id(_docs(spark, sf)),
     "text_quality": lambda spark, sf: textops.quality_scores(_docs(spark, sf)),
     "text_tokens": lambda spark, sf: textops.token_counts(_docs(spark, sf)),
@@ -94,6 +97,10 @@ QUERIES = {
     ),
     "training_data_prep": lambda spark, sf: textops.training_data_prep(
         _docs(spark, sf), PREP_MIN_QUALITY, PREP_MIN_TOKENS
+    ),
+    # the per-stage survival report over the whole prep pipeline
+    "training_attrition_funnel": lambda spark, sf: textops.attrition_funnel(
+        _docs(spark, sf), PREP_MIN_QUALITY, PREP_MIN_TOKENS, SAMPLE_RATES
     ),
     "dedup_clusters": lambda spark, sf: dedup.connected_components(
         similarity.cosine_pairs_banded(_emb(spark, sf), COSINE_NEAR_DUP),
@@ -217,6 +224,53 @@ _MINHASH_CTE = f"""
         GROUP BY doc_id, p.perm_id
     )
 """
+
+def _sql_ann_ivf(k: int) -> str:
+    """IVF top-k oracle (decimal-exact centroids, nprobe cells,
+    rerank), parameterized on k for the recall composition."""
+    return f"""
+        WITH pos AS (
+            -- constant dim (64 at every SF): DuckDB's range() can't
+            -- lateral-reference the embedding column
+            SELECT label AS cell, i AS pos, embedding[i]::DOUBLE AS val
+            FROM embeddings, unnest(range(1, 65)) AS r(i)
+        ), cmean AS (
+            SELECT cell, pos,
+                   ROUND(CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS m
+            FROM pos GROUP BY 1, 2
+        ), centroids AS (
+            SELECT cell, list(m ORDER BY pos) AS cvec FROM cmean GROUP BY 1
+        ), scored AS (
+            SELECT e.vec_id, c.cell,
+                   {cosine_duck("e.embedding", "c.cvec")} AS ccos
+            FROM embeddings e CROSS JOIN centroids c
+        ), ranked AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY ccos DESC, cell ASC) AS crk
+            FROM scored
+        ), cand AS (
+            SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+            FROM (SELECT vec_id, cell FROM ranked WHERE crk <= {similarity.IVF_NPROBE}) p
+            JOIN (SELECT vec_id, cell FROM ranked WHERE crk = 1) a
+              ON a.cell = p.cell AND a.vec_id != p.vec_id
+        ), rescored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   {cosine_duck("qe.embedding", "ne.embedding")} AS cosine
+            FROM cand c
+            JOIN embeddings qe ON qe.vec_id = c.query_id
+            JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+        ), reranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+            FROM rescored
+        )
+        SELECT query_id, neighbor_id, rank, cosine
+        FROM reranked WHERE rank <= {k}
+    """
+
 
 # full-SELECT oracle bodies shared between the standalone dedup
 # entries and the dedup_minhash_recall composition
@@ -346,47 +400,21 @@ ORACLES = {
                    AS recall_at_k
         FROM embeddings v LEFT JOIN hits h ON h.query_id = v.vec_id
     """,
-    "ann_ivf_topk": f"""
-        WITH pos AS (
-            -- constant dim (64 at every SF): DuckDB's range() can't
-            -- lateral-reference the embedding column
-            SELECT label AS cell, i AS pos, embedding[i]::DOUBLE AS val
-            FROM embeddings, unnest(range(1, 65)) AS r(i)
-        ), cmean AS (
-            SELECT cell, pos,
-                   ROUND(CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
-                         / COUNT(*), 6) AS m
-            FROM pos GROUP BY 1, 2
-        ), centroids AS (
-            SELECT cell, list(m ORDER BY pos) AS cvec FROM cmean GROUP BY 1
-        ), scored AS (
-            SELECT e.vec_id, c.cell,
-                   {cosine_duck("e.embedding", "c.cvec")} AS ccos
-            FROM embeddings e CROSS JOIN centroids c
-        ), ranked AS (
-            SELECT vec_id, cell,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id
-                       ORDER BY ccos DESC, cell ASC) AS crk
-            FROM scored
-        ), cand AS (
-            SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
-            FROM (SELECT vec_id, cell FROM ranked WHERE crk <= {similarity.IVF_NPROBE}) p
-            JOIN (SELECT vec_id, cell FROM ranked WHERE crk = 1) a
-              ON a.cell = p.cell AND a.vec_id != p.vec_id
-        ), rescored AS (
-            SELECT c.query_id, c.neighbor_id,
-                   {cosine_duck("qe.embedding", "ne.embedding")} AS cosine
-            FROM cand c
-            JOIN embeddings qe ON qe.vec_id = c.query_id
-            JOIN embeddings ne ON ne.vec_id = c.neighbor_id
-        ), reranked AS (
-            SELECT query_id, neighbor_id, cosine,
-                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
-            FROM rescored
+    "ann_ivf_topk": _sql_ann_ivf(ANN_K),
+    "ann_ivf_recall": f"""
+        WITH exact AS ({_sql_ann_exact(ANN_K)}),
+        approx AS ({_sql_ann_ivf(ANN_K)}),
+        hits AS (
+            SELECT a.query_id, COUNT(*) AS n_hits
+            FROM approx a JOIN exact e
+              ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+            GROUP BY 1
         )
-        SELECT query_id, neighbor_id, rank, cosine
-        FROM reranked WHERE rank <= {ANN_K}
+        SELECT v.vec_id AS query_id,
+               CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+               ROUND(COALESCE(h.n_hits, 0) / CAST({ANN_K} AS DOUBLE), 6)
+                   AS recall_at_k
+        FROM embeddings v LEFT JOIN hits h ON h.query_id = v.vec_id
     """,
     "text_langid": f"""
         WITH tok AS (
@@ -470,6 +498,76 @@ ORACLES = {
         JOIN canon USING (doc_id)
         WHERE q.quality_score >= {PREP_MIN_QUALITY}
           AND q.n_tokens >= {PREP_MIN_TOKENS}
+    """,
+    "training_attrition_funnel": f"""
+        WITH {QUALITY_CTE},
+        fbase AS (
+            SELECT d.doc_id, d.lang, md5(lower(trim(d.text))) AS text_hash,
+                   q.n_tokens, q.quality_score
+            FROM documents d JOIN quality q USING (doc_id)
+        ),
+        canon AS (
+            SELECT text_hash, MIN(doc_id) AS cdoc FROM fbase GROUP BY 1
+        ),
+        tokg AS (
+            SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, g.gram
+            FROM tokg, unnest(list_distinct(
+                {shingles_duck("tokens", textops.DECONTAM_SHINGLE_N)})) AS g(gram)
+        ),
+        bench AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % {textops.BENCH_MOD} = 0
+        ),
+        contam AS (
+            SELECT DISTINCT g.doc_id
+            FROM grams g JOIN bench b USING (gram)
+            WHERE g.doc_id % {textops.BENCH_MOD} <> 0
+        ),
+        flags AS (
+            SELECT b.doc_id,
+                   (b.doc_id = c.cdoc) AS keep_dedup,
+                   (b.doc_id = c.cdoc
+                    AND b.quality_score >= {PREP_MIN_QUALITY}) AS keep_quality,
+                   (b.doc_id = c.cdoc
+                    AND b.quality_score >= {PREP_MIN_QUALITY}
+                    AND b.n_tokens >= {PREP_MIN_TOKENS}) AS keep_length,
+                   (b.doc_id = c.cdoc
+                    AND b.quality_score >= {PREP_MIN_QUALITY}
+                    AND b.n_tokens >= {PREP_MIN_TOKENS}
+                    AND b.doc_id % {textops.BENCH_MOD} <> 0
+                    AND ct.doc_id IS NULL) AS keep_decontam,
+                   (b.doc_id = c.cdoc
+                    AND b.quality_score >= {PREP_MIN_QUALITY}
+                    AND b.n_tokens >= {PREP_MIN_TOKENS}
+                    AND b.doc_id % {textops.BENCH_MOD} <> 0
+                    AND ct.doc_id IS NULL
+                    AND ({bucket_duck("b.doc_id")}) < CASE b.lang
+                        WHEN 'en' THEN {int(SAMPLE_RATES["en"] * 256)}
+                        WHEN 'de' THEN {int(SAMPLE_RATES["de"] * 256)}
+                        WHEN 'fr' THEN {int(SAMPLE_RATES["fr"] * 256)}
+                        WHEN 'es' THEN {int(SAMPLE_RATES["es"] * 256)}
+                        ELSE 0 END) AS keep_sample
+            FROM fbase b
+            JOIN canon c USING (text_hash)
+            LEFT JOIN contam ct ON ct.doc_id = b.doc_id
+        ),
+        agg AS (
+            SELECT COUNT(*) AS raw,
+                   COUNT(*) FILTER (keep_dedup) AS s1,
+                   COUNT(*) FILTER (keep_quality) AS s2,
+                   COUNT(*) FILTER (keep_length) AS s3,
+                   COUNT(*) FILTER (keep_decontam) AS s4,
+                   COUNT(*) FILTER (keep_sample) AS s5
+            FROM flags
+        )
+        SELECT '0_raw' AS stage, raw AS n_docs, ROUND(raw / raw, 6) AS pct_of_raw FROM agg
+        UNION ALL SELECT '1_exact_dedup', s1, ROUND(s1 / raw, 6) FROM agg
+        UNION ALL SELECT '2_quality_gate', s2, ROUND(s2 / raw, 6) FROM agg
+        UNION ALL SELECT '3_length_gate', s3, ROUND(s3 / raw, 6) FROM agg
+        UNION ALL SELECT '4_decontaminated', s4, ROUND(s4 / raw, 6) FROM agg
+        UNION ALL SELECT '5_sampled', s5, ROUND(s5 / raw, 6) FROM agg
     """,
     "documents_stratified_sample": f"""
         SELECT doc_id, lang, sample_bucket
