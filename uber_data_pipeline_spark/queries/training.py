@@ -31,7 +31,12 @@ from uber_data_pipeline_spark.operators import (
     similarity,
     textops,
 )
-from uber_data_pipeline_spark.operators.sampling import bucket_duck, stratified_sample
+from uber_data_pipeline_spark.operators.sampling import (
+    bucket_duck,
+    domain_mixture,
+    domain_mixture_oracle,
+    stratified_sample,
+)
 
 JACCARD_THRESHOLD = 0.5
 EST_JACCARD_THRESHOLD = 0.5
@@ -109,6 +114,10 @@ QUERIES = {
     ).withColumnRenamed("doc_id", "vec_id"),
     "documents_stratified_sample": lambda spark, sf: stratified_sample(
         _docs(spark, sf).select("doc_id", "lang"), "doc_id", "lang", SAMPLE_RATES
+    ),
+    # uniform domain rebalance (cap dominant sources, keep rare whole)
+    "documents_domain_mixture": lambda spark, sf: domain_mixture(
+        _docs(spark, sf).select("doc_id", "source"), "doc_id", "source"
     ),
     "text_repetition": lambda spark, sf: textops.repetition_scores(_docs(spark, sf)),
     "decontaminate_ngrams": lambda spark, sf: textops.benchmark_contamination(
@@ -569,6 +578,9 @@ ORACLES = {
         UNION ALL SELECT '4_decontaminated', s4, ROUND(s4 / raw, 6) FROM agg
         UNION ALL SELECT '5_sampled', s5, ROUND(s5 / raw, 6) FROM agg
     """,
+    "documents_domain_mixture": domain_mixture_oracle(
+        "documents", "doc_id", "source"
+    ),
     "documents_stratified_sample": f"""
         SELECT doc_id, lang, sample_bucket
         FROM (
