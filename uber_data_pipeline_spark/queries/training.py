@@ -62,6 +62,12 @@ QUERIES = {
     "dedup_ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(
         _docs(spark, sf), JACCARD_THRESHOLD
     ),
+    # PPJoin prefix-filter variant — lossless-equal to the inverted-
+    # index join (pinned by tests/test_scale_paths.py), the right plan
+    # for skewed shingle frequency; same exact-Jaccard oracle
+    "dedup_jaccard_ppjoin": lambda spark, sf: dedup.ngram_jaccard_pairs_prefix(
+        _docs(spark, sf), JACCARD_THRESHOLD
+    ),
     "dedup_minhash_lsh": lambda spark, sf: dedup.lsh_candidate_pairs(
         _docs(spark, sf), EST_JACCARD_THRESHOLD
     ),
@@ -369,6 +375,7 @@ ORACLES = {
         GROUP BY 1
     """,
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+    "dedup_jaccard_ppjoin": _SQL_NGRAM_JACCARD,
     "dedup_minhash_lsh": _SQL_MINHASH_LSH,
     "dedup_minhash_recall": f"""
         WITH exact AS ({_SQL_NGRAM_JACCARD}),
