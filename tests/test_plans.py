@@ -78,6 +78,9 @@ SCALAR_BROADCAST_OK = {
     "documents_dsir_weights",
     # 1-row total-orders broadcast onto the reduced pair relation
     "basket_association_rules",
+    # 1-row (total, n_domains) broadcast onto the fact scan; the
+    # per-domain counts join stays a BroadcastHashJoin
+    "documents_domain_mixture",
     # fixed 50-row head-segment broadcast for the bounded pairwise
     # profile comparison (all-pairs-over-everyone is the LSH path)
     "events_profile_similarity",
