@@ -338,9 +338,11 @@ def cdc_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ARTIFACT_DIR, "merge_sink", os.path.basename(sf_dir.rstrip("/"))
     )
     shutil.rmtree(target, ignore_errors=True)
-    base.withColumn("pk_mod", part).write.partitionBy("pk_mod").mode(
-        "overwrite"
-    ).parquet(target)
+    # cluster on the partition column: one file per partition dir
+    # instead of one per (task, dir) — see merge_upsert_partitioned
+    base.withColumn("pk_mod", part).repartition(F.col("pk_mod")).write.partitionBy(
+        "pk_mod"
+    ).mode("overwrite").parquet(target)
     merge_upsert_partitioned(
         spark,
         target,

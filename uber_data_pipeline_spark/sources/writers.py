@@ -97,7 +97,12 @@ def merge_upsert_partitioned(
     surviving = stored.join(
         changes.select(*key_cols), key_cols, "left_anti"
     )
-    merged = surviving.unionByName(changes)
+    # cluster by the partition column so each rewritten partition is
+    # one file, not one-per-task — without this a T-task write into P
+    # partition dirs leaves up to T*P files and every later read pays
+    # the listing + footer storm (the small-file problem that kills
+    # streamed-into lakes)
+    merged = surviving.unionByName(changes).repartition(F.col(part_col))
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     # localCheckpoint: the merged plan reads the same files it is about
     # to overwrite — materialize it first or the overwrite would corrupt

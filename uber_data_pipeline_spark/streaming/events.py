@@ -334,9 +334,11 @@ def merge_sink_stream(
     Returns the final merged table."""
     from uber_data_pipeline_spark.sources.writers import merge_upsert_partitioned
 
-    base.withColumn(part_col, F.expr(part_expr)).write.partitionBy(
-        part_col
-    ).mode("overwrite").parquet(target_path)
+    # cluster on the partition column: one staged file per partition
+    # dir (see merge_upsert_partitioned's small-file note)
+    base.withColumn(part_col, F.expr(part_expr)).repartition(
+        F.col(part_col)
+    ).write.partitionBy(part_col).mode("overwrite").parquet(target_path)
 
     changes = (
         spark.readStream.schema(delta_schema)
