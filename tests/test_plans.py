@@ -81,6 +81,9 @@ SCALAR_BROADCAST_OK = {
     # 1-row (total, n_domains) broadcast onto the fact scan; the
     # per-domain counts join stays a BroadcastHashJoin
     "documents_domain_mixture",
+    # 1-row (n_build, m) filter-sizing broadcast onto build and probe
+    # key scans; the set-bit probe itself is a BroadcastHashJoin
+    "orders_bloom_semi_join",
     # fixed 50-row head-segment broadcast for the bounded pairwise
     # profile comparison (all-pairs-over-everyone is the LSH path)
     "events_profile_similarity",

@@ -149,3 +149,69 @@ def test_auto_sizing_functions():
     assert auto_lsh_bits(500) == 4
     assert auto_lsh_bits(1_000_000) == 12
     assert 20 <= auto_lsh_bits(1_000_000_000) <= 24
+
+
+def test_bloom_m_sizing_is_next_pow2(spark):
+    """The filter's m = next_pow2(16 * n_build) must be exact integer
+    math in BOTH engines (no float log2 boundary flips)."""
+    import duckdb
+
+    from uber_data_pipeline_spark.operators.sketches import (
+        BLOOM_BITS_PER_KEY,
+        _M_DUCK,
+        _M_SPARK,
+    )
+
+    def next_pow2(x: int) -> int:
+        return 1 << (x - 1).bit_length()
+
+    cases = [0, 1, 2, 3, 4, 1023, 1024, 1025, 2930, 30_000, 10_000_000]
+    expected = [next_pow2(BLOOM_BITS_PER_KEY * max(n, 1)) for n in cases]
+    got_spark = [
+        spark.sql(f"SELECT {_M_SPARK} AS m FROM (SELECT {n} AS n_build)")
+        .collect()[0][0]
+        for n in cases
+    ]
+    got_duck = [
+        duckdb.sql(f"SELECT {_M_DUCK} AS m FROM (SELECT {n} AS n_build)")
+        .fetchone()[0]
+        for n in cases
+    ]
+    assert got_spark == expected
+    assert got_duck == expected
+
+
+def test_zorder_prunes_more_than_linear_layout(spark):
+    """The point of the Z-layout: for a 2-D predicate it must scan
+    fewer files than a 1-D (custkey-sorted) layout of the same file
+    count would."""
+    from uber_data_pipeline_spark.catalog import load_table
+    from uber_data_pipeline_spark.operators.layout import (
+        PROBE_CUST,
+        PROBE_DAY,
+        ZFILES,
+        zorder_layout_audit,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    audit = zorder_layout_audit(orders).collect()
+    z_scanned = sum(1 for r in audit if r.scanned)
+    assert 0 < z_scanned < len(audit)
+
+    # linear layout: same file count, custkey-range files; a file is
+    # scanned iff its cust range overlaps (its day range spans the year)
+    from pyspark.sql import functions as F
+
+    lin = (
+        orders.selectExpr(f"CAST(o_custkey % 256 AS INT) div {256 // ZFILES} AS f",
+                          "CAST(o_custkey % 256 AS INT) AS cx")
+        .groupBy("f")
+        .agg(F.min("cx").alias("lo"), F.max("cx").alias("hi"))
+        .collect()
+    )
+    lin_scanned = sum(
+        1 for r in lin if r.hi >= PROBE_CUST[0] and r.lo <= PROBE_CUST[1]
+    )
+    # plus: every linear file still overlaps the day predicate, so
+    # lin_scanned is already its full scan count for the 2-D probe
+    assert z_scanned < max(lin_scanned, 1) or lin_scanned == 0

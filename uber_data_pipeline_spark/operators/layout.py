@@ -1,0 +1,106 @@
+"""Data-layout operators: multi-dimensional clustering for scan
+pruning.
+
+At 100 TB the fastest scan is the one that never reads the file:
+parquet footers carry per-file min/max stats, and the planner skips
+files whose ranges miss the predicate. A table sorted on ONE column
+prunes only on that column; Z-ORDERING (interleaving the bits of two
+key columns into one sort key) bounds BOTH columns' min/max per file,
+so a 2-D predicate (customer range x date range) skips most files —
+the layout trick behind Delta/Iceberg ``OPTIMIZE ZORDER BY``.
+
+``zorder_layout_audit`` computes the z-value in pure integer
+arithmetic (engine-neutral, oracle-replayable), assigns rows to
+fixed-width z-range "files", and reports each file's min/max per
+dimension plus whether a reference 2-D predicate would scan it — the
+exact footer-stats pruning decision, made auditable. The audit plan is
+one partial-aggregated groupBy on a derived int key (no shuffle of the
+wide rows, no window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ZBITS = 8  # bits per dimension -> 16-bit z-value
+ZFILES = 64  # files = z-range buckets of width 2^16 / 64
+_ZWIDTH = (1 << (2 * ZBITS)) // ZFILES
+
+# the reference 2-D probe predicate the audit evaluates:
+# cust bucket in [32, 47] x day-of-year bucket in [100, 131]
+PROBE_CUST = (32, 47)
+PROBE_DAY = (100, 131)
+
+
+def _interleave(cx: str, dx: str, intdiv: str) -> str:
+    """Bit-interleaved z-value: cust bit b -> position 2b+1, day bit b
+    -> position 2b. ``intdiv`` is the engine's integer-division
+    operator ('div' for Spark, '//' for DuckDB); everything else is
+    shared integer arithmetic."""
+    terms = []
+    for b in range(ZBITS):
+        terms.append(f"((({cx}) {intdiv} {1 << b}) % 2) * {1 << (2 * b + 1)}")
+        terms.append(f"((({dx}) {intdiv} {1 << b}) % 2) * {1 << (2 * b)}")
+    return " + ".join(terms)
+
+
+_CX = f"o_custkey % {1 << ZBITS}"
+_DX_SPARK = f"dayofyear(o_orderdate) % {1 << ZBITS}"
+_DX_DUCK = f"dayofyear(CAST(o_orderdate AS TIMESTAMP)) % {1 << ZBITS}"
+
+_SCAN = (
+    f"(max_cust >= {PROBE_CUST[0]} AND min_cust <= {PROBE_CUST[1]} "
+    f"AND max_day >= {PROBE_DAY[0]} AND min_day <= {PROBE_DAY[1]})"
+)
+
+
+def zorder_layout_audit(orders: DataFrame) -> DataFrame:
+    """Per-z-file layout stats + the pruning decision for the probe
+    predicate. Columns: file_id, n_rows, min/max_cust, min/max_day,
+    scanned. With a Z-layout the probe touches the few files whose
+    2-D envelope overlaps the probe rectangle; the same audit on a
+    1-D-sorted layout marks nearly every file scanned (each file's
+    day envelope spans the whole year)."""
+    z = _interleave(f"({_CX})", f"({_DX_SPARK})", "div")
+    return (
+        orders.selectExpr(
+            f"CAST(({z}) div {_ZWIDTH} AS INT) AS file_id",
+            f"CAST({_CX} AS INT) AS cx",
+            f"CAST({_DX_SPARK} AS INT) AS dx",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("cx").alias("min_cust"),
+            F.max("cx").alias("max_cust"),
+            F.min("dx").alias("min_day"),
+            F.max("dx").alias("max_day"),
+        )
+        .selectExpr(
+            "file_id",
+            "n_rows",
+            "min_cust",
+            "max_cust",
+            "min_day",
+            "max_day",
+            f"{_SCAN} AS scanned",
+        )
+    )
+
+
+def sql_zorder_layout_audit(table: str = "orders") -> str:
+    z = _interleave(f"({_CX})", f"({_DX_DUCK})", "//")
+    return f"""
+        WITH keyed AS (
+            SELECT CAST(({z}) // {_ZWIDTH} AS INT) AS file_id,
+                   CAST({_CX} AS INT) AS cx,
+                   CAST({_DX_DUCK} AS INT) AS dx
+            FROM {table}
+        )
+        SELECT file_id, COUNT(*) AS n_rows,
+               MIN(cx) AS min_cust, MAX(cx) AS max_cust,
+               MIN(dx) AS min_day, MAX(dx) AS max_day,
+               {_SCAN} AS scanned
+        FROM keyed GROUP BY file_id
+    """

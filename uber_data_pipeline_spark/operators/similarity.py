@@ -800,3 +800,59 @@ def sql_pq_encode() -> str:
         FROM best WHERE rk = 1
         GROUP BY 1
     """
+
+
+# --------------------------------------------------------- gram matrix
+
+EMB_DIM = 64
+GRAM_ROUND = 6
+
+
+def gram_matrix(emb: DataFrame) -> DataFrame:
+    """One-pass upper-triangle Gram matrix X^T X over the embedding
+    column — the covariance/PCA building block (whitening, OPQ
+    rotation, spectral diagnostics all start here).
+
+    Shape: each row expands ROW-LOCALLY into its d*(d+1)/2 = 2080
+    upper-triangle products (inline over a nested transform — pure
+    codegen, no join, no posexplode self-join), then ONE partial
+    aggregate reduces them; the shuffle carries 2080 rows per map
+    partition regardless of corpus size, so the plan is a single
+    map-side-combined pass at any scale. (A per-partition numpy gemm
+    via mapInPandas computes the same partials faster per byte but its
+    float partial sums are order-dependent; the decimal path keeps the
+    result bit-equal to the DuckDB oracle — see functions/numeric.py.)
+
+    Columns: i, j (0-based dims, i <= j), g (decimal-exact sum of
+    x_i * x_j rounded to GRAM_ROUND).
+    """
+    from uber_data_pipeline_spark.functions.numeric import dsum
+
+    cells = emb.selectExpr(
+        f"""inline(flatten(transform(sequence(0, {EMB_DIM - 1}), i ->
+            transform(sequence(i, {EMB_DIM - 1}), j ->
+              struct(i AS i, j AS j,
+                     CAST(embedding[i] AS DOUBLE)
+                     * CAST(embedding[j] AS DOUBLE) AS p)))))"""
+    )
+    return cells.groupBy("i", "j").agg(
+        dsum(F.col("p"), GRAM_ROUND).alias("g")
+    )
+
+
+def sql_gram_matrix(table: str = "embeddings") -> str:
+    from uber_data_pipeline_spark.functions.numeric import sql_dsum
+
+    return f"""
+        WITH cells AS (
+            SELECT t1.i AS i, t2.j AS j,
+                   embedding[t1.i + 1]::DOUBLE
+                   * embedding[t2.j + 1]::DOUBLE AS p
+            FROM {table},
+                 range(0, {EMB_DIM}) AS t1(i),
+                 range(0, {EMB_DIM}) AS t2(j)
+            WHERE t2.j >= t1.i
+        )
+        SELECT i, j, {sql_dsum('p', GRAM_ROUND)} AS g
+        FROM cells GROUP BY i, j
+    """

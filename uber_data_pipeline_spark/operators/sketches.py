@@ -245,3 +245,171 @@ def sql_countmin_freq(key: str = "user_id") -> str:
         FROM probe_cells p JOIN grid g USING (r, col)
         GROUP BY 1, 2
     """
+
+
+# ---- Bloom filter -----------------------------------------------------
+
+# Bits per build key: m = next power of two >= BLOOM_BITS_PER_KEY * n.
+# At 16 bits/key and k = 4 hashes the expected FP rate is
+# (1 - e^(-k*n/m))^k <= (1 - e^(-1/4))^4 ~ 0.24% at every scale — the
+# filter sizes ITSELF from the build cardinality (exact integer
+# next-pow2 via bit length, identical in both engines), so the same
+# operator holds its FP budget at sf0.001 and at 100 TB.
+BLOOM_BITS_PER_KEY = 16
+BLOOM_K = 4
+
+# next_pow2(BITS_PER_KEY * n) as engine-shared integer SQL over a
+# 1-row aggregate: bin() has no left padding in either engine, so
+# bitlength(x) = length(bin(x)) and 1 << bitlength(x - 1) is the
+# smallest power of two >= x (exact — no float log2 boundary risk).
+_M_SPARK = (
+    f"shiftleft(CAST(1 AS BIGINT), "
+    f"length(bin({BLOOM_BITS_PER_KEY} * greatest(n_build, 1) - 1)))"
+)
+_M_DUCK = (
+    f"(CAST(1 AS BIGINT) << "
+    f"length(bin({BLOOM_BITS_PER_KEY} * greatest(n_build, 1) - 1)))"
+)
+
+
+def _bloom_pos_spark(key_expr: str, i: int) -> str:
+    """Position of hash i for a key, mod the m COLUMN (from the 1-row
+    sizing relation crossJoined in)."""
+    h = base_hash48_spark(
+        f"concat('bloom{i}:', CAST({key_expr} AS STRING))"
+    )
+    return f"CAST({h} % m AS int)"
+
+
+def _bloom_pos_duck(key_expr: str, i: int) -> str:
+    h = base_hash48_duck(f"'bloom{i}:' || ({key_expr})::VARCHAR")
+    return f"CAST({h} % m AS INT)"
+
+
+def bloom_semi_join_report(
+    build: DataFrame,
+    probe: DataFrame,
+    build_key: str,
+    probe_key: str,
+) -> DataFrame:
+    """Broadcast-Bloom semi-join: the 100 TB alternative to shuffling
+    a fact table for a semi-join against a filtered key set.
+
+    Build side: the filter sizes itself — m = next_pow2(16 * n_build)
+    from a 1-row count aggregate (broadcast scalar) — then each key
+    sets BLOOM_K bit positions (engine-neutral md5 hashes mod m); the
+    filter is the DISTINCT set-bit relation, <= K * n_build rows
+    (production form: Spark's runtime bloom-filter pushdown / a
+    broadcast bitmap variable; this relational form has the identical
+    plan shape and is oracle-replayable).
+
+    Probe side: a key passes iff ALL K of its positions are set — a
+    BroadcastHashJoin probe per position, no shuffle of the probe
+    relation against the build fact. The report quantifies the trade:
+    the chosen m, exact members, bloom passes, false positives, and
+    the realized FP rate among true non-members — the number that
+    tells you how much post-filter work the bloom saves downstream
+    (1 row, expected FP ~ 0.24% at any scale by construction).
+    """
+    bkeys = build.select(F.col(build_key).alias("k")).distinct()
+    msize = bkeys.agg(F.count("*").alias("n_build")).selectExpr(
+        "n_build", f"{_M_SPARK} AS m"
+    )
+    bits = (
+        bkeys.crossJoin(F.broadcast(msize))
+        .selectExpr(
+            f"explode(array({', '.join(_bloom_pos_spark('k', i) for i in range(BLOOM_K))})) AS pos"
+        )
+        .distinct()
+        .withColumn("bit_set", F.lit(1))
+    )
+    pkeys = probe.select(F.col(probe_key).alias("k")).distinct()
+    probe_pos = pkeys.crossJoin(F.broadcast(msize)).selectExpr(
+        "k",
+        f"explode(array({', '.join(_bloom_pos_spark('k', i) for i in range(BLOOM_K))})) AS pos",
+    )
+    per_key = (
+        probe_pos.join(F.broadcast(bits), "pos", "left")
+        .groupBy("k")
+        .agg((F.count("bit_set") == BLOOM_K).alias("bloom_pass"))
+    )
+    flagged = per_key.join(
+        bkeys.withColumn("is_member", F.lit(True)), "k", "left"
+    ).select(
+        "bloom_pass", F.coalesce("is_member", F.lit(False)).alias("is_member")
+    )
+    return (
+        flagged.agg(
+            F.count("*").alias("n_probe_keys"),
+            F.sum(F.expr("CAST(bloom_pass AS BIGINT)")).alias("n_pass"),
+            F.sum(F.expr("CAST(is_member AS BIGINT)")).alias("n_true"),
+            F.sum(
+                F.expr("CAST(bloom_pass AND NOT is_member AS BIGINT)")
+            ).alias("n_false_pos"),
+        )
+        .crossJoin(F.broadcast(msize))
+        .selectExpr(
+            "n_build",
+            "m",
+            "n_probe_keys",
+            "n_pass",
+            "n_true",
+            "n_false_pos",
+            "round(n_false_pos / CAST(nullif(n_probe_keys - n_true, 0) AS DOUBLE), 6)"
+            " AS fp_rate",
+        )
+    )
+
+
+def sql_bloom_semi_join(
+    build_table_sql: str, probe_table_sql: str
+) -> str:
+    """DuckDB twin of :func:`bloom_semi_join_report`; the two args are
+    SELECTs yielding one column ``k`` each (build keys / probe keys)."""
+    bpos = ", ".join(
+        f"{_bloom_pos_duck('k', i)} AS p{i}" for i in range(BLOOM_K)
+    )
+    bit_union = " UNION ALL ".join(
+        f"SELECT p{i} AS pos FROM build_pos" for i in range(BLOOM_K)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT k, p{i} AS pos FROM probe_pos" for i in range(BLOOM_K)
+    )
+    return f"""
+        WITH bkeys AS (SELECT DISTINCT k FROM ({build_table_sql})),
+        msize AS (
+            SELECT n_build, {_M_DUCK} AS m
+            FROM (SELECT COUNT(*) AS n_build FROM bkeys)
+        ),
+        build_pos AS (SELECT {bpos} FROM bkeys CROSS JOIN msize),
+        bits AS (
+            SELECT DISTINCT pos FROM ({bit_union})
+        ),
+        pkeys AS (SELECT DISTINCT k FROM ({probe_table_sql})),
+        probe_pos AS (SELECT k, {bpos} FROM pkeys CROSS JOIN msize),
+        per_key AS (
+            SELECT p.k,
+                   COUNT(b.pos) = {BLOOM_K} AS bloom_pass
+            FROM ({probe_union}) p
+            LEFT JOIN bits b ON b.pos = p.pos
+            GROUP BY p.k
+        ),
+        flagged AS (
+            SELECT per_key.bloom_pass,
+                   COALESCE(mm.is_member, FALSE) AS is_member
+            FROM per_key
+            LEFT JOIN (SELECT k, TRUE AS is_member FROM bkeys) mm
+              ON mm.k = per_key.k
+        )
+        SELECT msize.n_build, msize.m,
+               COUNT(*) AS n_probe_keys,
+               CAST(SUM(CAST(bloom_pass AS BIGINT)) AS BIGINT) AS n_pass,
+               CAST(SUM(CAST(is_member AS BIGINT)) AS BIGINT) AS n_true,
+               CAST(SUM(CAST(bloom_pass AND NOT is_member AS BIGINT))
+                    AS BIGINT) AS n_false_pos,
+               ROUND(SUM(CAST(bloom_pass AND NOT is_member AS BIGINT))
+                     / CAST(NULLIF(COUNT(*) - SUM(CAST(is_member AS BIGINT)), 0)
+                            AS DOUBLE), 6) AS fp_rate
+        FROM flagged CROSS JOIN msize
+        GROUP BY msize.n_build, msize.m
+    """

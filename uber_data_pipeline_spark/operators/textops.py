@@ -816,3 +816,67 @@ def sql_sentiment_scores() -> str:
                     ELSE 'neutral' END AS label
         FROM counts
     """
+
+
+# ------------------------------------------------------ BPE merge step
+
+BPE_TOP_K = 20
+
+
+def bpe_merge_step(docs: DataFrame, top_k: int = BPE_TOP_K) -> DataFrame:
+    """One training step of byte-pair encoding: count adjacent
+    character pairs across the corpus and surface the top merge
+    candidates — the inner loop of building a BPE tokenizer vocabulary
+    (each accepted merge re-runs this count on the re-segmented
+    corpus).
+
+    Classic BPE trick encoded in the plan: counts run over the WORD
+    FREQUENCY DICTIONARY, not raw text — words are reduced first (one
+    map-side-combined groupBy), then each DISTINCT word expands into
+    its length-1 adjacent pairs weighted by the word's count. At
+    corpus scale the dictionary is orders of magnitude smaller than
+    the token stream, so the pair expansion touches vocabulary-sized
+    data. Both aggregates are partial; top-k is a TakeOrdered epilogue
+    with a deterministic (count DESC, pair ASC) tie-break.
+
+    Columns: pair (the 2-char window), n (corpus occurrences).
+    """
+    from uber_data_pipeline_spark.functions.text import TOKENS_SPARK
+
+    words = (
+        docs.selectExpr(f"explode({TOKENS_SPARK}) AS w")
+        .filter("length(w) >= 2")
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = words.selectExpr(
+        "explode(transform(sequence(1, length(w) - 1), "
+        "i -> substring(w, i, 2))) AS pair",
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(top_k)
+    )
+
+
+def sql_bpe_merge_step(table: str = "documents", top_k: int = BPE_TOP_K) -> str:
+    from uber_data_pipeline_spark.functions.text import TOKENS_DUCK
+
+    return f"""
+        WITH words AS (
+            SELECT w, COUNT(*) AS wc FROM (
+                SELECT unnest({TOKENS_DUCK}) AS w FROM {table}
+            ) WHERE length(w) >= 2 GROUP BY w
+        ), pairs AS (
+            SELECT unnest(list_transform(range(1, length(w)),
+                          i -> substring(w, i, 2))) AS pair,
+                   wc
+            FROM words
+        )
+        SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair LIMIT {top_k}
+    """

@@ -99,6 +99,11 @@ def all_oracles() -> dict[str, str]:
 
 
 def _modules():
-    from uber_data_pipeline_spark.queries import pipeline, tpch_extra, training
+    from uber_data_pipeline_spark.queries import (
+        pipeline,
+        scale,
+        tpch_extra,
+        training,
+    )
 
-    return [uber, tpch, tpch_extra, events, training, pipeline]
+    return [uber, tpch, tpch_extra, events, training, pipeline, scale]

@@ -1,0 +1,50 @@
+"""Scale-technique showcase queries (SURVEY.md §2.2 tail): the
+join-avoidance and layout tricks that matter at 100 TB, each made
+value-auditable.
+
+- ``orders_bloom_semi_join``: broadcast-Bloom probe of lineitem's
+  orderkeys against the urgent-orders key set, with the realized
+  false-positive rate in the output (operators/sketches.py).
+- ``orders_zorder_layout``: Z-order (bit-interleaved) file layout
+  audit — per-file 2-D min/max envelopes and the footer-stats pruning
+  decision for a reference predicate (operators/layout.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from uber_data_pipeline_spark.catalog import load_table
+from uber_data_pipeline_spark.operators import layout, sketches
+
+BLOOM_BUILD_PRIORITY = "1-URGENT"
+
+
+def orders_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return sketches.bloom_semi_join_report(
+        orders.filter(orders.o_orderpriority == BLOOM_BUILD_PRIORITY),
+        lineitem,
+        "o_orderkey",
+        "l_orderkey",
+    )
+
+
+def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return layout.zorder_layout_audit(load_table(spark, sf_dir, "orders"))
+
+
+QUERIES = {
+    "orders_bloom_semi_join": orders_bloom_semi_join,
+    "orders_zorder_layout": orders_zorder_layout,
+}
+
+ORACLES = {
+    "orders_bloom_semi_join": sketches.sql_bloom_semi_join(
+        f"SELECT o_orderkey AS k FROM orders "
+        f"WHERE o_orderpriority = '{BLOOM_BUILD_PRIORITY}'",
+        "SELECT l_orderkey AS k FROM lineitem",
+    ),
+    "orders_zorder_layout": layout.sql_zorder_layout_audit(),
+}

@@ -58,6 +58,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    # one-pass decimal-exact X^T X (the covariance/PCA/OPQ base step)
+    "embeddings_gram_matrix": lambda spark, sf: similarity.gram_matrix(
+        _emb(spark, sf)
+    ),
+    # one BPE-training pair count over the word-frequency dictionary
+    "text_bpe_merge_step": lambda spark, sf: textops.bpe_merge_step(
+        _docs(spark, sf)
+    ),
     "dedup_exact": lambda spark, sf: dedup.exact_duplicates(_docs(spark, sf)),
     "dedup_ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(
         _docs(spark, sf), JACCARD_THRESHOLD
@@ -367,6 +375,8 @@ _LANG_SCORES_DUCK = ", ".join(
 _LANG_CASE = langid_case({lg: f"s_{lg}" for lg in ("en", "de", "fr", "es")})
 
 ORACLES = {
+    "embeddings_gram_matrix": similarity.sql_gram_matrix(),
+    "text_bpe_merge_step": textops.sql_bpe_merge_step(),
     "dedup_exact": """
         SELECT md5(lower(trim(text))) AS text_hash,
                MIN(doc_id) AS canonical_doc_id,
