@@ -108,6 +108,24 @@ def main() -> int:
         )
         q.awaitTermination()
 
+    # compile warm-up pass: run EVERY registered query once at the
+    # smallest SF before timing. Whole-stage-codegen compiles per
+    # generated stage source (janino) on first execution — ~1-10 s for
+    # the widest plans — and the cache is keyed by source text, so the
+    # tiny-SF run compiles exactly the classes the timed run reuses.
+    # Without this the compile bill lands on whichever queries the
+    # rotation happens to put first (r2: 12 s of the front entry's
+    # 14 s was compile, measured 1.4 s warm).
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, warm_dir).count()
+        except Exception:  # noqa: BLE001 — warm-up must never kill the bench
+            pass
+        spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()

@@ -194,3 +194,24 @@ def test_srp_band_plan_meets_recall_bound(tau):
     assert (1 - p**r) ** b <= 1e-3 + 1e-12
     if prunes:
         assert b / 2**r < 1
+
+
+def test_decimal_tie_rounding_rule(spark):
+    """Scale reduction must use ROUND(decimal, k) — HALF_UP in BOTH
+    engines — never a bare decimal->decimal CAST: Spark's cast rounds
+    ties HALF_UP but DuckDB's does not (found via parts_pagerank_iterated,
+    where systematic digit-10 ties diverged on ~50% of rows)."""
+    import duckdb
+
+    tie = "CAST(1.0617505965 AS DECIMAL(20,10))"
+    # ROUND agrees (HALF_UP both):
+    s_round = spark.sql(f"SELECT CAST(round({tie}, 9) AS STRING)").collect()[0][0]
+    d_round = str(duckdb.sql(f"SELECT ROUND({tie}, 9)").fetchone()[0])
+    assert s_round == d_round == "1.061750597"
+    # bare CAST does NOT agree — this pins the hazard so nobody
+    # "simplifies" a ROUND back into a CAST:
+    s_cast = spark.sql(
+        f"SELECT CAST(CAST({tie} AS DECIMAL(14,9)) AS STRING)"
+    ).collect()[0][0]
+    d_cast = str(duckdb.sql(f"SELECT CAST({tie} AS DECIMAL(14,9))").fetchone()[0])
+    assert s_cast == "1.061750597" and d_cast == "1.061750596"

@@ -390,6 +390,86 @@ def streaming_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+COMPACT_FRAGMENTS = 64
+COMPACT_TARGET_ROWS = 25_000
+BUCKETED_N = 8
+
+
+def compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction exercised end-to-end: stage orders as a
+    deliberately fragmented lake (COMPACT_FRAGMENTS part files),
+    rewrite it right-sized, report (n_rows, files before, files
+    after) with the counts read from the filesystem — the maintenance
+    job every micro-batched lake needs (sources/writers.py
+    compact_small_files). The oracle pins the CONTRACT: files_after
+    must equal ceil(n_rows / COMPACT_TARGET_ROWS) exactly, because
+    the rewrite is a round-robin repartition."""
+    from uber_data_pipeline_spark.sources.writers import compact_small_files
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_ARTIFACT_DIR, "compaction", sf_name)
+    shutil.rmtree(root, ignore_errors=True)
+    return compact_small_files(
+        load_table(spark, sf_dir, "orders"),
+        os.path.join(root, "fragmented"),
+        os.path.join(root, "compacted"),
+        COMPACT_FRAGMENTS,
+        COMPACT_TARGET_ROWS,
+    )
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free fact-fact join from BUCKETED storage: orders and
+    lineitem are written bucketBy(orderkey) into the same bucket
+    count, then joined via the catalog — the join plan has NO shuffle
+    on either side because the shuffle was paid once at write time
+    (sources/writers.py write_bucketed; plan pinned exchange-free by
+    tests/test_storage_layout.py). At 100 TB this is THE lever for a
+    fact-fact join that runs daily: amortize the exchange into the
+    layout. Values must equal the plain (shuffled) join, which is
+    exactly what the oracle recomputes."""
+    from uber_data_pipeline_spark.functions.numeric import dsum
+    from uber_data_pipeline_spark.sources.writers import (
+        read_table,
+        write_bucketed,
+    )
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(_ARTIFACT_DIR, "bucketed_q", sf_name)
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"),
+        f"orders_bq_{sf_name}",
+        os.path.join(root, "orders"),
+        BUCKETED_N,
+        ["o_orderkey"],
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"),
+        f"lineitem_bq_{sf_name}",
+        os.path.join(root, "lineitem"),
+        BUCKETED_N,
+        ["l_orderkey"],
+        sort_cols=["l_orderkey"],
+    )
+    a = read_table(spark, f"orders_bq_{sf_name}")
+    b = read_table(spark, f"lineitem_bq_{sf_name}")
+    return (
+        a.join(b, a["o_orderkey"] == b["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+
+
 QUERIES = {
     "cdc_incremental_merge": cdc_incremental_merge,
     "cdc_merge_sink": cdc_merge_sink,
@@ -408,6 +488,8 @@ QUERIES = {
     "events_csv_roundtrip": events_csv_roundtrip,
     "streaming_stream_join": stream_stream_join,
     "gdpr_delete_audit": gdpr_delete_audit,
+    "compact_small_files_report": compaction_report,
+    "bucketed_join_revenue": bucketed_join_revenue,
 }
 
 
@@ -615,6 +697,25 @@ _SCHEDULES_ORACLE = """
 
 
 ORACLES = {
+    # the compaction CONTRACT: the rewrite is a round-robin
+    # repartition, so files_after is an exact function of the row
+    # count (files_before is the staged fragment count)
+    "compact_small_files_report": f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {COMPACT_FRAGMENTS} AS n_files_before,
+               CAST(CEIL(COUNT(*) / {COMPACT_TARGET_ROWS}.0) AS INT)
+                   AS n_files_after
+        FROM orders
+    """,
+    # the bucketed-layout join must equal the plain shuffled join
+    "bucketed_join_revenue": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount))
+                    AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1
+    """,
     "cdc_incremental_merge": _CDC_ORACLE,
     # the lake upsert must land exactly the relational merge result
     "cdc_merge_sink": _CDC_ORACLE,

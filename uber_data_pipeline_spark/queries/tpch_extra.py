@@ -683,6 +683,133 @@ def parts_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+PAGERANK_ITERS = 5
+
+
+def parts_pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank run to (near-)convergence: PAGERANK_ITERS power
+    iterations of `parts_pagerank_step`'s recurrence, plus the final
+    step delta — the full iterative-algorithm pattern on Spark, not
+    just one step.
+
+    Iteration mechanics (the part Spark makes easy to get wrong):
+    the edge relation is CACHED (a loop reuses it every iteration —
+    unlike the single-step operator where ReuseExchange suffices), and
+    each iteration's rank relation is `localCheckpoint`ed so lineage
+    stays one step deep — without the cut, iteration k's plan embeds
+    all k-1 predecessors and the DAG (and any retry) grows without
+    bound. Same recipe as the connected-components loop
+    (operators/dedup.py).
+
+    Determinism: each iteration is the proven decimal-exact step —
+    rank/outdeg is one IEEE division cast to DECIMAL(20,12), summed
+    exactly, damped with two scalar ops, rounded to 9 — so the oracle
+    replays all PAGERANK_ITERS iterations as chained CTEs bit-for-bit.
+
+    Columns: part_key, pr (final rank), delta (|r_K - r_{K-1}|)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    edges = pairs.distinct().cache()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    deg = edges.join(outdeg, "src")  # (src, dst, outdeg)
+
+    # (src, dst, recip): recip = 1/outdeg as a 12-digit decimal — the
+    # ONLY double op in the whole loop (one IEEE division per edge,
+    # the construct step-1 validated); every iteration after this is
+    # pure decimal arithmetic, so no ROUND(double)-boundary can drift
+    # across engines no matter how many iterations run.
+    deg = deg.selectExpr(
+        "src", "dst", "CAST(1.0 / outdeg AS DECIMAL(13,12)) AS recip"
+    )
+    ranks = None  # r0 = 1.0 implicitly
+    prev = None
+    for _ in range(PAGERANK_ITERS):
+        if ranks is None:
+            contrib = deg.selectExpr("dst", "recip AS contrib")
+        else:
+            contrib = deg.join(
+                ranks, deg["src"] == ranks["part_key"]
+            ).selectExpr("dst", "pr * recip AS contrib")
+        nxt = (
+            contrib.groupBy(F.col("dst").alias("part_key"))
+            .agg(F.sum("contrib").alias("in_sum"))
+            .selectExpr(
+                "part_key",
+                # two rules keep this bit-equal across engines:
+                # (1) in_sum arrives as DECIMAL(38,21); ROUND it to 15
+                # BEFORE the 0.85 multiply so the product stays inside
+                # precision 38 (past 38 Spark's precision-loss path and
+                # DuckDB's overflow handling diverge); (2) every
+                # scale-reduction is ROUND(decimal, k) — HALF_UP in
+                # BOTH engines — never a bare decimal CAST, whose ties
+                # Spark rounds HALF_UP but DuckDB does not
+                "CAST(round(0.15 + 0.85 * round(in_sum, 15), 9) "
+                "AS DECIMAL(14,9)) AS pr",
+            )
+            .localCheckpoint()
+        )
+        prev, ranks = ranks, nxt
+    edges.unpersist()
+    return (
+        ranks.join(
+            prev.selectExpr("part_key", "pr AS pr_prev"), "part_key"
+        ).selectExpr(
+            "part_key",
+            "CAST(pr AS DOUBLE) AS pr",
+            "CAST(abs(pr - pr_prev) AS DOUBLE) AS delta",
+        )
+    )
+
+
+def _pagerank_iterated_oracle(iters: int = PAGERANK_ITERS) -> str:
+    ctes = [
+        """pairs AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey != b.l_partkey
+        )""",
+        "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM pairs GROUP BY 1)",
+        """deg AS (
+            SELECT src, dst, CAST(1.0 / outdeg AS DECIMAL(13,12)) AS recip
+            FROM pairs JOIN outdeg USING (src)
+        )""",
+        """r1 AS (
+            SELECT dst AS part_key,
+                   CAST(ROUND(0.15 + 0.85 * ROUND(SUM(recip), 15), 9)
+                        AS DECIMAL(14,9)) AS pr
+            FROM deg GROUP BY 1
+        )""",
+    ]
+    for k in range(2, iters + 1):
+        ctes.append(f"""r{k} AS (
+            SELECT deg.dst AS part_key,
+                   CAST(ROUND(0.15 + 0.85 * ROUND(SUM(r.pr * deg.recip),
+                                                        15), 9)
+                        AS DECIMAL(14,9)) AS pr
+            FROM deg JOIN r{k - 1} r ON r.part_key = deg.src
+            GROUP BY 1
+        )""")
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT a.part_key,
+               CAST(a.pr AS DOUBLE) AS pr,
+               CAST(ABS(a.pr - b.pr) AS DOUBLE) AS delta
+        FROM r{iters} a JOIN r{iters - 1} b USING (part_key)
+    """
+
+
+
+
 RULES_MIN_PAIR_ORDERS = 2
 RULES_TOPK = 100
 
@@ -753,6 +880,7 @@ QUERIES = {
     "parts_abc_by_nation": parts_abc_by_nation,
     "orders_yoy_growth": orders_yoy_growth,
     "parts_pagerank_step": parts_pagerank_step,
+    "parts_pagerank_iterated": parts_pagerank_iterated,
     "basket_association_rules": basket_association_rules,
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q8_market_share": tpch_q8_market_share,
@@ -811,6 +939,7 @@ ORACLES = {
         ORDER BY lift DESC, part_a, part_b
         LIMIT {RULES_TOPK}
     """,
+    "parts_pagerank_iterated": _pagerank_iterated_oracle(),
     "parts_pagerank_step": """
         WITH pairs AS (
             SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
