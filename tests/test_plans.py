@@ -276,3 +276,13 @@ def test_aqe_skew_split_fires_on_hot_shingle_partition(spark):
             else:
                 spark.conf.set(k, v)
         spark.catalog.clearCache()
+
+
+def test_media_scan_prunes_payload(spark):
+    """Metadata queries over the blob lake must never read the payload
+    column — at 100 TB the payload is ~all the bytes, so a ReadSchema
+    that drags it through the scan defeats the opaque-blob design."""
+    plan = explain_formatted(spark, "multimodal_metadata_pushdown")
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "payload" not in read_schema, read_schema
+    assert "meta" in read_schema, read_schema

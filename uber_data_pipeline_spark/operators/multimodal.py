@@ -195,3 +195,46 @@ def sql_frame_sample(
         FROM m, unnest(range(0, n_frames)) AS i(i)
         WHERE i.i % {stride} = 0
     """
+
+
+def metadata_stats(media_lake: DataFrame) -> DataFrame:
+    """Per-kind corpus stats computed from the METADATA columns only —
+    the query pattern that makes the opaque-blob design pay off: the
+    parquet scan must read kind + meta and never touch the payload
+    column (column pruning; at 100 TB the payload is ~all the bytes,
+    so the pruned scan is orders of magnitude cheaper). The plan is
+    audited for exactly that (tests/test_plans.py: payload not in
+    ReadSchema)."""
+    return (
+        media_lake.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("meta.n_bytes").cast("bigint")).alias("total_bytes"),
+            F.max("meta.width").alias("max_width"),
+            F.max("meta.sample_rate").alias("max_sample_rate"),
+        )
+    )
+
+
+def sql_metadata_stats() -> str:
+    """DuckDB twin over the documents source (the media table derives
+    deterministically from it: payload = utf-8 text bytes, kind =
+    doc_id % 3, width only for images, sample_rate only for audio)."""
+    return """
+        WITH media AS (
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'text' END AS kind,
+                   length(text) AS n_bytes,
+                   CASE WHEN doc_id % 3 = 0 THEN n_chars % 1024 END AS width,
+                   CASE WHEN doc_id % 3 = 1 THEN 16000 END AS sample_rate
+            FROM documents
+        )
+        SELECT kind,
+               COUNT(*) AS n_items,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(MAX(width) AS BIGINT) AS max_width,
+               CAST(MAX(sample_rate) AS INT) AS max_sample_rate
+        FROM media GROUP BY kind
+    """

@@ -57,6 +57,29 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+
+
+def _media_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage the media table as a parquet lake once per SF (payload =
+    real binary column), so metadata queries exercise TRUE column
+    pruning against storage — reading computed in-memory columns would
+    prove nothing about scan cost."""
+    import os
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        ".artifacts", "media_lake", os.path.basename(sf_dir.rstrip("/")),
+    )
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        multimodal.attach_media(_docs(spark, sf_dir)).write.mode(
+            "overwrite"
+        ).parquet(root)
+    return spark.read.parquet(root)
+
+
+
+
 QUERIES = {
     # one-pass decimal-exact X^T X (the covariance/PCA/OPQ base step)
     "embeddings_gram_matrix": lambda spark, sf: similarity.gram_matrix(
@@ -108,6 +131,10 @@ QUERIES = {
     "text_quality": lambda spark, sf: textops.quality_scores(_docs(spark, sf)),
     "text_tokens": lambda spark, sf: textops.token_counts(_docs(spark, sf)),
     "text_fingerprint": lambda spark, sf: textops.fingerprints(_docs(spark, sf)),
+    # metadata-only scan over the staged blob lake (payload pruned)
+    "multimodal_metadata_pushdown": lambda spark, sf: multimodal.metadata_stats(
+        _media_lake(spark, sf)
+    ),
     "multimodal_decode_stub": lambda spark, sf: multimodal.media_features_flat(
         _docs(spark, sf)
     ),
@@ -698,6 +725,7 @@ ORACLES = {
     "embeddings_pq_encode": similarity.sql_pq_encode(),
     "text_inverted_index": search.sql_inverted_index(),
     "multimodal_frame_sample": multimodal.sql_frame_sample(),
+    "multimodal_metadata_pushdown": multimodal.sql_metadata_stats(),
     "text_sentiment": textops.sql_sentiment_scores(),
     "dedup_containment": f"""
         WITH {_SHINGLES_CTE},
