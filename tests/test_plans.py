@@ -87,6 +87,9 @@ SCALAR_BROADCAST_OK = {
     # fixed 50-row head-segment broadcast for the bounded pairwise
     # profile comparison (all-pairs-over-everyone is the LSH path)
     "events_profile_similarity",
+    # four 1-row aggregates (exact union, group-sum, two sketch
+    # estimates) crossJoined into the single report row
+    "events_hll_union",
 }
 
 

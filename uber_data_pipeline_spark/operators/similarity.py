@@ -856,3 +856,92 @@ def sql_gram_matrix(table: str = "embeddings") -> str:
         SELECT i, j, {sql_dsum('p', GRAM_ROUND)} AS g
         FROM cells GROUP BY i, j
     """
+
+
+# --------------------------------------------------------- kNN classify
+
+
+def knn_classify(emb: DataFrame, k: int) -> DataFrame:
+    """k-NN label vote: each vector's label is predicted by majority
+    vote of its exact top-k cosine neighbors (ties: larger vote count
+    first, then smaller label), scored against the vector's own label
+    — the standard embedding-quality probe for a labeled corpus (are
+    the classes separable in this space?).
+
+    Built ON the registered ANN engine: neighbors come from
+    brute_force_topk (the block-gemm exact path — swap in lsh_topk /
+    ivf_topk at corpus scale, same downstream shape). Votes and the
+    argmax are reduced-relation ops: k rows per query in, one row per
+    (query, voted-label), one rank window over vote counts — nothing
+    touches the raw vectors after the top-k.
+
+    Returns per-class report: label, n, n_correct, accuracy."""
+    from pyspark.sql import Window
+
+    nn = brute_force_topk(emb, k)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        nn.join(
+            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "label", "n_label"
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "n_label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("n_label")
+    )
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"))
+    )
+    return (
+        pred.join(
+            labels.withColumnRenamed("vec_id", "query_id"), "query_id"
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.expr("CAST(pred_label = label AS BIGINT)")
+            ).alias("n_correct"),
+        )
+        .selectExpr(
+            "label",
+            "n",
+            "n_correct",
+            "round(n_correct / CAST(n AS DOUBLE), 6) AS accuracy",
+        )
+    )
+
+
+def sql_knn_classify(exact_topk_sql: str) -> str:
+    """DuckDB twin; ``exact_topk_sql`` is the registered brute-force
+    oracle (columns query_id, neighbor_id, rank, cosine), composed as
+    a CTE so the evaluation replays the same index."""
+    return f"""
+        WITH nn AS ({exact_topk_sql}),
+        votes AS (
+            SELECT nn.query_id, e.label AS n_label, COUNT(*) AS votes
+            FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+            GROUP BY 1, 2
+        ), pred AS (
+            SELECT query_id, n_label AS pred_label
+            FROM (
+                SELECT query_id, n_label,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY votes DESC, n_label ASC) AS rk
+                FROM votes
+            ) WHERE rk = 1
+        )
+        SELECT e.label, COUNT(*) AS n,
+               CAST(SUM(CAST(p.pred_label = e.label AS BIGINT)) AS BIGINT)
+                   AS n_correct,
+               ROUND(SUM(CAST(p.pred_label = e.label AS BIGINT))
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+        FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+        GROUP BY 1
+    """

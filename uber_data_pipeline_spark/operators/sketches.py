@@ -413,3 +413,293 @@ def sql_bloom_semi_join(
         FROM flagged CROSS JOIN msize
         GROUP BY msize.n_build, msize.m
     """
+
+
+# ---- HLL merge (union) ------------------------------------------------
+
+
+def hll_union(
+    ev: DataFrame, key: str = "user_id", group: str = "event_type"
+) -> DataFrame:
+    """The property that makes sketches a 100 TB primitive:
+    MERGEABILITY. Per-group HLL registers are unioned with a
+    register-wise MAX, and the merged sketch estimates the DISTINCT
+    union — no re-scan of the raw data. This is how a sharded /
+    per-day / per-source count-distinct rolls up: keep 256 registers
+    per shard, merge in O(m), never touch the rows again.
+
+    The report carries the proof obligations: the merged-sketch
+    estimate must EQUAL the direct whole-table sketch (register max is
+    associative — bit-equal, not approximately), the sum of per-group
+    exact counts shows the overlap a naive SUM would double-count, and
+    rel_err scores the estimate against the exact union. 1 row."""
+    hashed = ev.selectExpr(
+        group,
+        key,
+        f"{base_hash48_spark(f'CAST({key} AS string)')} AS h48",
+    ).selectExpr(
+        group,
+        key,
+        f"h48 % {HLL_M} AS reg",
+        f"h48 DIV {HLL_M} AS rest",
+    )
+    # per-group registers (the shard sketches), then the register-wise
+    # MAX merge — identical shape to a cross-day/cross-source rollup
+    per_group = (
+        hashed.selectExpr(group, "reg", f"{_hll_rho_sql('rest')} AS rho")
+        .groupBy(group, "reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    merged = per_group.groupBy("reg").agg(F.max("m_j").alias("m_j"))
+    # direct whole-table sketch (must equal the merge bit-for-bit)
+    direct = (
+        hashed.selectExpr("reg", f"{_hll_rho_sql('rest')} AS rho")
+        .groupBy("reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    two41 = 1 << (HLL_REST_BITS + 1)
+
+    def estimate(regs: DataFrame, out: str) -> DataFrame:
+        sums = regs.agg(
+            F.count("*").alias("n_present"),
+            F.sum(
+                F.expr(f"CAST(pow(2, {HLL_REST_BITS + 1} - m_j) AS bigint)")
+            ).alias("s_present"),
+        )
+        raw = (
+            f"(CAST({HLL_ALPHA!r} AS double) * {HLL_M} * {HLL_M} * {two41} "
+            f"/ (s_present + ({HLL_M} - n_present) * CAST({two41} AS bigint)))"
+        )
+        est = (
+            f"(CASE WHEN {raw} <= 2.5 * {HLL_M} AND n_present < {HLL_M} "
+            f"THEN {HLL_M} * ln(CAST({HLL_M} AS double) / ({HLL_M} - n_present)) "
+            f"ELSE {raw} END)"
+        )
+        return sums.selectExpr(f"round({est}, 3) AS {out}")
+
+    exact = ev.agg(
+        F.countDistinct(key).alias("n_exact_union"),
+    )
+    group_sum = (
+        ev.groupBy(group)
+        .agg(F.countDistinct(key).alias("n"))
+        .agg(F.sum("n").alias("sum_group_exacts"))
+    )
+    est_m = estimate(merged, "hll_merged_estimate")
+    est_d = estimate(direct, "hll_direct_estimate")
+    return (
+        exact.crossJoin(F.broadcast(group_sum))
+        .crossJoin(F.broadcast(est_m))
+        .crossJoin(F.broadcast(est_d))
+        .selectExpr(
+            "n_exact_union",
+            "sum_group_exacts",
+            "hll_merged_estimate",
+            "hll_direct_estimate",
+            "hll_merged_estimate = hll_direct_estimate AS merge_equals_direct",
+            "round((hll_merged_estimate - n_exact_union) / n_exact_union, 4)"
+            " AS rel_err",
+        )
+    )
+
+
+def sql_hll_union(key: str = "user_id", group: str = "event_type") -> str:
+    h48 = base_hash48_duck(f"CAST({key} AS VARCHAR)")
+    two41 = 1 << (HLL_REST_BITS + 1)
+    raw = (
+        f"(CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M} * {two41} "
+        f"/ (s_present + ({HLL_M} - n_present) * {two41}))"
+    )
+    est = (
+        f"(CASE WHEN {raw} <= 2.5 * {HLL_M} AND n_present < {HLL_M} "
+        f"THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - n_present)) "
+        f"ELSE {raw} END)"
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT {group}, {key}, {h48} AS h48 FROM events
+        ), split AS (
+            SELECT {group}, h48 % {HLL_M} AS reg,
+                   {_hll_rho_sql(f'(h48 // {HLL_M})')} AS rho
+            FROM hashed
+        ), per_group AS (
+            SELECT {group}, reg, MAX(rho) AS m_j FROM split GROUP BY 1, 2
+        ), merged AS (
+            SELECT reg, MAX(m_j) AS m_j FROM per_group GROUP BY 1
+        ), direct AS (
+            SELECT reg, MAX(rho) AS m_j FROM split GROUP BY 1
+        ), est_m AS (
+            SELECT ROUND({est}, 3) AS hll_merged_estimate FROM (
+                SELECT COUNT(*) AS n_present,
+                       SUM(CAST(pow(2, {HLL_REST_BITS + 1} - m_j) AS BIGINT))
+                           AS s_present
+                FROM merged
+            )
+        ), est_d AS (
+            SELECT ROUND({est}, 3) AS hll_direct_estimate FROM (
+                SELECT COUNT(*) AS n_present,
+                       SUM(CAST(pow(2, {HLL_REST_BITS + 1} - m_j) AS BIGINT))
+                           AS s_present
+                FROM direct
+            )
+        ), exact AS (
+            SELECT COUNT(DISTINCT {key}) AS n_exact_union FROM events
+        ), gsum AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS sum_group_exacts FROM (
+                SELECT COUNT(DISTINCT {key}) AS n FROM events GROUP BY {group}
+            )
+        )
+        SELECT n_exact_union, sum_group_exacts,
+               hll_merged_estimate, hll_direct_estimate,
+               hll_merged_estimate = hll_direct_estimate AS merge_equals_direct,
+               ROUND((hll_merged_estimate - n_exact_union) / n_exact_union, 4)
+                   AS rel_err
+        FROM exact, gsum, est_m, est_d
+    """
+
+
+# ---- histogram quantiles ---------------------------------------------
+
+HIST_BINS = 256
+HIST_LO = 0.0
+HIST_HI = 512_000.0  # orders span ~[1k, 500k]; width = 2000 exactly
+HIST_WIDTH = (HIST_HI - HIST_LO) / HIST_BINS
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def histogram_quantiles(
+    orders: DataFrame, col: str = "o_totalprice", group: str = "o_orderstatus"
+) -> DataFrame:
+    """Quantile estimates from a FIXED-LAYOUT equi-width histogram —
+    the mergeable alternative to exact percentiles: per group only
+    HIST_BINS integer counts are shuffled/stored (vs exact percentile
+    collecting every value per reducer), bins merge by plain addition
+    across shards/days (same rollup property as hll_union), and any
+    quantile is answered from the merged counts by in-bin linear
+    interpolation. The fixed [lo, hi) layout is what makes sketches
+    from different partitions addable; out-of-range values clamp to
+    the edge bins.
+
+    Report per group: n, est/exact for p50/p90/p99 and the absolute
+    error — the accuracy-for-memory trade quantified (error is
+    bounded by one bin width). Exact values use the same
+    `percentile()` the exact-quantiles query uses."""
+    from pyspark.sql import Window
+
+    binned = orders.selectExpr(
+        f"{group} AS grp",
+        f"CAST(least(greatest(floor(({col} - {HIST_LO}) / {HIST_WIDTH}), 0), "
+        f"{HIST_BINS - 1}) AS int) AS bin",
+        f"{col} AS v",
+    )
+    bins = binned.groupBy("grp", "bin").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("grp")
+    cum = bins.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.lit(q) * F.col("n"),
+                F.struct("bin", "cum", "cnt"),
+            )
+        ).alias(f"pick_{int(q * 100)}")
+        for q in HIST_QS
+    ]
+    est_cols = []
+    for q in HIST_QS:
+        p = f"pick_{int(q * 100)}"
+        # CAST the literals: Spark parses `0.5` / `2000.0` as DECIMAL
+        # and the whole interpolation would silently go decimal-typed
+        est_cols.append(
+            f"round(CAST({HIST_LO} AS DOUBLE) + CAST({HIST_WIDTH} AS DOUBLE)"
+            f" * ({p}.bin + "
+            f"(CAST({q} AS DOUBLE) * n - ({p}.cum - {p}.cnt)) / {p}.cnt), 4) "
+            f"AS est_p{int(q * 100)}"
+        )
+    agg = cum.groupBy("grp").agg(F.max("n").alias("n"), *picks)
+    exact = orders.groupBy(F.expr(f"{group} AS grp")).agg(
+        *[
+            F.round(F.expr(f"percentile({col}, {q})"), 4).alias(
+                f"exact_p{int(q * 100)}"
+            )
+            for q in HIST_QS
+        ]
+    )
+    return (
+        agg.join(exact, "grp")
+        .selectExpr(
+            "grp AS order_status",
+            "n",
+            *est_cols,
+            *[f"exact_p{int(q * 100)}" for q in HIST_QS],
+            *[
+                f"round(abs(round(CAST({HIST_LO} AS DOUBLE) + "
+                f"CAST({HIST_WIDTH} AS DOUBLE) * (pick_{int(q*100)}.bin + "
+                f"(CAST({q} AS DOUBLE) * n - (pick_{int(q*100)}.cum - pick_{int(q*100)}.cnt)) / pick_{int(q*100)}.cnt), 4)"
+                f" - exact_p{int(q * 100)}), 4) AS err_p{int(q * 100)}"
+                for q in HIST_QS
+            ],
+        )
+    )
+
+
+def sql_histogram_quantiles(
+    table: str = "orders",
+    col: str = "o_totalprice",
+    group: str = "o_orderstatus",
+) -> str:
+    qexprs = []
+    for q in HIST_QS:
+        p = f"p{int(q * 100)}"
+        qexprs.append(
+            f"""arg_min(struct_pack(bin := bin, cum := cum, cnt := cnt), bin)
+                FILTER (WHERE cum >= {q} * n) AS pick_{p}"""
+        )
+    est = {
+        q: (
+            f"ROUND(CAST({HIST_LO} AS DOUBLE) + CAST({HIST_WIDTH} AS DOUBLE)"
+            f" * (pick_p{int(q*100)}.bin + "
+            f"(CAST({q} AS DOUBLE) * n - (pick_p{int(q*100)}.cum - pick_p{int(q*100)}.cnt))"
+            f" / pick_p{int(q*100)}.cnt), 4)"
+        )
+        for q in HIST_QS
+    }
+    return f"""
+        WITH binned AS (
+            SELECT {group} AS grp,
+                   CAST(least(greatest(floor(({col} - {HIST_LO}) / {HIST_WIDTH}),
+                        0), {HIST_BINS - 1}) AS INT) AS bin
+            FROM {table}
+        ), bins AS (
+            SELECT grp, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2
+        ), cumbins AS (
+            SELECT grp, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY grp ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cnt) OVER (PARTITION BY grp) AS n
+            FROM bins
+        ), agg AS (
+            SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+                   {', '.join(qexprs)}
+            FROM cumbins GROUP BY grp
+        ), exact AS (
+            SELECT {group} AS grp,
+                   {', '.join(
+                       f'ROUND(quantile_cont({col}, {q}), 4) AS exact_p{int(q * 100)}'
+                       for q in HIST_QS)}
+            FROM {table} GROUP BY 1
+        )
+        SELECT agg.grp AS order_status, agg.n,
+               {', '.join(f'{est[q]} AS est_p{int(q * 100)}' for q in HIST_QS)},
+               {', '.join(f'exact_p{int(q * 100)}' for q in HIST_QS)},
+               {', '.join(
+                   f'ROUND(ABS({est[q]} - exact_p{int(q * 100)}), 4) AS err_p{int(q * 100)}'
+                   for q in HIST_QS)}
+        FROM agg JOIN exact USING (grp)
+    """

@@ -512,6 +512,9 @@ QUERIES = {
     "events_user_stickiness": events_user_stickiness,
     "events_json_kpis": events_json_kpis,
     "events_hll_distinct": events_hll_distinct,
+    "events_hll_union": lambda spark, sf: sketches.hll_union(
+        load_table(spark, sf, "events")
+    ),
     "events_countmin_freq": events_countmin_freq,
     "events_transition_matrix": events_transition_matrix,
     "events_anomaly_zscore": events_anomaly_zscore,
@@ -638,6 +641,7 @@ ORACLES = {
         FROM per_month_daily JOIN monthly USING (month)
     """,
     "events_hll_distinct": sketches.sql_hll_distinct(),
+    "events_hll_union": sketches.sql_hll_union(),
     "events_countmin_freq": sketches.sql_countmin_freq(),
     "events_transition_matrix": """
         WITH seq AS (

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uber_data_pipeline_spark.catalog import load_table
+from uber_data_pipeline_spark.operators import sketches
 from uber_data_pipeline_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
 from uber_data_pipeline_spark.operators.joins import salted_join
 
@@ -352,6 +353,10 @@ QUERIES = {
     "tpch_q10_returned_items": tpch_q10_returned_items,
     "orders_recency_stats": orders_recency_stats,
     "orders_price_quantiles": orders_price_quantiles,
+    # mergeable fixed-layout histogram sketch vs those exact values
+    "orders_histogram_quantiles": lambda spark, sf: sketches.histogram_quantiles(
+        load_table(spark, sf, "orders")
+    ),
 }
 
 ORACLES = {
@@ -522,6 +527,7 @@ ORACLES = {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
                wp AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
     """,
+    "orders_histogram_quantiles": sketches.sql_histogram_quantiles(),
     "orders_price_quantiles": """
         SELECT o_orderstatus AS order_status,
                ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,

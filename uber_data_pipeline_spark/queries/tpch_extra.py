@@ -718,26 +718,31 @@ def parts_pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     )
-    edges = pairs.distinct().cache()
+    edges = pairs.distinct()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    deg = edges.join(outdeg, "src")  # (src, dst, outdeg)
-
     # (src, dst, recip): recip = 1/outdeg as a 12-digit decimal — the
     # ONLY double op in the whole loop (one IEEE division per edge,
     # the construct step-1 validated); every iteration after this is
     # pure decimal arithmetic, so no ROUND(double)-boundary can drift
     # across engines no matter how many iterations run.
-    deg = deg.selectExpr(
+    # The whole relation is loop-INVARIANT, so it is cached ONCE in
+    # its final (src, dst, recip) form — each iteration then runs
+    # exactly one broadcast join + one partial aggregate over the
+    # cached edges, nothing is rebuilt.
+    deg = edges.join(outdeg, "src").selectExpr(
         "src", "dst", "CAST(1.0 / outdeg AS DECIMAL(13,12)) AS recip"
-    )
+    ).cache()
     ranks = None  # r0 = 1.0 implicitly
     prev = None
     for _ in range(PAGERANK_ITERS):
         if ranks is None:
             contrib = deg.selectExpr("dst", "recip AS contrib")
         else:
+            # ranks is a localCheckpointed ~|V|-row relation with no
+            # catalyst stats — without the explicit broadcast Spark
+            # sort-merges the |E|-row side against it every iteration
             contrib = deg.join(
-                ranks, deg["src"] == ranks["part_key"]
+                F.broadcast(ranks), deg["src"] == ranks["part_key"]
             ).selectExpr("dst", "pr * recip AS contrib")
         nxt = (
             contrib.groupBy(F.col("dst").alias("part_key"))
@@ -758,7 +763,7 @@ def parts_pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         prev, ranks = ranks, nxt
-    edges.unpersist()
+    deg.unpersist()
     return (
         ranks.join(
             prev.selectExpr("part_key", "pr AS pr_prev"), "part_key"

@@ -127,6 +127,11 @@ QUERIES = {
     "ann_ivf_recall": lambda spark, sf: similarity.ivf_recall(
         _emb(spark, sf), ANN_K
     ),
+    # k-NN label vote built on the exact ANN engine (embedding-quality
+    # probe: per-class accuracy of 5-NN majority vote)
+    "ann_knn_classify": lambda spark, sf: similarity.knn_classify(
+        _emb(spark, sf), ANN_K
+    ),
     "text_langid": lambda spark, sf: textops.language_id(_docs(spark, sf)),
     "text_quality": lambda spark, sf: textops.quality_scores(_docs(spark, sf)),
     "text_tokens": lambda spark, sf: textops.token_counts(_docs(spark, sf)),
@@ -437,6 +442,7 @@ ORACLES = {
         WHERE {cosine_duck("a.embedding", "b.embedding")} >= {COSINE_NEAR_DUP}
     """,
     "ann_bruteforce_topk": _sql_ann_exact(ANN_K),
+    "ann_knn_classify": similarity.sql_knn_classify(_sql_ann_exact(ANN_K)),
     "ann_lsh_topk": _sql_ann_lsh(LSH_ANN_K),
     "ann_lsh_recall": f"""
         WITH exact AS ({_sql_ann_exact(LSH_ANN_K)}),
