@@ -189,7 +189,11 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.5) -> DataF
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_arrays_df: DataFrame | None = None,
+) -> DataFrame:
     """Exact Jaccard via the plain inverted-index self-join
     (every shared shingle emits a join row, |A ∩ B| by counting);
     one equality join + one pair aggregation, set sizes riding along
@@ -210,7 +214,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     count grows with the corpus (AQE splits oversized partitions);
     build side = probe side, so there is no small-side choice to
     get wrong."""
-    sh = shingle_arrays(docs).cache().selectExpr(
+    base = (
+        shingle_arrays(docs).cache()
+        if shingle_arrays_df is None
+        else shingle_arrays_df
+    )
+    sh = base.selectExpr(
         "doc_id", "size(shingles) AS sz", "explode(shingles) AS shingle"
     )
     a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
@@ -309,7 +318,11 @@ SHINGLE_HASH_DUCK = (
 )
 
 
-def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = NUM_PERM,
+    shingle_arrays_df: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, sig: array<bigint>) — sig[p] = MIN over shingles of
     (A[p] * h(shingle) + B[p]) % MOD, the classic universal-hash
     minhash family over ONE base hash per shingle.
@@ -320,7 +333,12 @@ def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     shingle; the per-perm work is a codegen'd multiply-add-mod, not
     ``num_perm`` separate string hashes. The family is engine-neutral
     (the oracle computes identical int64 values)."""
-    sh = doc_shingles(docs).selectExpr("doc_id", f"{SHINGLE_HASH_SPARK} AS h")
+    base = (
+        shingle_arrays(docs) if shingle_arrays_df is None else shingle_arrays_df
+    )
+    sh = base.selectExpr("doc_id", "explode(shingles) AS shingle").selectExpr(
+        "doc_id", f"{SHINGLE_HASH_SPARK} AS h"
+    )
     aggs = [
         F.min(
             (F.lit(MINHASH_A[p]) * F.col("h") + F.lit(MINHASH_B[p]))
@@ -377,9 +395,15 @@ def minhash_recall(
     is one hash join of two reduced pair relations. The composed
     DuckDB oracle replays BOTH pipelines (engine-neutral md5 minhash),
     so the evaluation is verified bit-for-bit, not spot-checked."""
-    exact = ngram_jaccard_pairs(docs, threshold)
+    # ONE cached shingle relation feeds both pipelines — the
+    # tokenize+shingle expansion is the dominant shared subtree and
+    # would otherwise run twice
+    sh_arr = shingle_arrays(docs).cache()
+    exact = ngram_jaccard_pairs(docs, threshold, shingle_arrays_df=sh_arr)
     approx = lsh_candidate_pairs(
-        docs, threshold if est_threshold is None else est_threshold
+        docs,
+        threshold if est_threshold is None else est_threshold,
+        shingle_arrays_df=sh_arr,
     ).select("doc_a", "doc_b")
     return (
         exact.join(approx.withColumn("found", F.lit(True)), ["doc_a", "doc_b"], "left")
@@ -389,7 +413,11 @@ def minhash_recall(
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, min_est_jaccard: float = 0.5) -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    min_est_jaccard: float = 0.5,
+    shingle_arrays_df: DataFrame | None = None,
+) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: band-bucket collision ->
     candidate, then estimated Jaccard = fraction of agreeing minhash
     positions (zip_with over the two signature arrays — no per-perm
@@ -397,7 +425,7 @@ def lsh_candidate_pairs(docs: DataFrame, min_est_jaccard: float = 0.5) -> DataFr
 
     Candidates are band-bucket-local (hash-balanced buckets; AQE skew
     split handles hot ones) — never an O(n^2) cross join."""
-    sigs = minhash_signatures(docs).cache()
+    sigs = minhash_signatures(docs, shingle_arrays_df=shingle_arrays_df).cache()
     bands = lsh_bands(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
