@@ -137,6 +137,37 @@ def main() -> int:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+
+    # Secondary metric: CONCURRENT throughput. Sequential timing shows
+    # per-query latency, but a 32-core executor pool is mostly idle
+    # under one small query — a real deployment runs many queries at
+    # once and Spark's FIFO scheduler interleaves their jobs. Re-run
+    # the whole registry through an 8-thread pool and report the wall
+    # time; the sequential total stays the headline `value`. Never
+    # allowed to fail the bench.
+    concurrent_wall = None
+    concurrent_errors = None
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        spark.catalog.clearCache()
+
+        def _run_one(item):
+            name, fn = item
+            try:
+                fn(spark, sf_dir).count()
+                return None
+            except Exception as e:  # noqa: BLE001
+                return f"{name}: {e}"
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            errs = [r for r in pool.map(_run_one, entrymod.queries().items()) if r]
+        concurrent_wall = round(time.perf_counter() - t0, 3)
+        concurrent_errors = len(errs)
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001
+        pass
     # The driver captures stdout with a line-length bound (r1's full
     # per-query map got truncated -> "parsed": null). Print a SHORT
     # summary line FIRST — total/sf/count plus only the top-10 slowest
@@ -152,6 +183,9 @@ def main() -> int:
                 "queries": top10,
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "concurrent_wall_s": concurrent_wall,
+                "concurrent_workers": 8,
+                "concurrent_errors": concurrent_errors,
                 "detail": "bench_detail.json",
             }
         )
@@ -166,6 +200,9 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "concurrent_wall_s": concurrent_wall,
+                "concurrent_workers": 8,
+                "concurrent_errors": concurrent_errors,
             },
             f,
             indent=1,
