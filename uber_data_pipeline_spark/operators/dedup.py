@@ -453,6 +453,67 @@ def lsh_candidate_pairs(
     )
 
 
+
+
+def lsh_pairs_from_index(
+    spark,
+    index_dir: str,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from a PERSISTED minhash index — the
+    build-once / probe-many half of the LSH design. At corpus scale
+    the signature computation (tokenize -> shingle -> K minhashes) is
+    the expensive pass; a daily dedup job should pay it once per new
+    partition, store (doc_id, sig) + the exploded band keys, and run
+    every subsequent candidate generation straight off the stored
+    relations. This reads the index written by
+    :func:`write_lsh_index` and produces EXACTLY the pairs
+    `lsh_candidate_pairs` computes from raw text (same oracle).
+
+    The band self-join arrives pre-shuffled if the index was bucketed
+    by band_key at write time; here the plain parquet read still
+    skips the whole signature pipeline."""
+    sigs = spark.read.parquet(f"{index_dir}/sigs")
+    bands = spark.read.parquet(f"{index_dir}/bands")
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    n_agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(n_agree / F.lit(float(NUM_PERM)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+def write_lsh_index(docs: DataFrame, index_dir: str) -> None:
+    """Materialize the minhash index: (doc_id, sig) and the exploded
+    (doc_id, band, band_key) relations as parquet. Incremental at
+    scale: new corpus partitions append their signatures; existing
+    ones are never recomputed."""
+    sigs = minhash_signatures(docs).cache()
+    sigs.write.mode("overwrite").parquet(f"{index_dir}/sigs")
+    lsh_bands(sigs).write.mode("overwrite").parquet(f"{index_dir}/bands")
+    sigs.unpersist()
+
+
+
+
 # Edge-count ceiling for the single-task union-find fast path: 5M
 # (src, dst) longs plus the parent dict stay well under 1 GiB in one
 # executor task. Above it, the distributed min-label loop runs.

@@ -470,6 +470,48 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema DRIFT handled at read time: the lake contains files
+    written by two producer versions — v1 rows (pre-cutoff) lack the
+    o_orderpriority column, v2 rows carry it — and one
+    mergeSchema=true read reconciles them (missing column null-filled
+    for old files). This is the reader-side duty every long-lived
+    ingest grows into: producers upgrade, history is never rewritten.
+
+    Scale note: mergeSchema scans file FOOTERS (schema metadata), not
+    data; pin the merged schema explicitly once it stabilizes so the
+    footer sweep isn't paid per read. The report aggregates by the
+    evolved column, null = legacy-producer rows; the oracle recomputes
+    it from the source table with the same version split."""
+    from uber_data_pipeline_spark.functions.numeric import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(CDC_CUTOFF).cast("timestamp_ntz")
+    root = os.path.join(
+        _ARTIFACT_DIR, "schema_evo", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    v1 = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(root)
+    v2.write.mode("append").parquet(root)
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+
+
 QUERIES = {
     "cdc_incremental_merge": cdc_incremental_merge,
     "cdc_merge_sink": cdc_merge_sink,
@@ -490,6 +532,7 @@ QUERIES = {
     "gdpr_delete_audit": gdpr_delete_audit,
     "compact_small_files_report": compaction_report,
     "bucketed_join_revenue": bucketed_join_revenue,
+    "orders_schema_evolution": orders_schema_evolution,
 }
 
 
@@ -714,6 +757,15 @@ ORACLES = {
                CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount))
                     AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1
+    """,
+    "orders_schema_evolution": f"""
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '{CDC_CUTOFF}'
+                    THEN NULL ELSE o_orderpriority END AS priority,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders
         GROUP BY 1
     """,
     "cdc_incremental_merge": _CDC_ORACLE,

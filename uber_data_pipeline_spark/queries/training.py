@@ -80,6 +80,27 @@ def _media_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+def _lsh_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/probe-many: write the minhash index to parquet (per
+    SF, _SUCCESS-guarded) and generate candidates from the STORED
+    index — must equal the from-raw-text LSH path, so it shares that
+    oracle."""
+    import os
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        ".artifacts", "lsh_index", os.path.basename(sf_dir.rstrip("/")),
+    )
+    if not os.path.exists(os.path.join(root, "bands", "_SUCCESS")):
+        dedup.write_lsh_index(_docs(spark, sf_dir), root)
+    return dedup.lsh_pairs_from_index(spark, root, EST_JACCARD_THRESHOLD)
+
+
+
+
 QUERIES = {
     # one-pass decimal-exact X^T X (the covariance/PCA/OPQ base step)
     "embeddings_gram_matrix": lambda spark, sf: similarity.gram_matrix(
@@ -102,6 +123,9 @@ QUERIES = {
     "dedup_minhash_lsh": lambda spark, sf: dedup.lsh_candidate_pairs(
         _docs(spark, sf), EST_JACCARD_THRESHOLD
     ),
+    # same pairs, generated from the PERSISTED index (build-once /
+    # probe-many); shares dedup_minhash_lsh's oracle
+    "dedup_lsh_index_reuse": _lsh_index_pairs,
     # dedup-quality gate: every true Jaccard pair flagged found/missed
     # by the minhash-LSH path, evaluation replayed by the oracle
     "dedup_minhash_recall": lambda spark, sf: dedup.minhash_recall(
@@ -419,6 +443,8 @@ ORACLES = {
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "dedup_jaccard_ppjoin": _SQL_NGRAM_JACCARD,
     "dedup_minhash_lsh": _SQL_MINHASH_LSH,
+    # the stored index must reproduce the from-raw-text pairs exactly
+    "dedup_lsh_index_reuse": _SQL_MINHASH_LSH,
     "dedup_minhash_recall": f"""
         WITH exact AS ({_SQL_NGRAM_JACCARD}),
         approx AS ({_SQL_MINHASH_LSH})
