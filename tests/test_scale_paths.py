@@ -215,3 +215,42 @@ def test_zorder_prunes_more_than_linear_layout(spark):
     # plus: every linear file still overlaps the day predicate, so
     # lin_scanned is already its full scan count for the 2-D probe
     assert z_scanned < max(lin_scanned, 1) or lin_scanned == 0
+
+
+def test_histogram_quantile_error_bounded_by_bin_width(spark):
+    """In-bin linear interpolation can never be off by more than one
+    bin width — the accuracy contract the sketch trades memory for."""
+    from uber_data_pipeline_spark.catalog import load_table
+    from uber_data_pipeline_spark.operators.sketches import (
+        HIST_WIDTH,
+        histogram_quantiles,
+    )
+
+    rows = histogram_quantiles(
+        load_table(spark, "/root/testdata/sf0.01", "orders")
+    ).collect()
+    assert rows
+    for r in rows:
+        for q in (50, 90, 99):
+            assert r[f"err_p{q}"] <= HIST_WIDTH, (r["order_status"], q)
+
+
+def test_bloom_fp_rate_within_budget(spark):
+    """The self-sized filter (m = next_pow2(16n), k = 4) must hold its
+    design FP budget — (1 - e^(-1/4))^4 ~ 0.24% expected, 1% asserted
+    to leave slack for hash variance."""
+    from uber_data_pipeline_spark.catalog import load_table
+    from uber_data_pipeline_spark.operators.sketches import (
+        bloom_semi_join_report,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    row = bloom_semi_join_report(
+        orders.filter(orders.o_orderpriority == "1-URGENT"),
+        li,
+        "o_orderkey",
+        "l_orderkey",
+    ).collect()[0]
+    assert row.n_pass >= row.n_true  # no false negatives, ever
+    assert row.fp_rate is None or row.fp_rate <= 0.01

@@ -99,13 +99,24 @@ def hll_distinct(ev: DataFrame, key: str = "user_id", group: str = "event_type")
         .groupBy(group, "reg")
         .agg(F.max("rho").alias("m_j"))
     )
+    exact = hashed.groupBy(group).agg(F.countDistinct(key).alias("n_exact"))
+    return hll_report_from_registers(registers, exact, group)
+
+
+def hll_report_from_registers(
+    registers: DataFrame, exact: DataFrame, group: str = "event_type"
+) -> DataFrame:
+    """Estimate epilogue over a (group, reg, m_j) register relation —
+    shared by the batch sketch and the STREAMING register maintainer
+    (the registers are the sketch; where they were accumulated is
+    irrelevant to the estimate). ``exact`` supplies (group, n_exact)
+    for the error report."""
     sums = registers.groupBy(group).agg(
         F.count("*").alias("n_present"),
         F.sum(
             F.expr(f"CAST(pow(2, {HLL_REST_BITS + 1} - m_j) AS bigint)")
         ).alias("s_present"),
     )
-    exact = hashed.groupBy(group).agg(F.countDistinct(key).alias("n_exact"))
     two41 = 1 << (HLL_REST_BITS + 1)
     raw = (
         f"(CAST({HLL_ALPHA!r} AS double) * {HLL_M} * {HLL_M} * {two41} "

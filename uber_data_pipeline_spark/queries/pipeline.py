@@ -21,6 +21,7 @@ from uber_data_pipeline_spark.catalog import load_table
 from uber_data_pipeline_spark.sources.cdc import merge_latest, scd2_history
 from uber_data_pipeline_spark.streaming.events import (
     dedup_stream,
+    hll_distinct_stream,
     merge_sink_stream,
     sessionization_stream,
     sessionization_stream_rocksdb,
@@ -533,6 +534,7 @@ QUERIES = {
     "compact_small_files_report": compaction_report,
     "bucketed_join_revenue": bucketed_join_revenue,
     "orders_schema_evolution": orders_schema_evolution,
+    "streaming_hll_distinct": hll_distinct_stream,
 }
 
 
@@ -739,6 +741,10 @@ _SCHEDULES_ORACLE = """
 """
 
 
+from uber_data_pipeline_spark.operators import sketches as _sketches
+
+_SKETCH_ORACLE_HLL = _sketches.sql_hll_distinct()
+
 ORACLES = {
     # the compaction CONTRACT: the rewrite is a round-robin
     # repartition, so files_after is an exact function of the row
@@ -759,6 +765,7 @@ ORACLES = {
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY 1
     """,
+    "streaming_hll_distinct": _SKETCH_ORACLE_HLL,
     "orders_schema_evolution": f"""
         SELECT CASE WHEN o_orderdate < TIMESTAMP '{CDC_CUTOFF}'
                     THEN NULL ELSE o_orderpriority END AS priority,

@@ -375,3 +375,49 @@ def sessionization_stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame
     return sessionization_stream(
         spark, sf_dir, state_store_provider=ROCKSDB_PROVIDER
     )
+
+
+def hll_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count maintenance in a STREAM with BOUNDED state: the
+    running aggregate is the HLL register relation — at most
+    (groups x 256) rows of keyed state no matter how many events flow
+    through — instead of the unbounded per-key state an exact
+    streaming COUNT(DISTINCT) would accumulate. Each micro-batch
+    folds its rows into the registers with MAX (the same merge
+    hll_union proves associative), so the drained stream's registers
+    equal the batch sketch's and the report shares
+    `events_hll_distinct`'s oracle bit-for-bit.
+
+    This is the always-on form of the sketch rollup: per-day/-source
+    register snapshots from this stream union downstream by
+    register-wise MAX without touching raw history."""
+    from uber_data_pipeline_spark.operators.sketches import (
+        HLL_M,
+        _hll_rho_sql,
+        base_hash48_spark,
+        hll_report_from_registers,
+    )
+    from uber_data_pipeline_spark.catalog import load_table
+
+    ev = read_stream_events(spark, events_landing_dir(sf_dir))
+    registers = (
+        ev.selectExpr(
+            "event_type",
+            f"{base_hash48_spark('CAST(user_id AS string)')} AS h48",
+        )
+        .selectExpr(
+            "event_type",
+            f"h48 % {HLL_M} AS reg",
+            f"h48 DIV {HLL_M} AS rest",
+        )
+        .selectExpr("event_type", "reg", f"{_hll_rho_sql('rest')} AS rho")
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    regs = _run_to_memory(registers, "complete")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return hll_report_from_registers(regs, exact, "event_type")
