@@ -335,10 +335,14 @@ def merge_sink_stream(
     from uber_data_pipeline_spark.sources.writers import merge_upsert_partitioned
 
     # cluster on the partition column: one staged file per partition
-    # dir (see merge_upsert_partitioned's small-file note)
-    base.withColumn(part_col, F.expr(part_expr)).repartition(
-        F.col(part_col)
-    ).write.partitionBy(part_col).mode("overwrite").parquet(target_path)
+    # dir (see merge_upsert_partitioned's small-file note). Staged
+    # only if the target doesn't exist yet — a RESTART of the stream
+    # (same checkpoint, new files landed) must merge into the already-
+    # merged table, not wipe it back to the base snapshot.
+    if not os.path.exists(os.path.join(target_path, "_SUCCESS")):
+        base.withColumn(part_col, F.expr(part_expr)).repartition(
+            F.col(part_col)
+        ).write.partitionBy(part_col).mode("overwrite").parquet(target_path)
 
     changes = (
         spark.readStream.schema(delta_schema)
