@@ -160,11 +160,31 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001
                 return f"{name}: {e}"
 
+        # streaming entries pin shuffle.partitions / the state-store
+        # provider around .start() and restore a value read from a
+        # possibly-racing thread — results are unaffected (the pins
+        # only shape state layout), but the session conf can land
+        # wherever the last restore left it; snapshot + restore so
+        # the concurrent pass can't leak conf state past the bench
+        conf_keys = (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.sources.partitionOverwriteMode",
+            "spark.sql.streaming.stateStore.providerClass",
+        )
+        snapshot = {k: spark.conf.get(k, None) for k in conf_keys}
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=8) as pool:
             errs = [r for r in pool.map(_run_one, entrymod.queries().items()) if r]
         concurrent_wall = round(time.perf_counter() - t0, 3)
         concurrent_errors = len(errs)
+        for k, v in snapshot.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:  # noqa: BLE001
+                    pass
+            else:
+                spark.conf.set(k, v)
         spark.catalog.clearCache()
     except Exception:  # noqa: BLE001
         pass

@@ -129,10 +129,13 @@ def test_srp_band_plan_sizing():
     for tau, (r, b) in ((0.9, (r9, b9)), (0.8, (r8, b8))):
         p = 1 - math.acos(tau) / math.pi
         assert (1 - p**r) ** b <= 1e-3
-    # low threshold: not prunable, falls back to the validated setting
+    # low threshold: not prunable, falls back to the validated setting,
+    # whose analytic at-threshold miss bound must stay below 1e-6 so
+    # the exact-oracle pin is structural, not a lucky measurement
     r4, b4, prunes4 = srp_band_plan(0.4)
     assert not prunes4
-    assert (SRP_BAND_BITS, SRP_BANDS) == (2, 16)
+    p4 = 1 - math.acos(0.4) / math.pi
+    assert (1 - p4**SRP_BAND_BITS) ** SRP_BANDS <= 1e-6
 
 
 def test_auto_sizing_functions():
@@ -254,3 +257,34 @@ def test_bloom_fp_rate_within_budget(spark):
     ).collect()[0]
     assert row.n_pass >= row.n_true  # no false negatives, ever
     assert row.fp_rate is None or row.fp_rate <= 0.01
+
+
+def test_prefix_filter_keeps_prefix_suffix_straddling_pairs(spark):
+    """Adversarial case for the positional filter: the docs share
+    shingles that sit in A's prefix but B's SUFFIX. A bound that
+    counts only prefix-prefix matches (plus a blanket suffix term)
+    prunes this qualifying pair; the positional bound must keep it."""
+    from uber_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    # A: 10 distinct shingles, 9 shared; B: 16 shingles, same 9 shared
+    # but pushed to the end of B's frequency order by 7 rare tokens.
+    shared = " ".join(f"c{i:02d} c{i:02d}x c{i:02d}y" for i in range(4))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " zA zB zC"),
+            (2, "v1 v2 v3 v4 v5 " + shared),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs_prefix(docs, 0.5).collect()
+    }
+    assert exact == pref

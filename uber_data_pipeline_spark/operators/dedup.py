@@ -118,19 +118,22 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.5) -> DataF
     probes = ordered.select(
         "doc_id",
         F.col("sz"),
-        F.size("prefix").alias("plen"),
-        F.explode("prefix").alias("shingle"),
+        F.posexplode("prefix").alias("pos", "shingle"),
     )
     a, b = probes.alias("a"), probes.hint("shuffle_hash").alias("b")
-    # count shared PREFIX shingles per pair (the same shuffle the
-    # de-dup DISTINCT would cost), then apply PPJoin's positional
-    # upper bound BEFORE any array is shuffled: shingles are globally
-    # ordered (df, shingle), so common shingles outside the prefixes
-    # number at most min(sz - plen); if even
-    # pc + min(sz_a - plen_a, sz_b - plen_b) can't reach the overlap
-    # the threshold demands, the pair is pruned losslessly. On
-    # high-df corpora this cuts candidates by ~100x — most pairs
-    # share exactly one hot prefix shingle and die here.
+    # PPJoin's POSITIONAL upper bound (Xiao et al. §3.2), applied
+    # before any array is shuffled. Shingles are globally ordered
+    # (df, shingle) consistently across docs, so among a pair's COMMON
+    # prefix shingles the globally-first one sits at MIN(pos) in both
+    # docs simultaneously; every other common shingle (prefix OR
+    # suffix — this is what makes the bound valid, unlike counting
+    # only prefix matches) orders after it, occupying one of the
+    # sz - (pos + 1) later slots on each side. So overlap <=
+    # 1 + min(sz_a - (pa + 1), sz_b - (pb + 1)) (pos 0-based) — if
+    # even that bound can't reach the overlap the threshold demands
+    # (o >= t/(1+t) * (sz_a + sz_b)), the pair is pruned LOSSLESSLY.
+    # On high-df corpora this cuts candidates ~100x: most pairs share
+    # only one hot shingle near the end of both prefixes and die here.
     cand = (
         a.join(
             b,
@@ -145,16 +148,17 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.5) -> DataF
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.sz").alias("csz_a"),
             F.col("b.sz").alias("csz_b"),
-            F.col("a.plen").alias("plen_a"),
-            F.col("b.plen").alias("plen_b"),
         )
-        .agg(F.count("*").alias("pc"))
+        .agg(
+            F.min(F.col("a.pos")).alias("pa"),
+            F.min(F.col("b.pos")).alias("pb"),
+        )
         .withColumn(
             "ub",
-            F.col("pc")
+            F.lit(1)
             + F.least(
-                F.col("csz_a") - F.col("plen_a"),
-                F.col("csz_b") - F.col("plen_b"),
+                F.col("csz_a") - (F.col("pa") + 1),
+                F.col("csz_b") - (F.col("pb") + 1),
             ),
         )
         .filter(
@@ -413,20 +417,16 @@ def minhash_recall(
     )
 
 
-def lsh_candidate_pairs(
-    docs: DataFrame,
-    min_est_jaccard: float = 0.5,
-    shingle_arrays_df: DataFrame | None = None,
-) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs: band-bucket collision ->
-    candidate, then estimated Jaccard = fraction of agreeing minhash
-    positions (zip_with over the two signature arrays — no per-perm
-    join), filtered at ``min_est_jaccard``.
 
-    Candidates are band-bucket-local (hash-balanced buckets; AQE skew
-    split handles hot ones) — never an O(n^2) cross join."""
-    sigs = minhash_signatures(docs, shingle_arrays_df=shingle_arrays_df).cache()
-    bands = lsh_bands(sigs)
+
+def _pairs_from_sigs_bands(
+    sigs: DataFrame, bands: DataFrame, min_est_jaccard: float
+) -> DataFrame:
+    """Shared back half of both LSH paths (from-raw-text and
+    from-stored-index): band-bucket self-join -> distinct candidates
+    -> zip_with signature agreement -> threshold. One definition so
+    the index-reuse entry's pinned equality with the live path cannot
+    drift."""
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
@@ -440,7 +440,9 @@ def lsh_candidate_pairs(
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    n_agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    n_agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
     return (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -451,6 +453,24 @@ def lsh_candidate_pairs(
         )
         .filter(F.col("est_jaccard") >= min_est_jaccard)
     )
+
+
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    min_est_jaccard: float = 0.5,
+    shingle_arrays_df: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: band-bucket collision ->
+    candidate, then estimated Jaccard = fraction of agreeing minhash
+    positions (zip_with over the two signature arrays — no per-perm
+    join), filtered at ``min_est_jaccard``.
+
+    Candidates are band-bucket-local (hash-balanced buckets; AQE skew
+    split handles hot ones) — never an O(n^2) cross join."""
+    sigs = minhash_signatures(docs, shingle_arrays_df=shingle_arrays_df).cache()
+    return _pairs_from_sigs_bands(sigs, lsh_bands(sigs), min_est_jaccard)
 
 
 
@@ -475,30 +495,7 @@ def lsh_pairs_from_index(
     skips the whole signature pipeline."""
     sigs = spark.read.parquet(f"{index_dir}/sigs")
     bands = spark.read.parquet(f"{index_dir}/bands")
-    a, b = bands.alias("a"), bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    n_agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-    return (
-        candidates.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(n_agree / F.lit(float(NUM_PERM)), 6).alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= min_est_jaccard)
-    )
+    return _pairs_from_sigs_bands(sigs, bands, min_est_jaccard)
 
 
 def write_lsh_index(docs: DataFrame, index_dir: str) -> None:

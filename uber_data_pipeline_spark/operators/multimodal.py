@@ -226,7 +226,7 @@ def sql_metadata_stats() -> str:
                    CASE doc_id % 3 WHEN 0 THEN 'image'
                                    WHEN 1 THEN 'audio'
                                    ELSE 'text' END AS kind,
-                   length(text) AS n_bytes,
+                   octet_length(encode(text)) AS n_bytes,
                    CASE WHEN doc_id % 3 = 0 THEN n_chars % 1024 END AS width,
                    CASE WHEN doc_id % 3 = 1 THEN 16000 END AS sample_rate
             FROM documents

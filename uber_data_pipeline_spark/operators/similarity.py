@@ -361,12 +361,18 @@ def with_srp_bucket(emb: DataFrame, n_bits: int = LSH_BITS) -> DataFrame:
 # srp_band_plan reports the threshold is not prunable: measured 100%
 # recall vs the exact path at τ=0.4 on the synthetic corpus at
 # sf0.001/0.01/0.1 (66/59/920 qualifying pairs, 0 missed) — pinned by
-# tests/test_scale_paths.py. At 2 bits a random pair collides in a
-# band with 1/4, so candidate volume is bounded ~4n² pair-scores — a
-# constant factor over exact, but executed as per-bucket BLAS gemms
-# with bucket-local shuffles, which is the shape that scales out.
+# tests/test_scale_paths.py. 32 bands put the analytic miss bound for
+# an AT-threshold pair at (1 - p²)^32 ≈ 9e-8 (p = 1 - acos(0.4)/π ≈
+# 0.63), so even a fully regenerated corpus with ~10³ qualifying
+# pairs has < 1e-4 chance of a single miss — the pinned equality is
+# structural, not a lucky measurement. At 2 bits a random pair
+# collides in a band with 1/4, so candidate volume is bounded ~8n²
+# pair-scores — a constant factor over exact, but executed as
+# per-bucket BLAS gemms with bucket-local shuffles, the shape that
+# scales out (and at REAL near-dup thresholds srp_band_plan prunes
+# hard instead of falling back).
 SRP_BAND_BITS = 2
-SRP_BANDS = 16
+SRP_BANDS = 32
 
 
 def with_srp_band_buckets(

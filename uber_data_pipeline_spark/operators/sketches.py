@@ -64,6 +64,31 @@ def _hll_rho_sql(rest: str) -> str:
     )
 
 
+_HLL_TWO41 = 1 << (HLL_REST_BITS + 1)
+
+
+def _hll_raw_sql() -> str:
+    """Raw HLL estimate over (n_present, s_present) columns — ONE
+    definition for the batch sketch, the union report, the streaming
+    maintainer, and every DuckDB twin (the expression is dialect-
+    shared), so the estimator can never desynchronize between paths
+    that are pinned bit-equal."""
+    return (
+        f"(CAST({HLL_ALPHA!r} AS double) * {HLL_M} * {HLL_M} * {_HLL_TWO41} "
+        f"/ (s_present + ({HLL_M} - n_present) * CAST({_HLL_TWO41} AS bigint)))"
+    )
+
+
+def _hll_est_sql() -> str:
+    """Raw estimate + Flajolet small-range (linear counting) switch."""
+    raw = _hll_raw_sql()
+    return (
+        f"(CASE WHEN {raw} <= 2.5 * {HLL_M} AND n_present < {HLL_M} "
+        f"THEN {HLL_M} * ln(CAST({HLL_M} AS double) / ({HLL_M} - n_present)) "
+        f"ELSE {raw} END)"
+    )
+
+
 def hll_distinct(ev: DataFrame, key: str = "user_id", group: str = "event_type") -> DataFrame:
     """Deterministic HLL distinct-count estimate per group, with the
     exact count and relative error alongside.
@@ -117,16 +142,7 @@ def hll_report_from_registers(
             F.expr(f"CAST(pow(2, {HLL_REST_BITS + 1} - m_j) AS bigint)")
         ).alias("s_present"),
     )
-    two41 = 1 << (HLL_REST_BITS + 1)
-    raw = (
-        f"(CAST({HLL_ALPHA!r} AS double) * {HLL_M} * {HLL_M} * {two41} "
-        f"/ (s_present + ({HLL_M} - n_present) * CAST({two41} AS bigint)))"
-    )
-    est = (
-        f"(CASE WHEN {raw} <= 2.5 * {HLL_M} AND n_present < {HLL_M} "
-        f"THEN {HLL_M} * ln(CAST({HLL_M} AS double) / ({HLL_M} - n_present)) "
-        f"ELSE {raw} END)"
-    )
+    raw, est = _hll_raw_sql(), _hll_est_sql()
     return sums.join(exact, group).selectExpr(
         group,
         "n_exact",
@@ -139,16 +155,7 @@ def hll_report_from_registers(
 
 def sql_hll_distinct(key: str = "user_id", group: str = "event_type") -> str:
     h48 = base_hash48_duck(f"CAST({key} AS VARCHAR)")
-    two41 = 1 << (HLL_REST_BITS + 1)
-    raw = (
-        f"(CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M} * {two41} "
-        f"/ (s_present + ({HLL_M} - n_present) * {two41}))"
-    )
-    est = (
-        f"(CASE WHEN {raw} <= 2.5 * {HLL_M} AND n_present < {HLL_M} "
-        f"THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - n_present)) "
-        f"ELSE {raw} END)"
-    )
+    raw, est = _hll_raw_sql(), _hll_est_sql()
     return f"""
         WITH hashed AS (
             SELECT {group}, {key}, {h48} AS h48 FROM events
@@ -468,8 +475,6 @@ def hll_union(
         .groupBy("reg")
         .agg(F.max("rho").alias("m_j"))
     )
-    two41 = 1 << (HLL_REST_BITS + 1)
-
     def estimate(regs: DataFrame, out: str) -> DataFrame:
         sums = regs.agg(
             F.count("*").alias("n_present"),
@@ -477,16 +482,7 @@ def hll_union(
                 F.expr(f"CAST(pow(2, {HLL_REST_BITS + 1} - m_j) AS bigint)")
             ).alias("s_present"),
         )
-        raw = (
-            f"(CAST({HLL_ALPHA!r} AS double) * {HLL_M} * {HLL_M} * {two41} "
-            f"/ (s_present + ({HLL_M} - n_present) * CAST({two41} AS bigint)))"
-        )
-        est = (
-            f"(CASE WHEN {raw} <= 2.5 * {HLL_M} AND n_present < {HLL_M} "
-            f"THEN {HLL_M} * ln(CAST({HLL_M} AS double) / ({HLL_M} - n_present)) "
-            f"ELSE {raw} END)"
-        )
-        return sums.selectExpr(f"round({est}, 3) AS {out}")
+        return sums.selectExpr(f"round({_hll_est_sql()}, 3) AS {out}")
 
     exact = ev.agg(
         F.countDistinct(key).alias("n_exact_union"),
@@ -516,16 +512,7 @@ def hll_union(
 
 def sql_hll_union(key: str = "user_id", group: str = "event_type") -> str:
     h48 = base_hash48_duck(f"CAST({key} AS VARCHAR)")
-    two41 = 1 << (HLL_REST_BITS + 1)
-    raw = (
-        f"(CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M} * {two41} "
-        f"/ (s_present + ({HLL_M} - n_present) * {two41}))"
-    )
-    est = (
-        f"(CASE WHEN {raw} <= 2.5 * {HLL_M} AND n_present < {HLL_M} "
-        f"THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - n_present)) "
-        f"ELSE {raw} END)"
-    )
+    est = _hll_est_sql()
     return f"""
         WITH hashed AS (
             SELECT {group}, {key}, {h48} AS h48 FROM events

@@ -193,10 +193,14 @@ def attrition_funnel(
         .select("doc_id")
         .withColumn("is_contam", F.lit(True))
     )
+    # CASE with zero WHEN arms is a parse error — empty/None rates
+    # mean "sample nothing", a plain 0 threshold
     thr = (
         "CASE lang "
         + " ".join(f"WHEN '{k}' THEN {int(v * 256)}" for k, v in rates.items())
         + " ELSE 0 END"
+        if rates
+        else "0"
     )
     w = Window.partitionBy("text_hash")
     flags = (

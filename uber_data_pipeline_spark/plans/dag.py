@@ -78,14 +78,16 @@ def refresh_incremental(
     name: str,
     sf_dir: str,
     out_dir: str,
-    base_filter: str,
-    delta_filter: str,
+    cutoff: str,
 ) -> DataFrame:
     """Incrementally materialize one model declared with an
-    IncrementalSpec: a prior full build over ``base_filter`` rows is
-    the stored table (the previous scheduled run); the refresh
-    aggregates ONLY the ``delta_filter`` rows and merges them into
-    the stored partials by summing the additive columns per key —
+    IncrementalSpec: a prior full build over rows BEFORE ``cutoff``
+    (on the spec's declared ``event_col`` — the filters are DERIVED
+    from the declared watermark column, not free-form, so they can't
+    silently cut on a different column) is the stored table (the
+    previous scheduled run); the refresh aggregates ONLY the rows at
+    or after ``cutoff`` and merges them into the stored partials by
+    summing the additive columns per key —
     the dbt-incremental materialization the reference's @daily dbt
     run would use instead of full-refresh.
 
@@ -103,6 +105,8 @@ def refresh_incremental(
     model = registry.models[name]
     spec = model.incremental
     assert spec is not None, f"model {name} is not incremental"
+    base_filter = f"{spec.event_col} < TIMESTAMP '{cutoff}'"
+    delta_filter = f"{spec.event_col} >= TIMESTAMP '{cutoff}'"
     load_tables(spark, sf_dir, register_views=True)
 
     stored_path = os.path.join(out_dir, name)

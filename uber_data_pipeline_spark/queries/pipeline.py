@@ -294,8 +294,7 @@ def pipeline_dag_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monthly_status_rollup",
         sf_dir,
         out_dir,
-        base_filter=f"o_orderdate < TIMESTAMP '{CDC_CUTOFF}'",
-        delta_filter=f"o_orderdate >= TIMESTAMP '{CDC_CUTOFF}'",
+        cutoff=CDC_CUTOFF,
     )
     return merged.selectExpr(
         "month",

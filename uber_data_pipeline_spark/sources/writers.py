@@ -30,9 +30,18 @@ def write_partitioned(
     """Partitioned parquet write; with ``dynamic`` only the partitions
     present in ``df`` are replaced (idempotent incremental loads)."""
     spark = df.sparkSession
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(mode_key, None)
     if dynamic:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+        spark.conf.set(mode_key, "dynamic")
+    try:
+        df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    finally:
+        if dynamic:
+            if prev_mode is None:
+                spark.conf.unset(mode_key)
+            else:
+                spark.conf.set(mode_key, prev_mode)
 
 
 def write_bucketed(
@@ -103,13 +112,24 @@ def merge_upsert_partitioned(
     # the listing + footer storm (the small-file problem that kills
     # streamed-into lakes)
     merged = surviving.unionByName(changes).repartition(F.col(part_col))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    # localCheckpoint: the merged plan reads the same files it is about
-    # to overwrite — materialize it first or the overwrite would corrupt
-    # its own input mid-job
-    merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
-        part_col
-    ).parquet(target_path)
+    # dynamic overwrite only for THIS write — leaving it set would
+    # silently turn every later overwrite-partitionBy write in the
+    # session into a partial (dynamic) overwrite
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(mode_key, None)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        # localCheckpoint: the merged plan reads the same files it is
+        # about to overwrite — materialize it first or the overwrite
+        # would corrupt its own input mid-job
+        merged.localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).partitionBy(part_col).parquet(target_path)
+    finally:
+        if prev_mode is None:
+            spark.conf.unset(mode_key)
+        else:
+            spark.conf.set(mode_key, prev_mode)
 
 
 def write_orc(
