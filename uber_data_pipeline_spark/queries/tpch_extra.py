@@ -525,6 +525,52 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def orders_gapfill_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`orders_daily_gapfill` with the date spine generated by a
+    Spark 4 RECURSIVE CTE (WITH RECURSIVE ... MAX RECURSION LEVEL) —
+    the declarative recursion surface, pinned to the same oracle as
+    the sequence+explode form. Recursion here is monotone (day + 1
+    bounded by the year end), so the UNION ALL fixpoint terminates in
+    exactly 366 levels; the declared MAX RECURSION LEVEL is the
+    safety rail Spark requires past its default 100.
+
+    Same scale shape as the base entry: the fact reduces FIRST, the
+    366x5-row spine broadcasts onto the reduced aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .groupBy(
+            F.to_date("o_orderdate").alias("day"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    prio_arr = ", ".join(f"'{p}'" for p in ORDER_PRIORITIES)
+    spine = spark.sql(f"""
+        WITH RECURSIVE days(day) MAX RECURSION LEVEL 400 AS (
+            SELECT DATE '1996-01-01' AS day
+            UNION ALL
+            SELECT date_add(day, 1) FROM days
+            WHERE day < DATE '1996-12-31'
+        )
+        SELECT day, explode(array({prio_arr})) AS order_priority
+        FROM days
+    """)
+    return (
+        F.broadcast(spine)
+        .join(daily, ["day", "order_priority"], "left")
+        .select(
+            "day",
+            "order_priority",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
 def lineitem_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: the top part pairs that appear in
     the same order, ranked by co-purchase count (tie-broken by the
@@ -903,6 +949,7 @@ QUERIES = {
     "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
     "orders_cube": orders_cube,
     "orders_daily_gapfill": orders_daily_gapfill,
+    "orders_gapfill_rcte": orders_gapfill_rcte,
 }
 
 ORACLES = {
@@ -1283,3 +1330,6 @@ ORACLES = {
         LEFT JOIN daily d USING (day, order_priority)
     """,
 }
+
+# the recursive-spine form must equal the sequence+explode form
+ORACLES["orders_gapfill_rcte"] = ORACLES["orders_daily_gapfill"]
