@@ -46,3 +46,148 @@ def with_partition_avg(
 ) -> DataFrame:
     w = Window.partitionBy(*partition_by)
     return df.withColumn(out_col, F.avg(value_col).over(w))
+
+
+# ----------------------------------------------------- moments / corr
+
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+CORR_ROUND = 6
+
+
+def corr_matrix(li, cols: tuple[str, ...] = CORR_COLS):
+    """Pairwise Pearson correlations from ONE decimal-exact moments
+    pass: Sx, Sxx per column and Sxy per pair (10 sums for 4 columns)
+    aggregate map-side to a single row; the correlation formula then
+    runs driver-free on that row. Moments are commutative monoids, so
+    this is the mergeable form — per-shard moment rows add, the
+    corr() recomputes from the merged sums (same rollup property as
+    the sketches).
+
+    Determinism: every per-row product is evaluated in double (IEEE,
+    identical both engines), cast to DECIMAL(25,6) (rounding the
+    value, HALF_UP), and summed exactly; the final formula is a
+    handful of double ops on identical decimal sums — NOT the
+    engine's corr() (engine-private summation orders). Output:
+    col_a, col_b, corr (upper triangle, 6 rows for 4 columns)."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("decimal(25,6)")).alias(f"s_{c}"))
+        aggs.append(
+            F.sum(
+                (F.col(c).cast("double") * F.col(c).cast("double")).cast(
+                    "decimal(25,6)"
+                )
+            ).alias(f"s_{c}_{c}")
+        )
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            pairs.append((a, b))
+            aggs.append(
+                F.sum(
+                    (F.col(a).cast("double") * F.col(b).cast("double")).cast(
+                        "decimal(25,6)"
+                    )
+                ).alias(f"s_{a}_{b}")
+            )
+    moments = li.agg(F.count("*").alias("n"), *aggs)
+
+    def corr_expr(a: str, b: str) -> str:
+        return (
+            f"round((n * CAST(s_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / sqrt((n * CAST(s_{a}_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * (n * CAST(s_{b}_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), {CORR_ROUND})"
+        )
+
+    stack = ", ".join(
+        f"'{a}', '{b}', {corr_expr(a, b)}" for a, b in pairs
+    )
+    return moments.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr)"
+    )
+
+
+def sql_corr_matrix(
+    table: str = "lineitem", cols: tuple[str, ...] = CORR_COLS
+) -> str:
+    moms = ["COUNT(*) AS n"]
+    for c in cols:
+        moms.append(f"SUM(CAST({c} AS DECIMAL(25,6))) AS s_{c}")
+        moms.append(
+            f"SUM(CAST(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE)"
+            f" AS DECIMAL(25,6))) AS s_{c}_{c}"
+        )
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            pairs.append((a, b))
+            moms.append(
+                f"SUM(CAST(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE)"
+                f" AS DECIMAL(25,6))) AS s_{a}_{b}"
+            )
+
+    def corr_expr(a: str, b: str) -> str:
+        return (
+            f"ROUND((n * CAST(s_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / sqrt((n * CAST(s_{a}_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * (n * CAST(s_{b}_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), {CORR_ROUND})"
+        )
+
+    arms = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, {corr_expr(a, b)} AS corr FROM m"
+        for a, b in pairs
+    )
+    return f"WITH m AS (SELECT {', '.join(moms)} FROM {table}) {arms}"
+
+
+def key_skew_report(df, key: str):
+    """Partition-skew diagnostics for a join/agg key — the report that
+    decides whether a key needs salting (operators/joins.py) or can
+    rely on AQE's skew split: per-key row counts reduced first, then
+    one tiny aggregate over the count distribution. max/avg ratio is
+    THE number: a ratio of r means the hottest reducer does r times
+    the average work, i.e. the stage's wall clock is r/(uniform)
+    slower no matter how many executors you add.
+
+    Output (1 row): n_keys, n_rows, max_per_key, avg_per_key,
+    p99_per_key, skew_ratio."""
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(key).agg(F.count("*").alias("n"))
+    return counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_per_key"),
+        F.expr("round(avg(n), 6)").alias("avg_per_key"),
+        F.expr("CAST(percentile(n, 0.99) AS DOUBLE)").alias("p99_per_key"),
+    ).selectExpr(
+        "n_keys",
+        "n_rows",
+        "max_per_key",
+        "avg_per_key",
+        "round(p99_per_key, 6) AS p99_per_key",
+        "round(max_per_key / avg_per_key, 6) AS skew_ratio",
+    )
+
+
+def sql_key_skew_report(table: str, key: str) -> str:
+    return f"""
+        WITH counts AS (
+            SELECT {key}, COUNT(*) AS n FROM {table} GROUP BY 1
+        )
+        SELECT COUNT(*) AS n_keys,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               MAX(n) AS max_per_key,
+               ROUND(AVG(n), 6) AS avg_per_key,
+               ROUND(CAST(quantile_cont(n, 0.99) AS DOUBLE), 6) AS p99_per_key,
+               ROUND(MAX(n) / ROUND(AVG(n), 6), 6) AS skew_ratio
+        FROM counts
+    """

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from uber_data_pipeline_spark.catalog import load_table
 from uber_data_pipeline_spark.operators import layout, sketches
+from uber_data_pipeline_spark.operators.shares import key_skew_report, sql_key_skew_report
 
 BLOOM_BUILD_PRIORITY = "1-URGENT"
 
@@ -35,12 +36,21 @@ def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout.zorder_layout_audit(load_table(spark, sf_dir, "orders"))
 
 
+def orders_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics on the orders join key (o_custkey) — the
+    report that decides between plan-level salting
+    (operators/joins.py) and trusting AQE's runtime skew split."""
+    return key_skew_report(load_table(spark, sf_dir, "orders"), "o_custkey")
+
+
 QUERIES = {
     "orders_bloom_semi_join": orders_bloom_semi_join,
+    "orders_key_skew_report": orders_key_skew_report,
     "orders_zorder_layout": orders_zorder_layout,
 }
 
 ORACLES = {
+    "orders_key_skew_report": sql_key_skew_report("orders", "o_custkey"),
     "orders_bloom_semi_join": sketches.sql_bloom_semi_join(
         f"SELECT o_orderkey AS k FROM orders "
         f"WHERE o_orderpriority = '{BLOOM_BUILD_PRIORITY}'",

@@ -16,6 +16,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uber_data_pipeline_spark.catalog import load_table
+from uber_data_pipeline_spark.operators.shares import (
+    corr_matrix as _corr_matrix,
+    sql_corr_matrix as _sql_corr,
+)
 from uber_data_pipeline_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"
@@ -949,6 +953,9 @@ QUERIES = {
     "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
     "orders_cube": orders_cube,
     "orders_daily_gapfill": orders_daily_gapfill,
+    "lineitem_corr_matrix": lambda spark, sf: _corr_matrix(
+        load_table(spark, sf, "lineitem")
+    ),
     "orders_gapfill_rcte": orders_gapfill_rcte,
 }
 
@@ -1333,3 +1340,5 @@ ORACLES = {
 
 # the recursive-spine form must equal the sequence+explode form
 ORACLES["orders_gapfill_rcte"] = ORACLES["orders_daily_gapfill"]
+
+ORACLES["lineitem_corr_matrix"] = _sql_corr()
