@@ -199,3 +199,35 @@ def compact_small_files(
     return spark.createDataFrame(
         report, "n_rows bigint, n_files_before int, n_files_after int"
     )
+
+
+def register_bucketed_if_present(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    schema_ddl: str,
+    sort_cols: list[str] | None = None,
+) -> bool:
+    """Re-attach an EXISTING bucketed parquet layout to the (session-
+    scoped) catalog without rewriting it — the persistence half of the
+    bucketed-table contract: the shuffle is paid once at write time,
+    and every later session re-registers the files (bucket ids are
+    encoded in the file names) instead of re-clustering the data.
+    Returns False if no complete layout exists at ``path``."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    sorted_clause = (
+        f"SORTED BY ({', '.join(sort_cols)})" if sort_cols else ""
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"""CREATE TABLE {table} ({schema_ddl}) USING parquet
+            CLUSTERED BY ({', '.join(bucket_cols)}) {sorted_clause}
+            INTO {n_buckets} BUCKETS
+            LOCATION '{path}'"""
+    )
+    return True
