@@ -67,10 +67,12 @@ def corr_matrix(li, cols: tuple[str, ...] = CORR_COLS):
     identical both engines), cast to DECIMAL(25,6) (rounding the
     value, HALF_UP), and summed exactly; the final formula is a
     handful of double ops on identical decimal sums — NOT the
-    engine's corr() (engine-private summation orders). Output:
+    engine's corr() (engine-private summation orders). The variance
+    product is clamped at 0 before sqrt: DECIMAL(25,6) rounding can
+    push a (near-)constant column's variance a hair negative, where
+    DuckDB's sqrt throws while Spark returns NaN — clamped, both
+    engines yield NULL (x/0 double is NULL in both). Output:
     col_a, col_b, corr (upper triangle, 6 rows for 4 columns)."""
-    from pyspark.sql import functions as F
-
     aggs = []
     for c in cols:
         aggs.append(F.sum(F.col(c).cast("decimal(25,6)")).alias(f"s_{c}"))
@@ -98,10 +100,10 @@ def corr_matrix(li, cols: tuple[str, ...] = CORR_COLS):
         return (
             f"round((n * CAST(s_{a}_{b} AS DOUBLE)"
             f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
-            f" / sqrt((n * CAST(s_{a}_{a} AS DOUBLE)"
+            f" / sqrt(greatest(0.0D, (n * CAST(s_{a}_{a} AS DOUBLE)"
             f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
             f" * (n * CAST(s_{b}_{b} AS DOUBLE)"
-            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), {CORR_ROUND})"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))), {CORR_ROUND})"
         )
 
     stack = ", ".join(
@@ -135,10 +137,10 @@ def sql_corr_matrix(
         return (
             f"ROUND((n * CAST(s_{a}_{b} AS DOUBLE)"
             f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
-            f" / sqrt((n * CAST(s_{a}_{a} AS DOUBLE)"
+            f" / sqrt(greatest(CAST(0.0 AS DOUBLE), (n * CAST(s_{a}_{a} AS DOUBLE)"
             f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
             f" * (n * CAST(s_{b}_{b} AS DOUBLE)"
-            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), {CORR_ROUND})"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))), {CORR_ROUND})"
         )
 
     arms = " UNION ALL ".join(
@@ -159,8 +161,6 @@ def key_skew_report(df, key: str):
 
     Output (1 row): n_keys, n_rows, max_per_key, avg_per_key,
     p99_per_key, skew_ratio."""
-    from pyspark.sql import functions as F
-
     counts = df.groupBy(key).agg(F.count("*").alias("n"))
     return counts.agg(
         F.count("*").alias("n_keys"),

@@ -437,30 +437,58 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed,
     )
 
+    import json
+
     sf_name = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     root = os.path.join(_ARTIFACT_DIR, "bucketed_q", sf_name)
+    tables = (("orders", "o_orderkey"), ("lineitem", "l_orderkey"))
     # the bucketed-table contract in full: the clustering shuffle is
     # paid ONCE at write time; a fresh session re-attaches the files
-    # (bucket ids live in the file names) instead of re-clustering
-    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        src_df = load_table(spark, sf_dir, tbl)
-        if not register_bucketed_if_present(
-            spark,
-            f"{tbl}_bq_{sf_name}",
-            os.path.join(root, tbl),
-            BUCKETED_N,
-            [key],
-            src_df.schema.toDDL(),
-            sort_cols=[key],
-        ):
+    # (bucket ids live in the file names) instead of re-clustering.
+    # The sidecar fingerprint (source file size+mtime per table, plus
+    # the bucket count) guards the re-attach: regenerated testdata or
+    # a changed BUCKETED_N invalidates the WHOLE layout (written only
+    # after BOTH tables land, so a half-written pair can never mix
+    # dataset generations into one join).
+    def _fingerprint() -> dict:
+        fp = {"n_buckets": BUCKETED_N}
+        for tbl, _ in tables:
+            st = os.stat(os.path.join(sf_dir, f"{tbl}.parquet"))
+            fp[tbl] = [st.st_size, int(st.st_mtime)]
+        return fp
+
+    sidecar = os.path.join(root, "layout.json")
+    reuse = False
+    if os.path.exists(sidecar):
+        try:
+            with open(sidecar) as f:
+                reuse = json.load(f) == _fingerprint()
+        except (OSError, ValueError):
+            reuse = False
+    if reuse:
+        for tbl, key in tables:
+            reuse = reuse and register_bucketed_if_present(
+                spark,
+                f"{tbl}_bq_{sf_name}",
+                os.path.join(root, tbl),
+                BUCKETED_N,
+                [key],
+                load_table(spark, sf_dir, tbl).schema.toDDL(),
+                sort_cols=[key],
+            )
+    if not reuse:
+        shutil.rmtree(root, ignore_errors=True)
+        for tbl, key in tables:
             write_bucketed(
-                src_df,
+                load_table(spark, sf_dir, tbl),
                 f"{tbl}_bq_{sf_name}",
                 os.path.join(root, tbl),
                 BUCKETED_N,
                 [key],
                 sort_cols=[key],
             )
+        with open(sidecar, "w") as f:
+            json.dump(_fingerprint(), f)
     a = read_table(spark, f"orders_bq_{sf_name}")
     b = read_table(spark, f"lineitem_bq_{sf_name}")
     return (

@@ -774,25 +774,27 @@ def parts_pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y -> struct(x AS src, y AS dst))))) AS e"
     ).select("e.src", "e.dst")
     edges = pairs.distinct()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # (src, dst, recip): recip = 1/outdeg as a 12-digit decimal — the
-    # ONLY double op in the whole loop (one IEEE division per edge,
-    # the construct step-1 validated); every iteration after this is
-    # pure decimal arithmetic, so no ROUND(double)-boundary can drift
-    # across engines no matter how many iterations run.
+    # recip = 1/outdeg as a 12-digit decimal — the ONLY double op in
+    # the whole loop (one IEEE division per source, the construct
+    # step-1 validated); every iteration after this is pure decimal
+    # arithmetic, so no ROUND(double)-boundary can drift across
+    # engines no matter how many iterations run.
     # The whole relation is loop-INVARIANT, so it is cached ONCE — in
     # ADJACENCY-ARRAY form: one row per source with its out-neighbor
     # list (|V| rows instead of |E|), so each iteration scans ~100x
     # less cached data and regenerates the |E| contribution rows
-    # row-locally with one explode. Each iteration is then exactly
-    # one broadcast join + one explode + one partial aggregate.
+    # row-locally with one explode. outdeg IS the deduped neighbor
+    # list's size, so the whole build is ONE aggregate — no separate
+    # outdeg count, no join back. Each iteration is then exactly one
+    # broadcast join + one explode + one partial aggregate.
     deg = (
-        edges.join(outdeg, "src")
-        .selectExpr(
-            "src", "dst", "CAST(1.0 / outdeg AS DECIMAL(13,12)) AS recip"
-        )
-        .groupBy("src", "recip")
+        edges.groupBy("src")
         .agg(F.collect_list("dst").alias("dsts"))
+        .selectExpr(
+            "src",
+            "CAST(1.0 / size(dsts) AS DECIMAL(13,12)) AS recip",
+            "dsts",
+        )
         .cache()
     )
     ranks = None  # r0 = 1.0 implicitly
@@ -945,6 +947,14 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of lineitem's numeric measures
+    from ONE decimal-exact moments pass (operators/shares.corr_matrix
+    — mergeable moments, deterministic decimal sums, engine-shared
+    final formula; variance clamp documented there)."""
+    return _corr_matrix(load_table(spark, sf_dir, "lineitem"))
+
+
 QUERIES = {
     "lineitem_copurchase_pairs": lineitem_copurchase_pairs,
     "parts_abc_by_nation": parts_abc_by_nation,
@@ -968,9 +978,7 @@ QUERIES = {
     "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
     "orders_cube": orders_cube,
     "orders_daily_gapfill": orders_daily_gapfill,
-    "lineitem_corr_matrix": lambda spark, sf: _corr_matrix(
-        load_table(spark, sf, "lineitem")
-    ),
+    "lineitem_corr_matrix": lineitem_corr_matrix,
     "orders_gapfill_rcte": orders_gapfill_rcte,
 }
 
