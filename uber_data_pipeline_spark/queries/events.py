@@ -504,6 +504,73 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+FUNNEL_WINDOW_US = 2 * 3600 * 1_000_000  # 2h between consecutive steps
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED ordered funnel (view -> click -> purchase, each
+    step within FUNNEL_WINDOW_US of the previous match) — the hard
+    funnel variant the unconstrained `events_funnel` can't answer.
+    Semantics are the standard greedy scan: events in (ts, event_id)
+    order advance a per-user step counter when they match the next
+    step inside the window; explicitly defined so both engines replay
+    it bit-for-bit.
+
+    Scale shape: the corpus filters to the three step types FIRST
+    (pushed into the scan), one groupBy collects each user's bounded
+    step-event list, and the scan itself is a row-local higher-order
+    aggregate() fold — no window function, no self-join, one shuffle.
+    The final rollup is a 1-row conditional aggregate unpivoted to
+    3 rows (step, n_users, pct_of_step1)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*FUNNEL_STEPS)
+    )
+    per_user = (
+        ev.selectExpr(
+            "user_id",
+            "unix_micros(ts) AS ts_us",
+            "event_id",
+            "event_type AS t",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(ts_us, event_id, t))) AS evs"
+            )
+        )
+    )
+    w = FUNNEL_WINDOW_US
+    fold = f"""aggregate(evs,
+        named_struct('cur', CAST(0 AS INT), 'last', CAST(0 AS BIGINT)),
+        (s, e) -> CASE
+            WHEN s.cur = 0 AND e.t = '{FUNNEL_STEPS[0]}'
+                THEN named_struct('cur', 1, 'last', e.ts_us)
+            WHEN s.cur = 1 AND e.t = '{FUNNEL_STEPS[1]}'
+                 AND e.ts_us - s.last <= {w}
+                THEN named_struct('cur', 2, 'last', e.ts_us)
+            WHEN s.cur = 2 AND e.t = '{FUNNEL_STEPS[2]}'
+                 AND e.ts_us - s.last <= {w}
+                THEN named_struct('cur', 3, 'last', e.ts_us)
+            ELSE s END).cur"""
+    reached = per_user.selectExpr(f"{fold} AS reached")
+    agg = reached.agg(
+        *[
+            F.sum(F.expr(f"CAST(reached >= {k} AS BIGINT)")).alias(f"n{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    stack = ", ".join(
+        f"'{k}_{FUNNEL_STEPS[k - 1]}', n{k}, "
+        f"round(n{k} / CAST(n1 AS DOUBLE), 6)"
+        for k in (1, 2, 3)
+    )
+    return agg.selectExpr(
+        f"stack(3, {stack}) AS (step, n_users, pct_of_step1)"
+    )
+
+
 QUERIES = {
     "events_top_paths": events_top_paths,
     "events_burst_detection": events_burst_detection,
@@ -525,6 +592,7 @@ QUERIES = {
     "events_windowed_agg": events_windowed_agg,
     "events_sessionization": events_sessionization,
     "events_funnel": events_funnel,
+    "events_funnel_timebound": events_funnel_timebound,
     "events_distinct_users": events_distinct_users,
     "events_pivot_daily": events_pivot_daily,
 }
@@ -812,6 +880,58 @@ ORACLES = {
                COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup
         FROM events
         GROUP BY 1
+    """,
+    "events_funnel_timebound": f"""
+        WITH e AS (
+            SELECT user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                   event_id,
+                   event_type AS t
+            FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+        ), pu AS (
+            SELECT user_id,
+                   list_sort(list(struct_pack(
+                       ts_us := ts_us, event_id := event_id, t := t))) AS evs
+            FROM e GROUP BY 1
+        ), folded AS (
+            SELECT user_id,
+                   list_reduce(
+                       list_prepend(
+                           struct_pack(cur := 0, last := 0::BIGINT,
+                                       ts_us := CAST(NULL AS BIGINT),
+                                       t := CAST(NULL AS VARCHAR)),
+                           list_transform(evs, x -> struct_pack(
+                               cur := CAST(NULL AS INT),
+                               last := CAST(NULL AS BIGINT),
+                               ts_us := x.ts_us, t := x.t))),
+                       (s, e) -> CASE
+                           WHEN s.cur = 0 AND e.t = 'view'
+                               THEN struct_pack(cur := 1, last := e.ts_us,
+                                    ts_us := CAST(NULL AS BIGINT),
+                                    t := CAST(NULL AS VARCHAR))
+                           WHEN s.cur = 1 AND e.t = 'click'
+                                AND e.ts_us - s.last <= {FUNNEL_WINDOW_US}
+                               THEN struct_pack(cur := 2, last := e.ts_us,
+                                    ts_us := CAST(NULL AS BIGINT),
+                                    t := CAST(NULL AS VARCHAR))
+                           WHEN s.cur = 2 AND e.t = 'purchase'
+                                AND e.ts_us - s.last <= {FUNNEL_WINDOW_US}
+                               THEN struct_pack(cur := 3, last := e.ts_us,
+                                    ts_us := CAST(NULL AS BIGINT),
+                                    t := CAST(NULL AS VARCHAR))
+                           ELSE s END).cur AS reached
+            FROM pu
+        ), agg AS (
+            SELECT CAST(SUM(CAST(reached >= 1 AS BIGINT)) AS BIGINT) AS n1,
+                   CAST(SUM(CAST(reached >= 2 AS BIGINT)) AS BIGINT) AS n2,
+                   CAST(SUM(CAST(reached >= 3 AS BIGINT)) AS BIGINT) AS n3
+            FROM folded
+        )
+        SELECT '1_view' AS step, n1 AS n_users,
+               ROUND(n1 / CAST(n1 AS DOUBLE), 6) AS pct_of_step1 FROM agg
+        UNION ALL SELECT '2_click', n2, ROUND(n2 / CAST(n1 AS DOUBLE), 6) FROM agg
+        UNION ALL SELECT '3_purchase', n3, ROUND(n3 / CAST(n1 AS DOUBLE), 6) FROM agg
     """,
     "events_funnel": """
         WITH per_user AS (
