@@ -90,6 +90,8 @@ SCALAR_BROADCAST_OK = {
     # four 1-row aggregates (exact union, group-sum, two sketch
     # estimates) crossJoined into the single report row
     "events_hll_union",
+    # 1-row norm broadcast onto the 64-row matvec result
+    "embeddings_power_iteration",
 }
 
 

@@ -951,3 +951,84 @@ def sql_knn_classify(exact_topk_sql: str) -> str:
         FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
         GROUP BY 1
     """
+
+
+def power_iteration_step(emb: DataFrame) -> DataFrame:
+    """One PCA power-iteration step: v1 = normalize(G @ v0) over the
+    Gram matrix G = X^T X, from the fixed uniform start v0 = 1/8
+    (= 1/sqrt(64), exactly representable). Iterating this step
+    converges to the top principal direction — the same
+    expose-one-deterministic-step pattern as kmeans/pagerank (iterated
+    float linear algebra drifts; one step is bit-replayable).
+
+    Determinism: G's cells are the decimal-exact gram sums; the
+    matvec expands each upper-triangle cell to its one (diagonal) or
+    two (symmetric) row contributions and sums IN DECIMAL, scaled by
+    the exact decimal 0.125 — so y is exact. The norm is one IEEE
+    sqrt of the exact decimal sum of y², and the only doubles are the
+    final division + round. Output: (i, v1) — 64 rows.
+
+    Scale shape: everything after the gram pass is reduced-relation
+    work (<= d² rows); the 1-row norm is a broadcast scalar."""
+    g = gram_matrix(emb)  # (i, j, g) upper triangle, decimal-backed double
+    contrib = g.selectExpr(
+        """inline(CASE WHEN i = j
+             THEN array(struct(i AS row, g AS val))
+             ELSE array(struct(i AS row, g AS val),
+                        struct(j AS row, g AS val)) END)"""
+    )
+    y = contrib.groupBy("row").agg(
+        F.expr(
+            # shrink the sum (exact: magnitude fits) BEFORE the 0.125
+            # multiply so the product stays inside precision 38 — past
+            # it Spark's precision-loss rounding and DuckDB's overflow
+            # handling diverge (same trap as the PageRank damping)
+            "CAST(CAST(sum(CAST(val AS DECIMAL(25,6))) AS DECIMAL(30,6))"
+            " * CAST(0.125 AS DECIMAL(4,3)) AS DECIMAL(30,9))"
+        ).alias("y")
+    )
+    norm = y.agg(
+        F.expr(
+            # (18,9)x(18,9) -> precision 37: the square stays inside 38
+            "sqrt(CAST(sum(CAST(y AS DECIMAL(18,9)) * CAST(y AS DECIMAL(18,9)))"
+            " AS DOUBLE)) AS nrm"
+        )
+    )
+    # explicit IEEE half-up instead of round(double, 6): both engines
+    # compute the identical x = y/nrm double, but their ROUND functions
+    # break representation-boundary cases differently (Spark rounds the
+    # shortest decimal repr, DuckDB the binary value); floor(x*1e6+0.5)
+    # is the same chain of IEEE ops in both
+    return (
+        y.crossJoin(F.broadcast(norm))
+        .selectExpr(
+            "row AS i",
+            "floor(CAST(y AS DOUBLE) / nrm * 1000000 + 0.5) / 1000000 AS v1",
+        )
+    )
+
+
+def sql_power_iteration_step(table: str = "embeddings") -> str:
+    gram = sql_gram_matrix(table)
+    return f"""
+        WITH gm AS ({gram}),
+        contrib AS (
+            SELECT i AS row, g AS val FROM gm
+            UNION ALL
+            SELECT j AS row, g AS val FROM gm WHERE i != j
+        ),
+        y AS (
+            SELECT row,
+                   CAST(CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DECIMAL(30,6))
+                        * CAST(0.125 AS DECIMAL(4,3)) AS DECIMAL(30,9)) AS y
+            FROM contrib GROUP BY row
+        ),
+        nrm AS (
+            SELECT sqrt(CAST(SUM(CAST(y AS DECIMAL(18,9))
+                        * CAST(y AS DECIMAL(18,9))) AS DOUBLE)) AS nrm
+            FROM y
+        )
+        SELECT row AS i,
+               floor(CAST(y AS DOUBLE) / nrm * 1000000 + 0.5) / 1000000 AS v1
+        FROM y CROSS JOIN nrm
+    """

@@ -106,6 +106,10 @@ QUERIES = {
     "embeddings_gram_matrix": lambda spark, sf: similarity.gram_matrix(
         _emb(spark, sf)
     ),
+    # one PCA power-iteration step over that gram matrix
+    "embeddings_power_iteration": lambda spark, sf: similarity.power_iteration_step(
+        _emb(spark, sf)
+    ),
     # one BPE-training pair count over the word-frequency dictionary
     "text_bpe_merge_step": lambda spark, sf: textops.bpe_merge_step(
         _docs(spark, sf)
@@ -432,6 +436,7 @@ _LANG_CASE = langid_case({lg: f"s_{lg}" for lg in ("en", "de", "fr", "es")})
 
 ORACLES = {
     "embeddings_gram_matrix": similarity.sql_gram_matrix(),
+    "embeddings_power_iteration": similarity.sql_power_iteration_step(),
     "text_bpe_merge_step": textops.sql_bpe_merge_step(),
     "dedup_exact": """
         SELECT md5(lower(trim(text))) AS text_hash,
