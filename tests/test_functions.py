@@ -215,3 +215,36 @@ def test_decimal_tie_rounding_rule(spark):
     ).collect()[0][0]
     d_cast = str(duckdb.sql(f"SELECT CAST({tie} AS DECIMAL(14,9))").fetchone()[0])
     assert s_cast == "1.061750597" and d_cast == "1.061750596"
+
+
+def test_decimal_overflow_rule(spark):
+    """Decimal ops whose inferred precision exceeds 38 take
+    engine-specific precision-loss paths: Spark rounds the result to
+    fit (allowPrecisionLoss), DuckDB promotes/overflows differently —
+    so twins must narrow operands BEFORE wide multiplies. This pins
+    the hazard with a value where the two paths disagree."""
+    import duckdb
+
+    # DECIMAL(38,21) * DECIMAL(3,2): inferred precision 42 > 38.
+    # Spark keeps 38 digits by cutting scale (result scale 6 here);
+    # the same expression in DuckDB errors or yields another scale.
+    expr = (
+        "CAST(CAST(1.2345678901234567890123 AS DECIMAL(38,21))"
+        " * CAST(0.85 AS DECIMAL(3,2)) AS STRING)"
+    )
+    s_val = spark.sql(f"SELECT {expr}").collect()[0][0]
+    try:
+        d_val = str(duckdb.sql(f"SELECT {expr}").fetchone()[0])
+    except Exception:  # noqa: BLE001 — DuckDB may refuse outright
+        d_val = "<error>"
+    # the point: past precision 38 the engines are NOT interchangeable
+    assert s_val != d_val or "<error>" == d_val, (s_val, d_val)
+    # and the sanctioned pattern (narrow first) IS interchangeable:
+    safe = (
+        "CAST(ROUND(CAST(1.2345678901234567890123 AS DECIMAL(38,21)), 15)"
+        " * CAST(0.85 AS DECIMAL(3,2)) AS STRING)"
+    )
+    assert (
+        spark.sql(f"SELECT {safe}").collect()[0][0].rstrip("0")
+        == str(duckdb.sql(f"SELECT {safe}").fetchone()[0]).rstrip("0")
+    )
