@@ -819,47 +819,64 @@ def gram_matrix(emb: DataFrame) -> DataFrame:
     column — the covariance/PCA building block (whitening, OPQ
     rotation, spectral diagnostics all start here).
 
-    Shape: each row expands ROW-LOCALLY into its d*(d+1)/2 = 2080
-    upper-triangle products (inline over a nested transform — pure
-    codegen, no join, no posexplode self-join), then ONE partial
-    aggregate reduces them; the shuffle carries 2080 rows per map
-    partition regardless of corpus size, so the plan is a single
-    map-side-combined pass at any scale. (A per-partition numpy gemm
-    via mapInPandas computes the same partials faster per byte but its
-    float partial sums are order-dependent; the decimal path keeps the
-    result bit-equal to the DuckDB oracle — see functions/numeric.py.)
+    Shape: an Arrow ``mapInPandas`` kernel turns each batch into ONE
+    per-batch partial gram — a vectorized outer-product accumulation —
+    and emits d*(d+1)/2 = 2080 partial rows per batch; one partial-
+    aggregated groupBy merges them. The shuffle carries 2080 rows per
+    batch regardless of corpus size, so the plan is a single
+    map-side-combined pass at any scale.
 
-    Columns: i, j (0-based dims, i <= j), g (decimal-exact sum of
-    x_i * x_j rounded to GRAM_ROUND).
+    Determinism without decimals: each per-row product is quantized
+    to integer MICRO-UNITS with floor(p * 1e6 + 0.5) — the identical
+    chain of IEEE ops in numpy, Spark SQL, and DuckDB (unlike decimal
+    casts or round(), whose tie-breaking differs per engine) — and
+    int64 sums are exact and order-free. The expression-expansion
+    form this replaces (inline over a nested transform, 2080 structs
+    per row) measured ~6x slower: millions of interpreted struct
+    constructions vs one numpy outer-product per batch.
+
+    Columns: i, j (0-based dims, i <= j), g (= exact micro-unit sum
+    / 1e6, i.e. the sum of per-row-quantized products at 6 dp).
     """
-    from uber_data_pipeline_spark.functions.numeric import dsum
+    iu, ju = np.triu_indices(EMB_DIM)
 
-    cells = emb.selectExpr(
-        f"""inline(flatten(transform(sequence(0, {EMB_DIM - 1}), i ->
-            transform(sequence(i, {EMB_DIM - 1}), j ->
-              struct(i AS i, j AS j,
-                     CAST(embedding[i] AS DOUBLE)
-                     * CAST(embedding[j] AS DOUBLE) AS p)))))"""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            acc = np.zeros(len(iu), dtype=np.int64)
+            mat = _stack(pdf["embedding"])
+            # sub-chunk so the (n, d, d) product tensor stays bounded
+            for lo in range(0, len(mat), 512):
+                chunk = mat[lo : lo + 512]
+                outer = chunk[:, :, None] * chunk[:, None, :]
+                q = np.floor(outer * 1_000_000.0 + 0.5).astype(np.int64)
+                acc += q.sum(axis=0)[iu, ju]
+            yield pd.DataFrame({"i": iu, "j": ju, "s": acc})
+
+    partials = emb.select("embedding").mapInPandas(
+        kernel, "i int, j int, s long"
     )
-    return cells.groupBy("i", "j").agg(
-        dsum(F.col("p"), GRAM_ROUND).alias("g")
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .selectExpr("i", "j", "CAST(s AS DOUBLE) / 1000000 AS g")
     )
 
 
 def sql_gram_matrix(table: str = "embeddings") -> str:
-    from uber_data_pipeline_spark.functions.numeric import sql_dsum
-
     return f"""
         WITH cells AS (
             SELECT t1.i AS i, t2.j AS j,
-                   embedding[t1.i + 1]::DOUBLE
-                   * embedding[t2.j + 1]::DOUBLE AS p
+                   CAST(floor(embedding[t1.i + 1]::DOUBLE
+                        * embedding[t2.j + 1]::DOUBLE
+                        * 1000000 + 0.5) AS BIGINT) AS q
             FROM {table},
                  range(0, {EMB_DIM}) AS t1(i),
                  range(0, {EMB_DIM}) AS t2(j)
             WHERE t2.j >= t1.i
         )
-        SELECT i, j, {sql_dsum('p', GRAM_ROUND)} AS g
+        SELECT i, j, CAST(SUM(q) AS DOUBLE) / 1000000 AS g
         FROM cells GROUP BY i, j
     """
 
@@ -971,11 +988,12 @@ def power_iteration_step(emb: DataFrame) -> DataFrame:
     Scale shape: everything after the gram pass is reduced-relation
     work (<= d² rows); the 1-row norm is a broadcast scalar."""
     g = gram_matrix(emb)  # (i, j, g) upper triangle, decimal-backed double
-    contrib = g.selectExpr(
-        """inline(CASE WHEN i = j
-             THEN array(struct(i AS row, g AS val))
-             ELSE array(struct(i AS row, g AS val),
-                        struct(j AS row, g AS val)) END)"""
+    # symmetric expansion as a UNION of two plain projections, not a
+    # generator: inline(CASE..array(struct)) over the upstream output
+    # measured ~5x slower (the generator drops the projection out of
+    # codegen into interpreted eval)
+    contrib = g.selectExpr("i AS row", "g AS val").unionByName(
+        g.filter("i != j").selectExpr("j AS row", "g AS val")
     )
     y = contrib.groupBy("row").agg(
         F.expr(
@@ -986,7 +1004,9 @@ def power_iteration_step(emb: DataFrame) -> DataFrame:
             "CAST(CAST(sum(CAST(val AS DECIMAL(25,6))) AS DECIMAL(30,6))"
             " * CAST(0.125 AS DECIMAL(4,3)) AS DECIMAL(30,9))"
         ).alias("y")
-    )
+        # cached: y feeds BOTH the norm aggregate and the final
+        # select — without the boundary the whole gram pass runs twice
+    ).cache()
     norm = y.agg(
         F.expr(
             # (18,9)x(18,9) -> precision 37: the square stays inside 38
