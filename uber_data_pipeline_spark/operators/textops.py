@@ -884,3 +884,88 @@ def sql_bpe_merge_step(table: str = "documents", top_k: int = BPE_TOP_K) -> str:
         FROM pairs GROUP BY pair
         ORDER BY n DESC, pair LIMIT {top_k}
     """
+
+
+# ---------------------------------------------------------- bigram LM
+
+
+def bigram_typicality(docs: DataFrame) -> DataFrame:
+    """Bigram-LM typicality: each document scored by the average
+    corpus-level conditional probability of its word bigrams,
+    avg over bigrams of p(w2|w1) = c(w1 w2) / c(w1 ·) — the
+    sequence-aware upgrade of `text_unigram_lm`'s unigram score
+    (fluent/templated text scores high, shuffled or OCR-garbled text
+    low). No logarithms on purpose: libm ln() is the one primitive
+    the twin engines only probably agree on, while c_b / c_w is ONE
+    IEEE division of exact integers — identical everywhere — and the
+    per-doc average goes through the standard decimal-exact sum.
+
+    Scale shape: bigram/context counts are map-side-combined
+    aggregates over the exploded token stream; the per-doc score
+    joins each doc's bigrams against those reduced relations (shuffle
+    joins on bigram / context keys — vocabulary-sized, never
+    broadcast) and reduces back to one row per doc.
+
+    Columns: doc_id, n_bigrams, avg_cond_p (round 6)."""
+    from uber_data_pipeline_spark.functions.text import TOKENS_SPARK
+
+    toks = docs.selectExpr("doc_id", f"{TOKENS_SPARK} AS tokens")
+    bigrams = toks.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, size(tokens) - 1), "
+        "i -> struct(element_at(tokens, i) AS w1, "
+        "element_at(tokens, i + 1) AS w2))) AS b",
+    ).select("doc_id", "b.w1", "b.w2")
+    cb = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cw = bigrams.groupBy("w1").agg(F.count("*").alias("cw"))
+    scored = (
+        bigrams.join(cb, ["w1", "w2"])
+        .join(cw, ["w1"])
+        .selectExpr("doc_id", "CAST(cb AS DOUBLE) / cw AS p")
+    )
+    # explicit IEEE half-up for the final average: round(double, 6)
+    # breaks representation-boundary ties differently per engine
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.col("p").cast("decimal(25,6)")).alias("psum"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_bigrams",
+            "floor(CAST(psum AS DOUBLE) / n_bigrams * 1000000 + 0.5)"
+            " / 1000000 AS avg_cond_p",
+        )
+    )
+
+
+def sql_bigram_typicality(table: str = "documents") -> str:
+    from uber_data_pipeline_spark.functions.text import TOKENS_DUCK
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_DUCK} AS tokens FROM {table}
+        ), bigrams AS (
+            SELECT doc_id, b.w1, b.w2 FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(tokens)),
+                           i -> struct_pack(w1 := tokens[i],
+                                            w2 := tokens[i + 1]))) AS b
+                FROM toks
+            )
+        ), cb AS (
+            SELECT w1, w2, COUNT(*) AS cb FROM bigrams GROUP BY 1, 2
+        ), cw AS (
+            SELECT w1, COUNT(*) AS cw FROM bigrams GROUP BY 1
+        ), scored AS (
+            SELECT b.doc_id, CAST(cb.cb AS DOUBLE) / cw.cw AS p
+            FROM bigrams b
+            JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+            JOIN cw ON cw.w1 = b.w1
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               floor(CAST(SUM(CAST(p AS DECIMAL(25,6))) AS DOUBLE)
+                     / COUNT(*) * 1000000 + 0.5) / 1000000 AS avg_cond_p
+        FROM scored GROUP BY doc_id
+    """

@@ -218,6 +218,10 @@ QUERIES = {
         _docs(spark, sf)
     ),
     "text_unigram_lm": lambda spark, sf: textops.unigram_scores(_docs(spark, sf)),
+    # sequence-aware LM typicality (bigram conditional probabilities)
+    "text_bigram_lm": lambda spark, sf: textops.bigram_typicality(
+        _docs(spark, sf)
+    ),
     "text_pii_scrub": lambda spark, sf: textops.pii_scrub(_docs(spark, sf)),
     "documents_quality_buckets": lambda spark, sf: textops.quality_buckets(
         _docs(spark, sf)
@@ -438,6 +442,7 @@ ORACLES = {
     "embeddings_gram_matrix": similarity.sql_gram_matrix(),
     "embeddings_power_iteration": similarity.sql_power_iteration_step(),
     "text_bpe_merge_step": textops.sql_bpe_merge_step(),
+    "text_bigram_lm": textops.sql_bigram_typicality(),
     "dedup_exact": """
         SELECT md5(lower(trim(text))) AS text_hash,
                MIN(doc_id) AS canonical_doc_id,
