@@ -811,7 +811,6 @@ def sql_pq_encode() -> str:
 # --------------------------------------------------------- gram matrix
 
 EMB_DIM = 64
-GRAM_ROUND = 6
 
 
 def gram_matrix(emb: DataFrame) -> DataFrame:
@@ -828,8 +827,9 @@ def gram_matrix(emb: DataFrame) -> DataFrame:
 
     Determinism without decimals: each per-row product is quantized
     to integer MICRO-UNITS with floor(p * 1e6 + 0.5) — the identical
-    chain of IEEE ops in numpy, Spark SQL, and DuckDB (unlike decimal
-    casts or round(), whose tie-breaking differs per engine) — and
+    chain of IEEE ops in numpy, Spark SQL, and DuckDB (unlike bare
+    decimal casts, whose tie rule differs per engine, or
+    round(double, k), whose representation-boundary rule does) — and
     int64 sums are exact and order-free. The expression-expansion
     form this replaces (inline over a nested transform, 2080 structs
     per row) measured ~6x slower: millions of interpreted struct
@@ -854,9 +854,12 @@ def gram_matrix(emb: DataFrame) -> DataFrame:
                 acc += q.sum(axis=0)[iu, ju]
             yield pd.DataFrame({"i": iu, "j": ju, "s": acc})
 
-    partials = emb.select("embedding").mapInPandas(
-        kernel, "i int, j int, s long"
-    )
+    # NULL embeddings contribute nothing in the oracle (SUM skips
+    # NULL products); drop them before the kernel, which would crash
+    # stacking a None
+    partials = emb.select("embedding").where(
+        F.col("embedding").isNotNull()
+    ).mapInPandas(kernel, "i int, j int, s long")
     return (
         partials.groupBy("i", "j")
         .agg(F.sum("s").alias("s"))
@@ -978,12 +981,14 @@ def power_iteration_step(emb: DataFrame) -> DataFrame:
     expose-one-deterministic-step pattern as kmeans/pagerank (iterated
     float linear algebra drifts; one step is bit-replayable).
 
-    Determinism: G's cells are the decimal-exact gram sums; the
-    matvec expands each upper-triangle cell to its one (diagonal) or
-    two (symmetric) row contributions and sums IN DECIMAL, scaled by
-    the exact decimal 0.125 — so y is exact. The norm is one IEEE
-    sqrt of the exact decimal sum of y², and the only doubles are the
-    final division + round. Output: (i, v1) — 64 rows.
+    Determinism: G's cells are gram_matrix's micro-unit-quantized
+    sums (exact int64 / 1e6, identical per engine); the matvec
+    expands each upper-triangle cell to its one (diagonal) or two
+    (symmetric) row contributions and sums IN DECIMAL, scaled by the
+    exact decimal 0.125 — so y is exact given G. The norm is one IEEE
+    sqrt of the exact decimal sum of (y rounded to 6)², and the only
+    raw doubles are the final division + explicit half-up round.
+    Output: (i, v1) — 64 rows.
 
     Scale shape: everything after the gram pass is reduced-relation
     work (<= d² rows); the 1-row norm is a broadcast scalar."""
@@ -1009,9 +1014,13 @@ def power_iteration_step(emb: DataFrame) -> DataFrame:
     ).cache()
     norm = y.agg(
         F.expr(
-            # (18,9)x(18,9) -> precision 37: the square stays inside 38
-            "sqrt(CAST(sum(CAST(y AS DECIMAL(18,9)) * CAST(y AS DECIMAL(18,9)))"
-            " AS DOUBLE)) AS nrm"
+            # round(y, 6) (HALF_UP both engines) then (18,6) squares:
+            # (18,6)x(18,6) -> precision 37 stays inside 38, and the
+            # |y| < 1e12 headroom replaces the old (18,9) cast that
+            # silently overflowed to NULL in Spark (and errored in
+            # DuckDB) past |y| >= 1e9
+            "sqrt(CAST(sum(CAST(round(y, 6) AS DECIMAL(18,6))"
+            " * CAST(round(y, 6) AS DECIMAL(18,6))) AS DOUBLE)) AS nrm"
         )
     )
     # explicit IEEE half-up instead of round(double, 6): both engines
@@ -1044,8 +1053,8 @@ def sql_power_iteration_step(table: str = "embeddings") -> str:
             FROM contrib GROUP BY row
         ),
         nrm AS (
-            SELECT sqrt(CAST(SUM(CAST(y AS DECIMAL(18,9))
-                        * CAST(y AS DECIMAL(18,9))) AS DOUBLE)) AS nrm
+            SELECT sqrt(CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(18,6))
+                        * CAST(ROUND(y, 6) AS DECIMAL(18,6))) AS DOUBLE)) AS nrm
             FROM y
         )
         SELECT row AS i,

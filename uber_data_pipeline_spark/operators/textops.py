@@ -910,11 +910,15 @@ def bigram_typicality(docs: DataFrame) -> DataFrame:
     from uber_data_pipeline_spark.functions.text import TOKENS_SPARK
 
     toks = docs.selectExpr("doc_id", f"{TOKENS_SPARK} AS tokens")
+    # sequence(1, 0) is DESCENDING in Spark, so a <2-token doc would
+    # index element_at(tokens, 2) and crash — guard like shingles_spark
     bigrams = toks.selectExpr(
         "doc_id",
-        "explode(transform(sequence(1, size(tokens) - 1), "
+        "explode(CASE WHEN size(tokens) >= 2 "
+        "THEN transform(sequence(1, size(tokens) - 1), "
         "i -> struct(element_at(tokens, i) AS w1, "
-        "element_at(tokens, i + 1) AS w2))) AS b",
+        "element_at(tokens, i + 1) AS w2)) "
+        "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END) AS b",
     ).select("doc_id", "b.w1", "b.w2")
     cb = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
     cw = bigrams.groupBy("w1").agg(F.count("*").alias("cw"))

@@ -561,9 +561,10 @@ def events_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in (1, 2, 3)
         ]
     )
+    # explicit IEEE half-up (round(double, 6) ties diverge per engine)
     stack = ", ".join(
         f"'{k}_{FUNNEL_STEPS[k - 1]}', n{k}, "
-        f"round(n{k} / CAST(n1 AS DOUBLE), 6)"
+        f"floor(n{k} / CAST(n1 AS DOUBLE) * 1000000 + 0.5) / 1000000"
         for k in (1, 2, 3)
     )
     return agg.selectExpr(
@@ -888,7 +889,8 @@ ORACLES = {
                    event_id,
                    event_type AS t
             FROM events
-            WHERE event_type IN ('view', 'click', 'purchase')
+            WHERE event_type IN ('{FUNNEL_STEPS[0]}', '{FUNNEL_STEPS[1]}',
+                                 '{FUNNEL_STEPS[2]}')
         ), pu AS (
             SELECT user_id,
                    list_sort(list(struct_pack(
@@ -906,16 +908,16 @@ ORACLES = {
                                last := CAST(NULL AS BIGINT),
                                ts_us := x.ts_us, t := x.t))),
                        (s, e) -> CASE
-                           WHEN s.cur = 0 AND e.t = 'view'
+                           WHEN s.cur = 0 AND e.t = '{FUNNEL_STEPS[0]}'
                                THEN struct_pack(cur := 1, last := e.ts_us,
                                     ts_us := CAST(NULL AS BIGINT),
                                     t := CAST(NULL AS VARCHAR))
-                           WHEN s.cur = 1 AND e.t = 'click'
+                           WHEN s.cur = 1 AND e.t = '{FUNNEL_STEPS[1]}'
                                 AND e.ts_us - s.last <= {FUNNEL_WINDOW_US}
                                THEN struct_pack(cur := 2, last := e.ts_us,
                                     ts_us := CAST(NULL AS BIGINT),
                                     t := CAST(NULL AS VARCHAR))
-                           WHEN s.cur = 2 AND e.t = 'purchase'
+                           WHEN s.cur = 2 AND e.t = '{FUNNEL_STEPS[2]}'
                                 AND e.ts_us - s.last <= {FUNNEL_WINDOW_US}
                                THEN struct_pack(cur := 3, last := e.ts_us,
                                     ts_us := CAST(NULL AS BIGINT),
@@ -928,10 +930,13 @@ ORACLES = {
                    CAST(SUM(CAST(reached >= 3 AS BIGINT)) AS BIGINT) AS n3
             FROM folded
         )
-        SELECT '1_view' AS step, n1 AS n_users,
-               ROUND(n1 / CAST(n1 AS DOUBLE), 6) AS pct_of_step1 FROM agg
-        UNION ALL SELECT '2_click', n2, ROUND(n2 / CAST(n1 AS DOUBLE), 6) FROM agg
-        UNION ALL SELECT '3_purchase', n3, ROUND(n3 / CAST(n1 AS DOUBLE), 6) FROM agg
+        SELECT '1_{FUNNEL_STEPS[0]}' AS step, n1 AS n_users,
+               floor(n1 / CAST(n1 AS DOUBLE) * 1000000 + 0.5) / 1000000
+                   AS pct_of_step1 FROM agg
+        UNION ALL SELECT '2_{FUNNEL_STEPS[1]}', n2,
+               floor(n2 / CAST(n1 AS DOUBLE) * 1000000 + 0.5) / 1000000 FROM agg
+        UNION ALL SELECT '3_{FUNNEL_STEPS[2]}', n3,
+               floor(n3 / CAST(n1 AS DOUBLE) * 1000000 + 0.5) / 1000000 FROM agg
     """,
     "events_funnel": """
         WITH per_user AS (
