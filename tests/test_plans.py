@@ -92,6 +92,9 @@ SCALAR_BROADCAST_OK = {
     "events_hll_union",
     # 1-row norm broadcast onto the 64-row matvec result
     "embeddings_power_iteration",
+    # three 1-row aggregates (nodes+wedges, edges, triangles)
+    # crossJoined into the single census row
+    "copurchase_triangle_census",
 }
 
 

@@ -754,3 +754,78 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def cross_source_overlap(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Cross-source near-duplicate overlap census: given a duplicate
+    PAIR relation (doc_a, doc_b) — exact-Jaccard, minhash-LSH, or
+    simhash, all band/shingle-local — aggregate it into the
+    (source_a <= source_b) contamination matrix a corpus curator
+    reads before mixing sources: how many near-dup pairs connect the
+    two sources and how many distinct documents are implicated.
+
+    Scale shape: the expensive part is the pair relation the caller
+    already has (candidates are shingle/bucket-local, never O(n^2));
+    this census adds two broadcast-sized joins against the (doc_id,
+    source) projection and a SOURCES^2-bounded aggregate. n_docs uses
+    an explode so a doc paired in both orientations counts once.
+    """
+    s = docs.select("doc_id", "source")
+    j = (
+        pairs.select("doc_a", "doc_b")
+        .join(
+            s.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            s.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    return (
+        j.select(
+            "source_a",
+            "source_b",
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            (F.count("*") / 2).cast("long").alias("n_dup_pairs"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def sql_cross_source_overlap(pairs_cte: str) -> str:
+    """DuckDB twin of :func:`cross_source_overlap`; ``pairs_cte`` is a
+    query yielding (doc_a, doc_b, ...) — e.g. the exact-Jaccard pair
+    oracle — re-aggregated into the same census."""
+    return f"""
+        WITH pairs AS ({pairs_cte}),
+        tagged AS (
+            SELECT least(sa.source, sb.source) AS source_a,
+                   greatest(sa.source, sb.source) AS source_b,
+                   p.doc_a, p.doc_b
+            FROM pairs p
+            JOIN documents sa ON p.doc_a = sa.doc_id
+            JOIN documents sb ON p.doc_b = sb.doc_id
+        ), exploded AS (
+            SELECT source_a, source_b, unnest([doc_a, doc_b]) AS doc_id
+            FROM tagged
+        )
+        SELECT source_a, source_b,
+               CAST(COUNT(*) // 2 AS BIGINT) AS n_dup_pairs,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM exploded
+        GROUP BY source_a, source_b
+    """

@@ -117,3 +117,53 @@ def forward_window_counts(
             F.coalesce(F.col("__n"), F.lit(0)).alias("n_within_horizon"),
         )
     )
+
+
+def interval_point_counts(
+    intervals: DataFrame,
+    points: DataFrame,
+    key: str,
+    id_col: str,
+    bin_days: int,
+) -> DataFrame:
+    """Variable-length interval join: per interval (``id_col``,
+    ``key``, integer day columns ``s_day``..``e_day``), count the
+    points (``key``, ``p_day``) with s_day <= p_day <= e_day for the
+    same key. Inner semantics — zero-hit intervals drop out.
+
+    Generalizes ``forward_window_counts`` to intervals of ANY length:
+    each interval is exploded to the day-bins it overlaps
+    (len/bin_days + 1 rows, bounded fan-out), a point lives in
+    exactly ONE bin — so every true (interval, point) match is found
+    exactly once, no post-join DISTINCT — and the join is pure
+    equality on (key, bin) with the exact range applied bucket-local.
+    At 100 TB this is the standard binned range join: one shuffle per
+    side on (key, bin); bin width trades replication (long intervals)
+    against bucket density (short ones) — set it near the p99
+    interval length.
+    """
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s_day") / bin_days),
+                F.floor(F.col("e_day") / bin_days),
+            )
+        ),
+    )
+    pt = points.select(
+        F.col(key).alias("__pk"),
+        F.col("p_day"),
+        F.floor(F.col("p_day") / bin_days).alias("__pbin"),
+    )
+    return (
+        iv.join(
+            pt,
+            (F.col(key) == F.col("__pk"))
+            & (F.col("__bin") == F.col("__pbin"))
+            & (F.col("p_day") >= F.col("s_day"))
+            & (F.col("p_day") <= F.col("e_day")),
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_points"))
+    )

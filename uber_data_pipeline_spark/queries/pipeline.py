@@ -547,8 +547,118 @@ def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based snapshot versioning + time travel
+    (sources/snapshots.py — the Delta/Iceberg/BigQuery-snapshot role
+    on a plain parquet lake): commit v0 = the pre-cutoff base load,
+    commit v1 = APPEND of the post-cutoff inserts (v1's manifest
+    inherits v0's files; nothing rewritten), then read BOTH versions
+    back through their manifests and aggregate each — time travel as
+    an explicit file-list scan, full pushdown intact.
+
+    The v0-as-of aggregate must equal the base relation's and the
+    v1-as-of aggregate the full relation's — which is exactly what
+    the oracle recomputes from `orders`."""
+    from uber_data_pipeline_spark.functions.numeric import dsum
+    from uber_data_pipeline_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.lit(CDC_CUTOFF).cast("timestamp_ntz")
+    root = os.path.join(
+        _ARTIFACT_DIR, "snapshots", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    commit_snapshot(orders.filter(F.col("o_orderdate") < cutoff), root, 0)
+    commit_snapshot(
+        orders.filter(F.col("o_orderdate") >= cutoff), root, 1, mode="append"
+    )
+
+    def _agg(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+            F.countDistinct("o_orderstatus").cast("long").alias("n_statuses"),
+        ).select(F.lit(version).alias("version"), "n_rows", "total_price", "n_statuses")
+
+    return _agg(read_snapshot(spark, root, 0), 0).unionByName(
+        _agg(read_snapshot(spark, root, 1), 1)
+    )
+
+
+# dead-letter rules: genuinely violated by the synthetic lineitem so
+# the quarantine is non-empty (discount caps at 0.10, quantity at 50,
+# tax at 0.08 in the generator)
+_QUARANTINE_RULES = (
+    ("discount_le_8pct", "l_discount <= 0.08"),
+    ("quantity_le_45", "l_quantity <= 45"),
+    ("tax_le_7pct", "l_tax <= 0.07"),
+)
+
+
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter split: route rows that violate any DQ rule to a
+    quarantine parquet sink (with a reasons array for triage) and the
+    rest onward; report per-rule violation counts + the split totals.
+    The dbt-test layer (plans/checks.py) COUNTS violations; this is
+    the production variant that also QUARANTINES them without
+    stalling the pipeline.
+
+    Scale shape: rules are row-local boolean columns computed in one
+    scan; the split is two filters of the same relation (Spark reuses
+    the scan via ReuseExchange under one action each); per-rule
+    counts come from the quarantined side only. No shuffle at all for
+    the split itself — the only aggregate is the one-row report per
+    rule, unioned reduced frames, same as checks.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    flagged = li.select(
+        "*",
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(~F.expr(pred), F.lit(name))
+                    for name, pred in _QUARANTINE_RULES
+                ]
+            )
+        ).alias("violated"),
+    )
+    quarantined = flagged.filter(F.size("violated") > 0)
+    root = os.path.join(
+        _ARTIFACT_DIR, "quarantine", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    quarantined.write.mode("overwrite").parquet(root)
+    qr = spark.read.parquet(root)
+    per_rule = [
+        qr.agg(
+            F.count(F.when(F.array_contains("violated", name), 1))
+            .cast("long")
+            .alias("n_rows")
+        ).select(F.lit(f"rule:{name}").alias("metric"), "n_rows")
+        for name, _ in _QUARANTINE_RULES
+    ]
+    totals = [
+        qr.agg(F.count("*").cast("long").alias("n_rows")).select(
+            F.lit("total_quarantined").alias("metric"), "n_rows"
+        ),
+        flagged.filter(F.size("violated") == 0)
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .select(F.lit("total_passed").alias("metric"), "n_rows"),
+    ]
+    out = per_rule[0]
+    for df in per_rule[1:] + totals:
+        out = out.unionByName(df)
+    return out
+
+
 QUERIES = {
     "cdc_incremental_merge": cdc_incremental_merge,
+    "snapshot_time_travel": snapshot_time_travel,
+    "dq_quarantine_split": dq_quarantine_split,
     "cdc_merge_sink": cdc_merge_sink,
     "streaming_merge_sink": streaming_merge_sink,
     "streaming_sessionization_rocksdb": sessionization_stream_rocksdb,
@@ -779,7 +889,53 @@ from uber_data_pipeline_spark.operators import sketches as _sketches
 
 _SKETCH_ORACLE_HLL = _sketches.sql_hll_distinct()
 
+from uber_data_pipeline_spark.functions.numeric import sql_dsum as _sql_dsum
+
+_SQL_SNAP_PRICE = _sql_dsum("o_totalprice")
+
+_SQL_SNAP_AGG = """
+    SELECT {v} AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {price} AS total_price,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders {where}
+"""
+
+_QUARANTINE_PRED_SQL = " OR ".join(
+    f"NOT ({pred})" for _, pred in _QUARANTINE_RULES
+)
+
+_SQL_QUARANTINE = "\nUNION ALL\n".join(
+    [
+        f"""
+        SELECT 'rule:{name}' AS metric,
+               CAST(COUNT(CASE WHEN NOT ({pred}) THEN 1 END) AS BIGINT) AS n_rows
+        FROM lineitem WHERE {_QUARANTINE_PRED_SQL}
+        """
+        for name, pred in _QUARANTINE_RULES
+    ]
+    + [
+        f"""
+        SELECT 'total_quarantined' AS metric,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem WHERE {_QUARANTINE_PRED_SQL}
+        """,
+        f"""
+        SELECT 'total_passed' AS metric,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem WHERE NOT ({_QUARANTINE_PRED_SQL})
+        """,
+    ]
+)
+
 ORACLES = {
+    "snapshot_time_travel": f"""
+        {_SQL_SNAP_AGG.format(v=0, price=_SQL_SNAP_PRICE,
+                              where=f"WHERE o_orderdate < TIMESTAMP '{CDC_CUTOFF}'")}
+        UNION ALL
+        {_SQL_SNAP_AGG.format(v=1, price=_SQL_SNAP_PRICE, where="")}
+    """,
+    "dq_quarantine_split": _SQL_QUARANTINE,
     # the compaction CONTRACT: the rewrite is a round-robin
     # repartition, so files_after is an exact function of the row
     # count (files_before is the staged fragment count)

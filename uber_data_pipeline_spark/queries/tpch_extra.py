@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uber_data_pipeline_spark.catalog import load_table
+from uber_data_pipeline_spark.operators import temporal
 from uber_data_pipeline_spark.operators.shares import (
     corr_matrix as _corr_matrix,
     sql_corr_matrix as _sql_corr,
@@ -955,8 +956,122 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corr_matrix(load_table(spark, sf_dir, "lineitem"))
 
 
+def copurchase_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (parts are nodes, an
+    edge = the two parts share >= 1 order): one summary row with
+    n_nodes / n_edges / n_wedges / n_triangles and the global
+    clustering coefficient 3*T/W in exact integer micro-units.
+
+    Scale shape: edges come from the orderkey-local pair join (O(k^2)
+    per order, k ~ 7) + DISTINCT; triangles are counted on the
+    id-ORIENTED edge relation E(a<b) via two equi-joins —
+    E(a,b) |><| E(b,c) builds directed wedges, then an equi-join on
+    BOTH endpoints (a, c) closes them; no inequality join, no cross
+    product. Wedge count is closed-form sum C(deg, 2) from the degree
+    relation — never materialized. At 100 TB the skew fix is degree
+    orientation (orient edges low->high (deg, id)), which bounds
+    out-degrees by ~sqrt(E) and only changes the INTERMEDIATE wedge
+    relation, not the triangle count; id-orientation keeps the oracle
+    twin trivially identical. The edge relation is cached — it feeds
+    the degree pass and both sides of the wedge join; the bench
+    harness clears caches per query.
+    Clustering coeff stays integer ((3*T*1e6) DIV W) so the oracle
+    hash is type-stable — no double rounding at the boundary.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .cache()
+    )
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    nodes_wedges = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("long").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        nodes_wedges.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .selectExpr(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            "CASE WHEN n_wedges > 0 THEN 3 * n_triangles * 1000000 DIV n_wedges "
+            "ELSE 0 END AS clustering_micro",
+        )
+    )
+
+
+INTERVAL_BIN_DAYS = 30
+
+
+def orders_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length interval join (operators/temporal.py
+    interval_point_counts): each URGENT order opens a per-nation
+    follow-up window of 1 + o_orderkey % 28 days; count the
+    non-urgent orders of the SAME customer nation dated inside it.
+
+    Scale shape: the generic binned range join — intervals exploded
+    to their (<= 2, len < bin width) overlapping 30-day bins, points
+    to exactly one, equi-join on (nationkey, bin), range applied
+    bucket-local. No inequality join, no cross product; both sides
+    shuffle once on (key, bin)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    epoch = "DATE '1970-01-01'"
+    based = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .selectExpr(
+            "o_orderkey",
+            "o_orderpriority",
+            "c_nationkey",
+            f"datediff(CAST(o_orderdate AS DATE), {epoch}) AS day_num",
+        )
+    )
+    intervals = based.filter(F.col("o_orderpriority") == "1-URGENT").selectExpr(
+        "o_orderkey AS interval_id",
+        "c_nationkey",
+        "day_num AS s_day",
+        "day_num + 1 + o_orderkey % 28 AS e_day",
+    )
+    points = based.filter(F.col("o_orderpriority") != "1-URGENT").selectExpr(
+        "c_nationkey", "day_num AS p_day"
+    )
+    return temporal.interval_point_counts(
+        intervals, points, "c_nationkey", "interval_id", INTERVAL_BIN_DAYS
+    )
+
+
 QUERIES = {
     "lineitem_copurchase_pairs": lineitem_copurchase_pairs,
+    "copurchase_triangle_census": copurchase_triangle_census,
+    "orders_interval_join": orders_interval_join,
     "parts_abc_by_nation": parts_abc_by_nation,
     "orders_yoy_growth": orders_yoy_growth,
     "parts_pagerank_step": parts_pagerank_step,
@@ -983,6 +1098,57 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_interval_join": """
+        WITH based AS (
+            SELECT o_orderkey, o_orderpriority, c_nationkey,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS day_num
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ), iv AS (
+            SELECT o_orderkey AS interval_id, c_nationkey,
+                   day_num AS s_day,
+                   day_num + 1 + o_orderkey % 28 AS e_day
+            FROM based WHERE o_orderpriority = '1-URGENT'
+        ), pts AS (
+            SELECT c_nationkey, day_num AS p_day
+            FROM based WHERE o_orderpriority <> '1-URGENT'
+        )
+        SELECT interval_id, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM iv JOIN pts
+          ON iv.c_nationkey = pts.c_nationkey
+         AND pts.p_day BETWEEN iv.s_day AND iv.e_day
+        GROUP BY 1
+    """,
+    "copurchase_triangle_census": """
+        WITH edges AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        ), deg AS (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT u AS node FROM edges
+                UNION ALL
+                SELECT v AS node FROM edges
+            ) GROUP BY 1
+        ), nw AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+            FROM deg
+        ), ne AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges
+        ), tri AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+        )
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges > 0
+                    THEN 3 * n_triangles * 1000000 // n_wedges
+                    ELSE 0 END AS clustering_micro
+        FROM nw, ne, tri
+    """,
     "lineitem_copurchase_pairs": """
         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
                COUNT(*) AS n_orders

@@ -115,6 +115,11 @@ QUERIES = {
         _docs(spark, sf)
     ),
     "dedup_exact": lambda spark, sf: dedup.exact_duplicates(_docs(spark, sf)),
+    # cross-source contamination census over the exact-Jaccard pairs
+    "dedup_source_overlap": lambda spark, sf: dedup.cross_source_overlap(
+        _docs(spark, sf),
+        dedup.ngram_jaccard_pairs(_docs(spark, sf), JACCARD_THRESHOLD),
+    ),
     "dedup_ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(
         _docs(spark, sf), JACCARD_THRESHOLD
     ),
@@ -450,6 +455,9 @@ ORACLES = {
         FROM documents
         GROUP BY 1
     """,
+    "dedup_source_overlap": dedup.sql_cross_source_overlap(
+        _SQL_NGRAM_JACCARD
+    ),
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "dedup_jaccard_ppjoin": _SQL_NGRAM_JACCARD,
     "dedup_minhash_lsh": _SQL_MINHASH_LSH,
