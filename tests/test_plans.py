@@ -95,6 +95,8 @@ SCALAR_BROADCAST_OK = {
     # three 1-row aggregates (nodes+wedges, edges, triangles)
     # crossJoined into the single census row
     "copurchase_triangle_census",
+    # 1-row merge-list array broadcast onto the word dictionary
+    "text_bpe_encode",
 }
 
 

@@ -713,30 +713,51 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
     differ — a bit-mask comparison on the two signatures already in
     the row), so no post-join DISTINCT shuffle of the up-to-(h+1)x
     duplicated candidate stream."""
-    segments = _hamming_segments(SIMHASH_BITS, max_hamming)
     sv = simhash_values(docs)
+    return banded_hamming_pairs(sv, SIMHASH_BITS, max_hamming).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
+    )
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    bits: int,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """The pigeonhole banded hamming join, generic over any integer
+    signature column (simhash, pHash, SRP sketch): (id_a, id_b,
+    hamming) for pairs within ``max_hamming`` bits. Same plan shape
+    as :func:`simhash_pairs` (it delegates here): segment-bucket-local
+    candidates, first-match-only cross-segment dedup, exact
+    ``bit_count`` verify in-bucket."""
+    segments = _hamming_segments(bits, max_hamming)
+    sv = sigs.select(F.col(id_col).alias("__id"), F.col(sig_col).alias("sig"))
     segs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("seg"),
-                F.expr(f"shiftright(simhash, {off}) & {(1 << width) - 1}").alias("val"),
+                F.expr(f"shiftright(sig, {off}) & {(1 << width) - 1}").alias("val"),
             )
             for i, (off, width) in enumerate(segments)
         ]
     )
     # cached: the segment relation feeds BOTH sides of the self-join —
-    # without materialization the whole signature pipeline (explode +
-    # 64 aggregates) runs twice (same rule as minhash_signatures);
-    # at corpus scale this is the persisted signature table
+    # without materialization the whole signature pipeline runs twice
+    # (same rule as minhash_signatures); at corpus scale this is the
+    # persisted signature table
     seg_df = (
-        sv.select("doc_id", "simhash", F.explode(segs).alias("sk"))
-        .select("doc_id", "simhash", "sk.seg", "sk.val")
+        sv.select("__id", "sig", F.explode(segs).alias("sk"))
+        .select("__id", "sig", "sk.seg", "sk.val")
         .cache()
     )
     a, b = seg_df.alias("a"), seg_df.alias("b")
     first_match_only = " AND ".join(
-        f"(a.seg <= {j} OR (shiftright(a.simhash, {off}) & {(1 << width) - 1}) "
-        f"!= (shiftright(b.simhash, {off}) & {(1 << width) - 1}))"
+        f"(a.seg <= {j} OR (shiftright(a.sig, {off}) & {(1 << width) - 1}) "
+        f"!= (shiftright(b.sig, {off}) & {(1 << width) - 1}))"
         for j, (off, width) in enumerate(segments[:-1])
     )
     return (
@@ -744,13 +765,13 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
             b,
             (F.col("a.seg") == F.col("b.seg"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.__id") < F.col("b.__id")),
         )
         .filter(F.expr(first_match_only))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").cast("int").alias("hamming"),
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.expr("bit_count(a.sig ^ b.sig)").cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )

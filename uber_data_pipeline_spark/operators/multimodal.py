@@ -238,3 +238,71 @@ def sql_metadata_stats() -> str:
                CAST(MAX(sample_rate) AS INT) AS max_sample_rate
         FROM media GROUP BY kind
     """
+
+
+PHASH_BITS = 16
+PHASH_MAX_HAMMING = 2
+
+
+def _phash_sig_expr(hash_col: str) -> str:
+    """Perceptual-hash stand-in over the stub codec: bit i of the
+    signature = high bit of decoded byte i (equivalently: first hex
+    nibble of md5 pair i is in 89abcdef). Engine-neutral string math —
+    the SAME expression string parses in Spark SQL and DuckDB, so the
+    oracle replays it verbatim. A real deployment computes a true
+    DCT-median pHash inside the decode kernel; the banded join below
+    is unchanged."""
+    return " + ".join(
+        f"(CASE WHEN instr('89abcdef', substring({hash_col}, {2 * i + 1}, 1)) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(PHASH_BITS)
+    )
+
+
+def phash_signatures(media: DataFrame) -> DataFrame:
+    """(media_id, phash): integer signature per media item from the
+    stub-decoded payload bytes."""
+    return media.selectExpr("media_id", "md5(payload) AS h").selectExpr(
+        "media_id", f"CAST({_phash_sig_expr('h')} AS BIGINT) AS phash"
+    )
+
+
+def phash_near_dups(
+    media: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash hamming distance,
+    via the generic pigeonhole banded join (operators/dedup.py
+    banded_hamming_pairs — segment-bucket-local candidates, never an
+    O(n^2) cross join; the identical shape dedups a billion-image
+    corpus, with the signature table persisted once and the band join
+    AQE-skew-split on hot buckets)."""
+    from uber_data_pipeline_spark.operators.dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        phash_signatures(media),
+        PHASH_BITS,
+        max_hamming,
+        id_col="media_id",
+        sig_col="phash",
+    ).select(
+        F.col("id_a").alias("media_a"),
+        F.col("id_b").alias("media_b"),
+        "hamming",
+    )
+
+
+def sql_phash_near_dups(max_hamming: int = PHASH_MAX_HAMMING) -> str:
+    """DuckDB twin: md5(utf8 text) == md5(payload) since the payload
+    IS the utf-8 encoding; signature expression replayed verbatim."""
+    return f"""
+        WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+        sg AS (
+            SELECT media_id,
+                   CAST({_phash_sig_expr('h')} AS BIGINT) AS phash
+            FROM m
+        )
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM sg a JOIN sg b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+    """

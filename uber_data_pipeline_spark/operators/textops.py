@@ -973,3 +973,137 @@ def sql_bigram_typicality(table: str = "documents") -> str:
                      / COUNT(*) * 1000000 + 0.5) / 1000000 AS avg_cond_p
         FROM scored GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------- BPE encode step
+
+BPE_APPLY_K = 20
+
+
+def _bpe_fold_spark(word_col: str = "w") -> str:
+    """Spark-side fold applying the merge list in priority order to a
+    boundary-guarded unit string ('|h|e|l|l|o|'): each merge 'xy'
+    rewrites '|x|y|' -> '|xy|'. replace() is left-to-right
+    non-overlapping in BOTH engines, which is exactly BPE's greedy
+    scan, and the '|' guards make unit boundaries unambiguous (a
+    merged 'll' can never half-match a later 'l o' merge)."""
+    init = (
+        f"concat('|', concat_ws('|', transform(sequence(1, length({word_col})), "
+        f"i -> substring({word_col}, i, 1))), '|')"
+    )
+    return (
+        f"aggregate(merges, {init}, (acc, m) -> "
+        "replace(acc, concat('|', substring(m, 1, 1), '|', substring(m, 2, 1), '|'), "
+        "concat('|', m, '|')))"
+    )
+
+
+def bpe_encode(docs: DataFrame, top_k: int = BPE_APPLY_K) -> DataFrame:
+    """Apply the first round of learned BPE merges (the
+    :func:`bpe_merge_step` top-k, priority = count desc) to the corpus
+    and report per-document unit counts: doc_id, n_tokens,
+    n_char_units (pre-merge units = characters), n_bpe_units
+    (post-merge), units_saved.
+
+    The BPE-apply trick in plan form: encoding runs over the DISTINCT
+    WORD DICTIONARY, not the token stream — at corpus scale the
+    vocabulary is orders of magnitude smaller, and the stream just
+    joins (shuffle on word) against the encoded dictionary. The merge
+    list is a 1-row array built ENGINE-SIDE (sorted collect over the
+    top-k aggregate — no driver collect) and broadcast onto the
+    dictionary; the apply itself is a higher-order fold inside
+    whole-stage codegen. Merges stay 2-char (one mining round);
+    deeper vocabularies iterate merge-step + encode."""
+    from uber_data_pipeline_spark.functions.text import TOKENS_SPARK
+
+    merges_row = (
+        bpe_merge_step(docs, top_k)
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(-n AS negn, pair))), "
+                "x -> x.pair) AS merges"
+            )
+        )
+    )
+    word_dict = (
+        docs.selectExpr(f"explode({TOKENS_SPARK}) AS w")
+        .filter("length(w) >= 1")
+        .distinct()
+    )
+    enc = (
+        word_dict.crossJoin(F.broadcast(merges_row))
+        .selectExpr("w", f"{_bpe_fold_spark('w')} AS e")
+        .selectExpr(
+            "w",
+            "length(w) AS n_chars",
+            "CAST(length(e) - length(replace(e, '|', '')) - 1 AS BIGINT) AS n_units",
+        )
+    )
+    stream = docs.selectExpr("doc_id", f"explode({TOKENS_SPARK}) AS w").filter(
+        "length(w) >= 1"
+    )
+    return (
+        stream.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_char_units"),
+            F.sum("n_units").cast("long").alias("n_bpe_units"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "n_char_units",
+            "n_bpe_units",
+            "n_char_units - n_bpe_units AS units_saved",
+        )
+    )
+
+
+def sql_bpe_encode(table: str = "documents", top_k: int = BPE_APPLY_K) -> str:
+    from uber_data_pipeline_spark.functions.text import TOKENS_DUCK
+
+    fold = (
+        "list_reduce(list_prepend("
+        "'|' || array_to_string(list_transform(range(1, length(w) + 1), "
+        "i -> substring(w, i, 1)), '|') || '|', merges), "
+        "(acc, m) -> replace(acc, '|' || substring(m, 1, 1) || '|' || "
+        "substring(m, 2, 1) || '|', '|' || m || '|'))"
+    )
+    return f"""
+        WITH words AS (
+            SELECT w, COUNT(*) AS wc FROM (
+                SELECT unnest({TOKENS_DUCK}) AS w FROM {table}
+            ) WHERE length(w) >= 2 GROUP BY w
+        ), pairs AS (
+            SELECT unnest(list_transform(range(1, length(w)),
+                          i -> substring(w, i, 2))) AS pair,
+                   wc
+            FROM words
+        ), topk AS (
+            SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+            FROM pairs GROUP BY pair
+            ORDER BY n DESC, pair LIMIT {top_k}
+        ), marr AS (
+            SELECT list(pair ORDER BY n DESC, pair) AS merges FROM topk
+        ), dict AS (
+            SELECT DISTINCT unnest({TOKENS_DUCK}) AS w FROM {table}
+        ), enc AS (
+            SELECT w, length(w) AS n_chars,
+                   CAST(length(e) - length(replace(e, '|', '')) - 1 AS BIGINT)
+                       AS n_units
+            FROM (SELECT w, {fold} AS e FROM dict, marr WHERE length(w) >= 1)
+        ), stream AS (
+            SELECT doc_id, t.w FROM (
+                SELECT doc_id, {TOKENS_DUCK} AS tokens FROM {table}
+            ), unnest(tokens) AS t(w)
+            WHERE length(t.w) >= 1
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_char_units,
+               CAST(SUM(n_units) AS BIGINT) AS n_bpe_units,
+               CAST(SUM(n_chars) - SUM(n_units) AS BIGINT) AS units_saved
+        FROM stream JOIN enc USING (w)
+        GROUP BY doc_id
+    """

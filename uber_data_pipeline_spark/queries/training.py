@@ -114,6 +114,8 @@ QUERIES = {
     "text_bpe_merge_step": lambda spark, sf: textops.bpe_merge_step(
         _docs(spark, sf)
     ),
+    # apply the learned merges: dictionary-encoded higher-order fold
+    "text_bpe_encode": lambda spark, sf: textops.bpe_encode(_docs(spark, sf)),
     "dedup_exact": lambda spark, sf: dedup.exact_duplicates(_docs(spark, sf)),
     # cross-source contamination census over the exact-Jaccard pairs
     "dedup_source_overlap": lambda spark, sf: dedup.cross_source_overlap(
@@ -172,6 +174,11 @@ QUERIES = {
     # metadata-only scan over the staged blob lake (payload pruned)
     "multimodal_metadata_pushdown": lambda spark, sf: multimodal.metadata_stats(
         _media_lake(spark, sf)
+    ),
+    # perceptual-hash near-dup over the stub codec, generic banded
+    # hamming join shared with simhash
+    "multimodal_phash_neardup": lambda spark, sf: multimodal.phash_near_dups(
+        multimodal.attach_media(_docs(spark, sf))
     ),
     "multimodal_decode_stub": lambda spark, sf: multimodal.media_features_flat(
         _docs(spark, sf)
@@ -447,6 +454,7 @@ ORACLES = {
     "embeddings_gram_matrix": similarity.sql_gram_matrix(),
     "embeddings_power_iteration": similarity.sql_power_iteration_step(),
     "text_bpe_merge_step": textops.sql_bpe_merge_step(),
+    "text_bpe_encode": textops.sql_bpe_encode(),
     "text_bigram_lm": textops.sql_bigram_typicality(),
     "dedup_exact": """
         SELECT md5(lower(trim(text))) AS text_hash,
@@ -774,6 +782,7 @@ ORACLES = {
     "documents_dsir_weights": textops.sql_dsir_weights(),
     "embeddings_pq_encode": similarity.sql_pq_encode(),
     "text_inverted_index": search.sql_inverted_index(),
+    "multimodal_phash_neardup": multimodal.sql_phash_near_dups(),
     "multimodal_frame_sample": multimodal.sql_frame_sample(),
     "multimodal_metadata_pushdown": multimodal.sql_metadata_stats(),
     "text_sentiment": textops.sql_sentiment_scores(),
