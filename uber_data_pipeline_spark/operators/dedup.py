@@ -850,3 +850,129 @@ def sql_cross_source_overlap(pairs_cte: str) -> str:
         FROM exploded
         GROUP BY source_a, source_b
     """
+
+
+SUBSTR_WINDOW_N = 8
+
+
+def substring_window_dups(docs: DataFrame, n: int = SUBSTR_WINDOW_N) -> DataFrame:
+    """Passage-level (substring) duplication census — the
+    train-data-dedup shape that catches REPEATED SPANS inside
+    otherwise-distinct documents (boilerplate headers, quoted chunks),
+    which whole-document hashing can't see: every length-``n`` token
+    window is fingerprinted; a window whose fingerprint occurs in >= 2
+    DISTINCT documents is "shared"; each doc reports its window count,
+    shared-window count, and the shared fraction in integer
+    micro-units. Docs shorter than ``n`` tokens report 0 windows.
+
+    Scale shape: windows are row-local (the shingle transform, no
+    explode-then-distinct); the shared-fingerprint relation is one
+    md5-key groupBy (same plan as exact dedup, keys = corpus token
+    count, map-side-combined); the per-doc rollup joins the POSITION
+    stream against that reduced relation on the fingerprint key. The
+    production refinement — drop windows whose fingerprint count is 1
+    before the join via a bloom/semi-join — keeps the stream-side
+    shuffle proportional to the DUPLICATED tail only.
+    """
+    from uber_data_pipeline_spark.functions.text import (
+        TOKENS_SPARK,
+        shingles_spark,
+    )
+
+    wins = docs.selectExpr(
+        "doc_id", f"{TOKENS_SPARK} AS tokens"
+    ).selectExpr(
+        "doc_id",
+        f"transform({shingles_spark('tokens', n)}, w -> md5(w)) AS whs",
+    )
+    pos = wins.selectExpr("doc_id", "explode(whs) AS wh")
+    shared = (
+        pos.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh")
+    )
+    per_doc = (
+        pos.join(shared, "wh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_windows"))
+    )
+    return (
+        wins.selectExpr("doc_id", "CAST(size(whs) AS BIGINT) AS n_windows")
+        .join(per_doc, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_windows",
+            "CAST(coalesce(n_shared_windows, 0) AS BIGINT) AS n_shared_windows",
+            "CASE WHEN n_windows > 0 THEN "
+            "coalesce(n_shared_windows, 0) * 1000000 DIV n_windows "
+            "ELSE CAST(0 AS BIGINT) END AS shared_micro",
+        )
+    )
+
+
+def sql_substring_window_dups(
+    table: str = "documents", n: int = SUBSTR_WINDOW_N
+) -> str:
+    """DuckDB twin of :func:`substring_window_dups`."""
+    from uber_data_pipeline_spark.functions.text import (
+        TOKENS_DUCK,
+        shingles_duck,
+    )
+
+    return f"""
+        WITH wins AS (
+            SELECT doc_id,
+                   list_transform({shingles_duck('tokens', n)},
+                                  w -> md5(w)) AS whs
+            FROM (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM {table})
+        ), pos AS (
+            SELECT doc_id, t.wh FROM wins, unnest(whs) AS t(wh)
+        ), shared AS (
+            SELECT wh FROM pos GROUP BY wh
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ), per_doc AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+            FROM pos JOIN shared USING (wh)
+            GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               CAST(len(whs) AS BIGINT) AS n_windows,
+               CAST(COALESCE(p.n_shared_windows, 0) AS BIGINT)
+                   AS n_shared_windows,
+               CASE WHEN len(whs) > 0 THEN
+                   COALESCE(p.n_shared_windows, 0) * 1000000 // len(whs)
+               ELSE CAST(0 AS BIGINT) END AS shared_micro
+        FROM wins w LEFT JOIN per_doc p ON w.doc_id = p.doc_id
+    """
+
+
+def keep_best_per_cluster(clusters: DataFrame, quality: DataFrame) -> DataFrame:
+    """Canonicalization policy over dedup clusters: instead of
+    min-doc_id, keep the HIGHEST-QUALITY member of each near-dup
+    cluster (tie-broken by doc_id) — the selection step a training
+    corpus actually wants, since near-dup groups often mix a clean
+    original with mangled scrapes. Input: (doc_id, cluster_id,
+    cluster_size) from :func:`connected_components` + a (doc_id,
+    quality_score) relation.
+
+    Scale shape: one join on doc_id (the cluster relation is the
+    pair-survivor tail, tiny vs the corpus) and one window partitioned
+    by cluster_id — bounded partitions (cluster sizes), never a global
+    sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(quality.select("doc_id", "quality_score"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "cluster_size",
+            F.col("quality_score").alias("best_quality"),
+        )
+    )

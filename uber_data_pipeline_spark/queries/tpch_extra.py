@@ -1025,6 +1025,52 @@ def copurchase_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing window per priority over the DAILY aggregate:
+    for each (priority, day), the trailing-week order count, revenue
+    sum, and how many of the 7 calendar days actually traded — a
+    RANGE frame on the integer day number, so gaps in the calendar
+    shrink n_days_traded instead of silently stretching the window
+    (the rows-frame bug).
+
+    Scale shape: the fact reduces to (priority, day) FIRST (one
+    partial-aggregated shuffle); the window runs over that reduced
+    relation partitioned by priority — 5 bounded partitions of ~2.4k
+    rows at any SF, never a global sort of the fact. Sums stay in
+    DECIMAL inside the frame (order-independent), cast out at the
+    end; no double division anywhere, so the hash is engine-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.expr(
+                "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+            ).alias("day_num"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,2)")).alias("rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "priority",
+        "day_num",
+        "n_orders",
+        F.sum("n_orders").over(w).cast("long").alias("n_orders_7d"),
+        F.round(F.sum("rev").over(w), 2).cast("double").alias("revenue_7d"),
+        F.count("*").over(w).cast("long").alias("n_days_traded_7d"),
+    )
+
+
 INTERVAL_BIN_DAYS = 30
 
 
@@ -1072,6 +1118,7 @@ QUERIES = {
     "lineitem_copurchase_pairs": lineitem_copurchase_pairs,
     "copurchase_triangle_census": copurchase_triangle_census,
     "orders_interval_join": orders_interval_join,
+    "orders_moving_window": orders_moving_window,
     "parts_abc_by_nation": parts_abc_by_nation,
     "orders_yoy_growth": orders_yoy_growth,
     "parts_pagerank_step": parts_pagerank_step,
@@ -1098,6 +1145,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_moving_window": """
+        WITH daily AS (
+            SELECT o_orderpriority AS priority,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS day_num,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS rev
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2
+        )
+        SELECT priority, day_num, n_orders,
+               CAST(SUM(n_orders) OVER w AS BIGINT) AS n_orders_7d,
+               CAST(ROUND(SUM(rev) OVER w, 2) AS DOUBLE) AS revenue_7d,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_days_traded_7d
+        FROM daily
+        WINDOW w AS (PARTITION BY priority ORDER BY day_num
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
     "orders_interval_join": """
         WITH based AS (
             SELECT o_orderkey, o_orderpriority, c_nationkey,

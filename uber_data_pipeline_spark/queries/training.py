@@ -11,6 +11,7 @@ engine-neutral).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from uber_data_pipeline_spark.catalog import load_table
 from uber_data_pipeline_spark.functions.text import (
@@ -116,6 +117,23 @@ QUERIES = {
     ),
     # apply the learned merges: dictionary-encoded higher-order fold
     "text_bpe_encode": lambda spark, sf: textops.bpe_encode(_docs(spark, sf)),
+    # passage-level duplication census (repeated 8-token spans)
+    "dedup_substring_windows": lambda spark, sf: dedup.substring_window_dups(
+        _docs(spark, sf)
+    ),
+    # canonical-selection policy: keep the best-quality cluster member
+    "dedup_keep_best": lambda spark, sf: dedup.keep_best_per_cluster(
+        dedup.connected_components(
+            dedup.ngram_jaccard_pairs(_docs(spark, sf), JACCARD_THRESHOLD)
+        ),
+        textops.quality_scores(_docs(spark, sf)),
+    ),
+    # declared-vs-predicted language cross-tab
+    "text_langid_confusion": lambda spark, sf: textops.language_id(
+        _docs(spark, sf)
+    )
+    .groupBy("labeled_lang", "pred_lang")
+    .agg(F.count("*").cast("long").alias("n_docs")),
     "dedup_exact": lambda spark, sf: dedup.exact_duplicates(_docs(spark, sf)),
     # cross-source contamination census over the exact-Jaccard pairs
     "dedup_source_overlap": lambda spark, sf: dedup.cross_source_overlap(
@@ -867,3 +885,46 @@ ORACLES = {
         FROM labels l JOIN sizes s USING (cluster_id)
     """,
 }
+
+ORACLES["dedup_substring_windows"] = dedup.sql_substring_window_dups()
+
+ORACLES["text_langid_confusion"] = f"""
+    WITH base AS ({ORACLES["text_langid"]})
+    SELECT labeled_lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM base
+    GROUP BY labeled_lang, pred_lang
+"""
+
+ORACLES["dedup_keep_best"] = f"""
+    WITH RECURSIVE {QUALITY_CTE},
+    jp AS ({_SQL_NGRAM_JACCARD}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM jp
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    sizes AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1
+    ),
+    ranked AS (
+        SELECT l.cluster_id, l.doc_id, s.cluster_size, q.quality_score,
+               ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                   ORDER BY q.quality_score DESC, l.doc_id) AS rn
+        FROM labels l
+        JOIN sizes s USING (cluster_id)
+        JOIN quality q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id, cluster_size,
+           quality_score AS best_quality
+    FROM ranked WHERE rn = 1
+"""
