@@ -1,0 +1,141 @@
+"""Unit tests for the r4 operators: snapshot commits, the binned
+interval join, the triangle census, the BPE fold, and keep-best
+canonicalization — small hand-checkable cases alongside the
+whole-query DuckDB oracle gate."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from uber_data_pipeline_spark.operators.dedup import (
+    banded_hamming_pairs,
+    keep_best_per_cluster,
+)
+from uber_data_pipeline_spark.operators.temporal import interval_point_counts
+from uber_data_pipeline_spark.sources import snapshots
+
+
+def test_snapshot_append_inherits_parent_files(spark, tmp_path):
+    root = str(tmp_path / "snap")
+    df1 = spark.range(5).withColumnRenamed("id", "k")
+    df2 = spark.range(5, 8).withColumnRenamed("id", "k")
+    m0 = snapshots.commit_snapshot(df1, root, 0)
+    m1 = snapshots.commit_snapshot(df2, root, 1, mode="append")
+    assert set(m0["files"]) <= set(m1["files"])
+    assert snapshots.read_snapshot(spark, root, 0).count() == 5
+    assert snapshots.read_snapshot(spark, root, 1).count() == 8
+    assert snapshots.latest_version(root) == 1
+
+
+def test_snapshot_overwrite_resets_file_list(spark, tmp_path):
+    root = str(tmp_path / "snap")
+    snapshots.commit_snapshot(spark.range(5).withColumnRenamed("id", "k"), root, 0)
+    m1 = snapshots.commit_snapshot(
+        spark.range(2).withColumnRenamed("id", "k"), root, 1, mode="overwrite"
+    )
+    assert all("commit-1" in f for f in m1["files"])
+    # time travel still sees the pre-overwrite table
+    assert snapshots.read_snapshot(spark, root, 0).count() == 5
+    assert snapshots.read_snapshot(spark, root, 1).count() == 2
+
+
+def test_snapshot_publish_is_atomic(spark, tmp_path):
+    """A crash between data write and manifest publish leaves the
+    version invisible: no manifest file, no partial state."""
+    root = str(tmp_path / "snap")
+    snapshots.commit_snapshot(spark.range(3).withColumnRenamed("id", "k"), root, 0)
+    # simulate the data files of a failed commit 1 with no manifest
+    spark.range(9).write.mode("overwrite").parquet(
+        os.path.join(root, "data", "commit-1")
+    )
+    assert snapshots.latest_version(root) == 0
+    with pytest.raises(FileNotFoundError):
+        snapshots.read_snapshot(spark, root, 1)
+    # manifest contents are well-formed json with absolute paths
+    with open(os.path.join(root, "manifests", "v0.json")) as fh:
+        m = json.load(fh)
+    assert m["version"] == 0 and all(os.path.isabs(f) for f in m["files"])
+
+
+def test_interval_join_equals_naive_inequality_join(spark):
+    """Binned equi-join == naive BETWEEN join on a generated frame
+    whose intervals straddle bin boundaries in every alignment."""
+    iv = spark.createDataFrame(
+        [(i, i % 3, 10 * i, 10 * i + (i * 7) % 29) for i in range(40)],
+        "interval_id int, k int, s_day long, e_day long",
+    )
+    pts = spark.createDataFrame(
+        [(i % 3, (i * 13) % 400) for i in range(200)],
+        "k int, p_day long",
+    )
+    got = interval_point_counts(
+        iv, pts.select("k", "p_day"), "k", "interval_id", bin_days=30
+    )
+    naive = (
+        iv.join(
+            pts,
+            (iv.k == pts.k)
+            & (pts.p_day >= iv.s_day)
+            & (pts.p_day <= iv.e_day),
+        )
+        .groupBy("interval_id")
+        .agg(F.count("*").alias("n_points"))
+    )
+    assert {(r.interval_id, r.n_points) for r in got.collect()} == {
+        (r.interval_id, r.n_points) for r in naive.collect()
+    }
+
+
+def test_banded_hamming_pairs_exhaustive_small(spark):
+    """Generic banded join finds EXACTLY the within-distance pairs on
+    an exhaustive small signature set (all 5-bit values)."""
+    sigs = spark.createDataFrame(
+        [(i, i) for i in range(32)], "doc_id long, simhash long"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in banded_hamming_pairs(sigs, bits=5, max_hamming=1).collect()
+    }
+    want = {
+        (a, b)
+        for a in range(32)
+        for b in range(a + 1, 32)
+        if bin(a ^ b).count("1") <= 1
+    }
+    assert got == want
+
+
+def test_keep_best_prefers_quality_then_min_id(spark):
+    clusters = spark.createDataFrame(
+        [(1, 10, 3), (2, 10, 3), (3, 10, 3), (7, 70, 2), (8, 70, 2)],
+        "doc_id long, cluster_id long, cluster_size long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.1), (8, 0.1)],
+        "doc_id long, quality_score double",
+    )
+    got = {
+        (r.cluster_id, r.kept_doc_id, r.cluster_size)
+        for r in keep_best_per_cluster(clusters, quality).collect()
+    }
+    # cluster 10: quality tie 2 vs 3 -> min doc_id 2; cluster 70: tie -> 7
+    assert got == {(10, 2, 3), (70, 7, 2)}
+
+
+def test_bpe_fold_hand_example(spark):
+    """'hello' with merges [ll, he] -> |he|ll|o| = 3 units."""
+    from uber_data_pipeline_spark.operators.textops import _bpe_fold_spark
+
+    row = (
+        spark.createDataFrame([("hello",)], "w string")
+        .withColumn("merges", F.expr("array('ll', 'he')"))
+        .selectExpr(f"{_bpe_fold_spark('w')} AS e")
+        .collect()[0]
+    )
+    assert row.e == "|hello|".replace("hello", "he|ll|o")
+    # unit count formula used by the operator
+    assert len(row.e) - len(row.e.replace("|", "")) - 1 == 3
