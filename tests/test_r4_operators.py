@@ -139,3 +139,23 @@ def test_bpe_fold_hand_example(spark):
     assert row.e == "|hello|".replace("hello", "he|ll|o")
     # unit count formula used by the operator
     assert len(row.e) - len(row.e.replace("|", "")) - 1 == 3
+
+
+def test_watermark_drop_is_delay_driven(spark):
+    """The late-data audit's strict drop is the WATERMARK's doing:
+    with a delay wider than the stragglers' lateness, the same
+    two-batch feed admits them all (150 keyed groups at sf0.001's
+    30 days x 5 types); with the production 1-hour delay the result
+    is on-time-only (the driver oracle pins that case)."""
+    from uber_data_pipeline_spark.streaming.events import late_data_audit_stream
+
+    # count eagerly: both runs share the artifact root, and the
+    # second run restages it, invalidating the first lazy DataFrame
+    n_wide = late_data_audit_stream(
+        spark, "/root/testdata/sf0.001", delay="31 days"
+    ).count()
+    strict = late_data_audit_stream(spark, "/root/testdata/sf0.001")
+    n_strict = strict.count()
+    assert n_wide > n_strict
+    # strict result covers only on-time days (ts >= cut)
+    assert strict.agg(F.min("window_start")).collect()[0][0].day == 16

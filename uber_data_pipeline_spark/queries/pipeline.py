@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 from uber_data_pipeline_spark.catalog import load_table
 from uber_data_pipeline_spark.sources.cdc import merge_latest, scd2_history
 from uber_data_pipeline_spark.streaming.events import (
+    LATE_AUDIT_CUT,
     dedup_stream,
     hll_distinct_stream,
+    late_data_audit_stream,
     merge_sink_stream,
     sessionization_stream,
     sessionization_stream_rocksdb,
@@ -679,6 +681,7 @@ QUERIES = {
     "bucketed_join_revenue": bucketed_join_revenue,
     "orders_schema_evolution": orders_schema_evolution,
     "streaming_hll_distinct": hll_distinct_stream,
+    "streaming_late_data_audit": late_data_audit_stream,
 }
 
 
@@ -1005,6 +1008,17 @@ ORACLES = {
         FROM events GROUP BY 1
     """,
     "streaming_windowed_agg": _EVENT_ORACLES["events_windowed_agg"],
+    # the on-time-only aggregate: every straggler (ts < cut) was
+    # dropped by the watermark, so it must not appear here
+    "streaming_late_data_audit": f"""
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {_sql_dsum("value")} AS sum_value
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{LATE_AUDIT_CUT}'
+        GROUP BY 1, 2
+    """,
     "streaming_sessionization": _EVENT_ORACLES["events_sessionization"],
     # provider swap must not change results: RocksDB run, same oracle
     "streaming_sessionization_rocksdb": _EVENT_ORACLES["events_sessionization"],

@@ -425,3 +425,127 @@ def hll_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_exact"))
     )
     return hll_report_from_registers(regs, exact, "event_type")
+
+
+LATE_AUDIT_CUT = "2024-01-16 00:00:00"
+LATE_AUDIT_DELAY = "1 hour"
+
+
+def late_data_audit_stream(
+    spark: SparkSession, sf_dir: str, delay: str = LATE_AUDIT_DELAY
+) -> DataFrame:
+    """Watermark late-data semantics, made auditable: the event feed
+    is staged as TWO micro-batches — batch 0 is the on-time tail
+    (ts >= cut), batch 1 the out-of-order stragglers (ts < cut),
+    landing AFTER it like a delayed upstream partition. Once batch 0
+    commits, the watermark sits at max(on-time ts) - delay, far past
+    every straggler, so UPDATE-mode aggregation drops all of batch 1
+    before it touches state: the final keyed state equals the
+    on-time-only aggregate, which is exactly what the oracle
+    recomputes (`WHERE ts >= cut`). Swap the delay past the
+    stragglers' lateness and they'd be admitted — pinned by a unit
+    test, proving the drop is the watermark's doing, not the feed's.
+
+    Spark gotcha, discovered empirically and pinned here: since
+    stateful-operator CHAINING became the default
+    (spark.sql.streaming.statefulOperator.allowMultiple=true), a
+    streaming aggregation no longer strictly drops input older than
+    the watermark — a late row whose window state was already evicted
+    silently re-creates the group (numRowsDroppedByWatermark stays 0)
+    so chained operators can consume intermediate results. For a
+    single-aggregation query that wants the classic strict-drop
+    contract, the flag must be false; it is pinned (and restored)
+    around this query.
+
+    Sink pattern: update mode emits changed keys per batch; each
+    batch APPENDS its rows stamped with the batch id, and the final
+    read keeps the last emission per key (row_number over batch desc)
+    — the append-log + last-wins view that stands in for a keyed
+    upsert sink, with per-key history kept for audit. State stays
+    bounded by the watermark (old windows evicted); the log is
+    emitted-changes-sized, compacted by the terminal last-wins read.
+    """
+    from uber_data_pipeline_spark.catalog import load_table
+
+    root = os.path.join(
+        _ARTIFACTS, "late_audit", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    cut = F.lit(LATE_AUDIT_CUT).cast("timestamp")
+    for i, part in enumerate(
+        (ev.filter(F.col("ts") >= cut), ev.filter(F.col("ts") < cut))
+    ):
+        stage = os.path.join(root, f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = next(
+            f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(landing, f"batch-{i}.parquet")
+        os.link(os.path.join(stage, src), dst)
+        # file source orders batches by modification time: pin it
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    changes = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    agg = (
+        changes.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+    log_dir = os.path.join(root, "emit_log")
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(log_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    allow_key = "spark.sql.streaming.statefulOperator.allowMultiple"
+    prev_allow = spark.conf.get(allow_key, "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    # strict late-row drop (see docstring): single stateful op here
+    spark.conf.set(allow_key, "false")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(apply_batch)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(root, "checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(allow_key, prev_allow)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.desc("batch_id")
+    )
+    return (
+        spark.read.parquet(log_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("window_start", "event_type", "n_events", "sum_value")
+    )
