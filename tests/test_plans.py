@@ -97,6 +97,11 @@ SCALAR_BROADCAST_OK = {
     "copurchase_triangle_census",
     # 1-row merge-list array broadcast onto the word dictionary
     "text_bpe_encode",
+    # seven 1-row sketch/exact aggregates crossJoined into the report
+    "events_kmv_intersection",
+    # bm25's 1-row (N, avgdl) stats + the 1-row query embedding
+    # broadcast onto bounded candidate relations
+    "text_hybrid_search",
 }
 
 

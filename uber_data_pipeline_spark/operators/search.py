@@ -301,3 +301,123 @@ def sql_inverted_index(
         FROM dict JOIN heads USING (token)
         WHERE df >= {min_df}
     """
+
+
+# ---- hybrid lexical + vector retrieval (RRF) --------------------------
+
+RRF_C = 60
+HYBRID_TOPK = 10
+HYBRID_CAND_K = 20
+HYBRID_QUERY_VEC = 42
+_RRF_UNIT = 1_000_000_000_000  # integer RRF: 1e12 DIV (c + rank)
+
+
+def vector_topk(emb: DataFrame, query_vec_id: int, k: int) -> DataFrame:
+    """Top-k vectors by cosine to one query vector (query-by-example):
+    the 1-row query embedding broadcasts onto the corpus scan — the
+    brute-force baseline shape; swap the scan for the IVF/SRP
+    candidate set at corpus scale (operators/similarity.py), the
+    ranking epilogue is identical."""
+    from uber_data_pipeline_spark.functions.vectors import cosine_spark
+
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    return (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .selectExpr(
+            "vec_id", f"{cosine_spark('embedding', 'qv')} AS cosine"
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def hybrid_rrf_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_vec_id: int = HYBRID_QUERY_VEC,
+    cand_k: int = HYBRID_CAND_K,
+    topk: int = HYBRID_TOPK,
+    c: int = RRF_C,
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the BM25 lexical
+    ranking and the vector (cosine) ranking each nominate their
+    top-``cand_k``; fused score = sum over rankings present of
+    1e12 DIV (c + rank) — the standard RRF with the division kept in
+    EXACT INTEGER micro-units so the fused order (and the oracle
+    hash) is engine-stable. vec_id == doc_id row-for-row in the
+    testdata lake (one embedding per document).
+
+    Scale shape: both rankings end in TakeOrdered(cand_k); ranks are
+    row_numbers over those LIMIT-bounded 20-row relations (not the
+    corpus); the fusion is a tiny full-outer join. The expensive
+    parts — BM25's bounded term shuffle, the ANN candidate scan —
+    keep their own documented plans."""
+    from pyspark.sql import Window
+
+    lex = bm25_scores(docs, k=cand_k).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+    vec = vector_topk(emb, query_vec_id, cand_k).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .alias("vec_rank"),
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .selectExpr(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            f"coalesce({_RRF_UNIT} DIV ({c} + lex_rank), 0) "
+            f"+ coalesce({_RRF_UNIT} DIV ({c} + vec_rank), 0) AS rrf_score",
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(topk)
+    )
+
+
+def sql_hybrid_rrf(
+    query_vec_id: int = HYBRID_QUERY_VEC,
+    cand_k: int = HYBRID_CAND_K,
+    topk: int = HYBRID_TOPK,
+    c: int = RRF_C,
+) -> str:
+    """DuckDB twin of :func:`hybrid_rrf_search`."""
+    from uber_data_pipeline_spark.functions.vectors import cosine_duck
+
+    return f"""
+        WITH lex AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+            FROM ({sql_bm25(k=cand_k)})
+        ), vq AS (
+            SELECT embedding AS qv FROM embeddings
+            WHERE vec_id = {query_vec_id}
+        ), vec AS (
+            SELECT vec_id AS doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id)
+                       AS vec_rank
+            FROM (
+                SELECT vec_id,
+                       {cosine_duck('embedding', 'qv')} AS cosine
+                FROM embeddings, vq
+                WHERE vec_id != {query_vec_id}
+                ORDER BY cosine DESC, vec_id
+                LIMIT {cand_k}
+            )
+        )
+        SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+               lex_rank, vec_rank,
+               COALESCE({_RRF_UNIT} // ({c} + lex_rank), 0)
+               + COALESCE({_RRF_UNIT} // ({c} + vec_rank), 0) AS rrf_score
+        FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT {topk}
+    """

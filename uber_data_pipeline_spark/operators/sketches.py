@@ -701,3 +701,184 @@ def sql_histogram_quantiles(
                    for q in HIST_QS)}
         FROM agg JOIN exact USING (grp)
     """
+
+
+# ---- KMV (k minimum values) -------------------------------------------
+
+KMV_K = 64
+_KMV_DOMAIN = 1 << 48  # base_hash48 range
+
+
+def kmv_intersection(
+    ev: DataFrame,
+    type_a: str = "view",
+    type_b: str = "purchase",
+    k: int = KMV_K,
+    key: str = "user_id",
+) -> DataFrame:
+    """KMV (k-minimum-values) sketch intersection: estimate the
+    distinct-key overlap between two event types from two k-value
+    sketches — the mergeable-set-sketch complement to HLL (HLL unions
+    cheaply but cannot intersect; KMV supports BOTH via the union
+    sketch + inclusion rule: J = |S_k(A u B) n S_k(A) n S_k(B)| / k,
+    |A n B| = J * |A u B|).
+
+    Mergeable build, the property that matters at 100 TB: level 1
+    computes PARTIAL k-minima per (type, salt) group — an aggregate
+    with map-side combine, never a global sort — and level 2 merges
+    the P*k-value partials with a window over O(P*k) rows. Estimates
+    are all-integer: est = (k-1) * 2^48 DIV h_k ((k-1)*2^48 < 2^54,
+    no overflow), so the oracle hash is exact. Exact counts ride
+    along for the audit columns.
+
+    One row: k, est_a/b/union/intersection, exact_a/b/union/
+    intersection.
+    """
+    h_expr = base_hash48_spark(f"CAST({key} AS STRING)")
+    pairs = (
+        ev.filter(F.col("event_type").isin([type_a, type_b]))
+        .select("event_type", key)
+        .distinct()
+        .selectExpr("event_type", key, f"{h_expr} AS h")
+        .cache()
+    )
+    # level 1: partial k-minima per salt bucket (mergeable partials)
+    partial = (
+        pairs.withColumn("salt", (F.col(key) % 8).cast("int"))
+        .groupBy("event_type", "salt")
+        .agg(F.expr(f"slice(array_sort(collect_list(h)), 1, {k}) AS hs"))
+    )
+    # level 2: merge partials -> final per-type sketch (O(P*k) rows)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("h")
+    sketch = (
+        partial.select("event_type", F.explode("hs").alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "h")
+        .cache()
+    )
+    wu = Window.partitionBy(F.lit(1)).orderBy("h")
+    union_k = (
+        sketch.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= k)
+        .select("h")
+    )
+    est = f"CAST(({k} - 1) * {_KMV_DOMAIN} AS BIGINT) DIV MAX(h)"
+    est_a = sketch.filter(F.col("event_type") == type_a).agg(
+        F.expr(f"{est} AS est_a")
+    )
+    est_b = sketch.filter(F.col("event_type") == type_b).agg(
+        F.expr(f"{est} AS est_b")
+    )
+    est_u = union_k.agg(F.expr(f"{est} AS est_union"))
+    in_both = (
+        union_k.join(
+            sketch.filter(F.col("event_type") == type_a).select("h"), "h"
+        )
+        .join(sketch.filter(F.col("event_type") == type_b).select("h"), "h")
+        .agg(F.count("*").cast("long").alias("n_in_both"))
+    )
+    per_user = pairs.groupBy(key).agg(
+        F.countDistinct("event_type").alias("nt")
+    )
+    exact = per_user.agg(
+        F.count("*").cast("long").alias("exact_union"),
+        F.count(F.when(F.col("nt") == 2, 1)).cast("long").alias(
+            "exact_intersection"
+        ),
+    )
+    exact_a = pairs.filter(F.col("event_type") == type_a).agg(
+        F.countDistinct(key).cast("long").alias("exact_a")
+    )
+    exact_b = pairs.filter(F.col("event_type") == type_b).agg(
+        F.countDistinct(key).cast("long").alias("exact_b")
+    )
+    return (
+        est_a.crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(in_both))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(exact_a))
+        .crossJoin(F.broadcast(exact_b))
+        .selectExpr(
+            f"CAST({k} AS INT) AS k",
+            "est_a",
+            "est_b",
+            "est_union",
+            f"n_in_both * est_union DIV {k} AS est_intersection",
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_intersection",
+        )
+    )
+
+
+def sql_kmv_intersection(
+    type_a: str = "view",
+    type_b: str = "purchase",
+    k: int = KMV_K,
+    key: str = "user_id",
+) -> str:
+    """DuckDB twin of :func:`kmv_intersection` (flat per-type k-minima
+    — the salt levels are a Spark plan shape, not a semantic: the
+    k smallest of the union of partial k-minima ARE the k smallest)."""
+    h = base_hash48_duck(f"CAST({key} AS VARCHAR)")
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT event_type, {key} FROM events
+            WHERE event_type IN ('{type_a}', '{type_b}')
+        ), hs AS (
+            SELECT event_type, {key}, {h} AS h FROM pairs
+        ), sketch AS (
+            SELECT event_type, h FROM (
+                SELECT event_type, h,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS rn
+                FROM hs
+            ) WHERE rn <= {k}
+        ), union_k AS (
+            SELECT h FROM (
+                SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+                FROM (SELECT DISTINCT h FROM sketch)
+            ) WHERE rn <= {k}
+        ), est_a AS (
+            SELECT ({k} - 1) * {_KMV_DOMAIN} // MAX(h) AS est_a
+            FROM sketch WHERE event_type = '{type_a}'
+        ), est_b AS (
+            SELECT ({k} - 1) * {_KMV_DOMAIN} // MAX(h) AS est_b
+            FROM sketch WHERE event_type = '{type_b}'
+        ), est_u AS (
+            SELECT ({k} - 1) * {_KMV_DOMAIN} // MAX(h) AS est_union
+            FROM union_k
+        ), nb AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_in_both
+            FROM union_k u
+            JOIN (SELECT h FROM sketch WHERE event_type = '{type_a}') a
+              USING (h)
+            JOIN (SELECT h FROM sketch WHERE event_type = '{type_b}') b
+              USING (h)
+        ), per_user AS (
+            SELECT {key}, COUNT(DISTINCT event_type) AS nt
+            FROM pairs GROUP BY 1
+        ), ex AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+                   CAST(COUNT(CASE WHEN nt = 2 THEN 1 END) AS BIGINT)
+                       AS exact_intersection
+            FROM per_user
+        ), ea AS (
+            SELECT CAST(COUNT(DISTINCT {key}) AS BIGINT) AS exact_a
+            FROM pairs WHERE event_type = '{type_a}'
+        ), eb AS (
+            SELECT CAST(COUNT(DISTINCT {key}) AS BIGINT) AS exact_b
+            FROM pairs WHERE event_type = '{type_b}'
+        )
+        SELECT CAST({k} AS INT) AS k, est_a, est_b, est_union,
+               n_in_both * est_union // {k} AS est_intersection,
+               exact_a, exact_b, exact_union, exact_intersection
+        FROM est_a, est_b, est_u, nb, ex, ea, eb
+    """

@@ -580,6 +580,9 @@ QUERIES = {
     "events_user_stickiness": events_user_stickiness,
     "events_json_kpis": events_json_kpis,
     "events_hll_distinct": events_hll_distinct,
+    "events_kmv_intersection": lambda spark, sf: sketches.kmv_intersection(
+        load_table(spark, sf, "events")
+    ),
     "events_hll_union": lambda spark, sf: sketches.hll_union(
         load_table(spark, sf, "events")
     ),
@@ -711,6 +714,7 @@ ORACLES = {
     """,
     "events_hll_distinct": sketches.sql_hll_distinct(),
     "events_hll_union": sketches.sql_hll_union(),
+    "events_kmv_intersection": sketches.sql_kmv_intersection(),
     "events_countmin_freq": sketches.sql_countmin_freq(),
     "events_transition_matrix": """
         WITH seq AS (

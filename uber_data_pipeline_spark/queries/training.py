@@ -185,6 +185,10 @@ QUERIES = {
     "ann_knn_classify": lambda spark, sf: similarity.knn_classify(
         _emb(spark, sf), ANN_K
     ),
+    # lexical + vector reciprocal-rank fusion (integer RRF units)
+    "text_hybrid_search": lambda spark, sf: search.hybrid_rrf_search(
+        _docs(spark, sf), _emb(spark, sf)
+    ),
     "text_langid": lambda spark, sf: textops.language_id(_docs(spark, sf)),
     "text_quality": lambda spark, sf: textops.quality_scores(_docs(spark, sf)),
     "text_tokens": lambda spark, sf: textops.token_counts(_docs(spark, sf)),
@@ -928,3 +932,5 @@ ORACLES["dedup_keep_best"] = f"""
            quality_score AS best_quality
     FROM ranked WHERE rn = 1
 """
+
+ORACLES["text_hybrid_search"] = search.sql_hybrid_rrf()
