@@ -221,6 +221,28 @@ def events_json_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_variant_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events_json_kpis` through Spark 4's VARIANT type: props is
+    parsed ONCE into the open-schema binary-encoded variant
+    (parse_json), fields extracted with variant_get — the
+    schemaless-ingest path for props whose shape drifts, vs
+    from_json's declared schema. Same aggregate, same oracle as the
+    declared-schema twin (DuckDB reads the JSON directly)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.selectExpr(
+        "event_type",
+        "variant_get(parse_json(props), '$.k', 'int') AS k",
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+    )
+
+
 ZSCORE_THRESHOLD = 2.0
 
 
@@ -579,6 +601,7 @@ QUERIES = {
     "events_profile_similarity": events_profile_similarity,
     "events_user_stickiness": events_user_stickiness,
     "events_json_kpis": events_json_kpis,
+    "events_variant_kpis": events_variant_kpis,
     "events_hll_distinct": events_hll_distinct,
     "events_kmv_intersection": lambda spark, sf: sketches.kmv_intersection(
         load_table(spark, sf, "events")
@@ -958,3 +981,5 @@ ORACLES = {
         FROM per_user
     """,
 }
+
+ORACLES["events_variant_kpis"] = ORACLES["events_json_kpis"]

@@ -657,9 +657,60 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+PYDS_PRICE_MIN = 150_000.0
+
+
+def snapshot_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot-manifest lake read through the Spark 4 PYTHON
+    DataSource API (sources/pyds.py): the planner gets one
+    InputPartition per manifest data file, Arrow record batches
+    stream back, and the price predicate is HANDED to the reader via
+    pushFilters -> pyarrow row-group pruning. Values must equal the
+    native read of the same commits — the oracle recomputes from
+    `orders`."""
+    from uber_data_pipeline_spark.sources import pyds
+    from uber_data_pipeline_spark.sources.snapshots import commit_snapshot
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.lit(CDC_CUTOFF).cast("timestamp_ntz")
+    root = os.path.join(
+        _ARTIFACT_DIR, "pyds_snapshots", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    commit_snapshot(
+        orders.filter(F.col("o_orderdate") < cutoff).drop("o_orderdate"),
+        root,
+        0,
+    )
+    commit_snapshot(
+        orders.filter(F.col("o_orderdate") >= cutoff).drop("o_orderdate"),
+        root,
+        1,
+        mode="append",
+    )
+    pyds.register(spark)
+    from uber_data_pipeline_spark.functions.numeric import dsum
+
+    return (
+        spark.read.format("snapshot_manifest")
+        .option("root", root)
+        .option("version", 1)
+        .load()
+        .filter(F.col("o_totalprice") > PYDS_PRICE_MIN)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
 QUERIES = {
     "cdc_incremental_merge": cdc_incremental_merge,
     "snapshot_time_travel": snapshot_time_travel,
+    "snapshot_python_datasource": snapshot_python_datasource,
     "dq_quarantine_split": dq_quarantine_split,
     "cdc_merge_sink": cdc_merge_sink,
     "streaming_merge_sink": streaming_merge_sink,
@@ -939,6 +990,14 @@ ORACLES = {
         {_SQL_SNAP_AGG.format(v=1, price=_SQL_SNAP_PRICE, where="")}
     """,
     "dq_quarantine_split": _SQL_QUARANTINE,
+    "snapshot_python_datasource": f"""
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {_sql_dsum("o_totalprice")} AS total_price
+        FROM orders
+        WHERE o_totalprice > {PYDS_PRICE_MIN}
+        GROUP BY 1
+    """,
     # the compaction CONTRACT: the rewrite is a round-robin
     # repartition, so files_after is an exact function of the row
     # count (files_before is the staged fragment count)
