@@ -159,3 +159,55 @@ def test_watermark_drop_is_delay_driven(spark):
     assert n_wide > n_strict
     # strict result covers only on-time days (ts >= cut)
     assert strict.agg(F.min("window_start")).collect()[0][0].day == 16
+
+
+def test_pyds_stream_offsets_replay_deterministically(spark, tmp_path):
+    """The commit-stream reader's offset protocol: read() from -1
+    drains everything and advances to the latest version; a recovery
+    replay (readBetweenOffsets) over a sub-range returns exactly that
+    range's rows."""
+    from uber_data_pipeline_spark.sources.pyds import SnapshotCommitStreamReader
+    from uber_data_pipeline_spark.sources.snapshots import commit_snapshot
+
+    root = str(tmp_path / "commits")
+    for v in range(3):
+        commit_snapshot(
+            spark.range(v * 10, v * 10 + 5)
+            .selectExpr(
+                "id AS o_orderkey",
+                "'O' AS o_orderstatus",
+                "CAST(id AS DOUBLE) AS o_totalprice",
+            ),
+            root,
+            v,
+            mode="append",
+        )
+    r = SnapshotCommitStreamReader({"root": root})
+    rows, end = r.read(r.initialOffset())
+    assert end == {"version": 2}
+    assert len(list(rows)) == 15
+    mid = list(r.readBetweenOffsets({"version": 0}, {"version": 1}))
+    assert sorted(t[0] for t in mid) == list(range(10, 15))
+    # replay is deterministic: same range, same rows
+    assert mid == list(r.readBetweenOffsets({"version": 0}, {"version": 1}))
+
+
+def test_pyds_batch_pushdown_matches_unfiltered(spark, tmp_path):
+    """pushFilters must be an OPTIMIZATION, not a semantic: the
+    filtered read equals filtering the unfiltered read."""
+    from uber_data_pipeline_spark.sources import pyds
+    from uber_data_pipeline_spark.sources.snapshots import commit_snapshot
+
+    root = str(tmp_path / "snap")
+    commit_snapshot(
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v"), root, 0
+    )
+    pyds.register(spark)
+    df = (
+        spark.read.format("snapshot_manifest")
+        .option("root", root)
+        .option("version", 0)
+        .load()
+    )
+    got = sorted(r.k for r in df.filter("k > 90").collect())
+    assert got == list(range(91, 100))

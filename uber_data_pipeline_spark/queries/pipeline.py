@@ -707,10 +707,68 @@ def snapshot_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_stream_python_datasource(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The snapshot commit log consumed as a STREAM through the
+    Spark 4 Python streaming DataSource API (sources/pyds.py
+    SnapshotCommitStreamReader): offsets are commit versions, each
+    micro-batch drains newly-published commits, and recovery replays
+    exact commit ranges via readBetweenOffsets. Three commits are
+    staged (the CDC cutoff splits orders into three date slices);
+    the drained stream's per-status aggregate must equal the batch
+    aggregate over `orders` — the oracle."""
+    from uber_data_pipeline_spark.functions.numeric import dsum
+    from uber_data_pipeline_spark.sources import pyds
+    from uber_data_pipeline_spark.sources.snapshots import commit_snapshot
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    root = os.path.join(
+        _ARTIFACT_DIR, "pyds_stream", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cut1 = F.lit("1998-01-01").cast("timestamp_ntz")
+    cut2 = F.lit(CDC_CUTOFF).cast("timestamp_ntz")
+    slices = (
+        orders.filter(F.col("o_orderdate") < cut1),
+        orders.filter((F.col("o_orderdate") >= cut1) & (F.col("o_orderdate") < cut2)),
+        orders.filter(F.col("o_orderdate") >= cut2),
+    )
+    for i, sl in enumerate(slices):
+        commit_snapshot(sl.drop("o_orderdate"), root, i, mode="append")
+    pyds.register_stream(spark)
+    st = (
+        spark.readStream.format("snapshot_commits")
+        .option("root", root)
+        .load()
+    )
+    name = f"pyds_stream_sink_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    q = (
+        st.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
 QUERIES = {
     "cdc_incremental_merge": cdc_incremental_merge,
     "snapshot_time_travel": snapshot_time_travel,
     "snapshot_python_datasource": snapshot_python_datasource,
+    "snapshot_stream_python_datasource": snapshot_stream_python_datasource,
     "dq_quarantine_split": dq_quarantine_split,
     "cdc_merge_sink": cdc_merge_sink,
     "streaming_merge_sink": streaming_merge_sink,
@@ -990,6 +1048,13 @@ ORACLES = {
         {_SQL_SNAP_AGG.format(v=1, price=_SQL_SNAP_PRICE, where="")}
     """,
     "dq_quarantine_split": _SQL_QUARANTINE,
+    "snapshot_stream_python_datasource": f"""
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {_sql_dsum("o_totalprice")} AS total_price
+        FROM orders
+        GROUP BY 1
+    """,
     "snapshot_python_datasource": f"""
         SELECT o_orderstatus AS status,
                CAST(COUNT(*) AS BIGINT) AS n_orders,

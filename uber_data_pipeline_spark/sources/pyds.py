@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 FORMAT_NAME = "snapshot_manifest"
@@ -112,3 +113,75 @@ def register(spark) -> None:
     # set it here so a vanilla (driver) session works too
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotManifestSource)
+
+
+# ---- streaming reader over the commit log -----------------------------
+
+STREAM_FORMAT_NAME = "snapshot_commits"
+
+
+class SnapshotCommitStreamReader(SimpleDataSourceStreamReader):
+    """Streaming reader over the snapshot commit log: offset =
+    {"version": last-consumed-commit}; each micro-batch drains the
+    commits published since — the change-feed role of a table
+    format's commit stream, on the plain-parquet manifest lake.
+
+    SimpleDataSourceStreamReader reads on the DRIVER by contract (the
+    offset-tracking variant for small control-plane feeds); rows are
+    materialized per batch because Spark's prefetch cache replays the
+    iterator via copy() — a generator would break failure recovery.
+    High-throughput feeds belong on DataSourceStreamReader, where
+    `partitions(start, end)` plans one partition per commit FILE and
+    executors read in parallel — the offset protocol stays identical.
+    ``readBetweenOffsets`` makes recovery deterministic: a restarted
+    batch re-reads exactly its commit range.
+    """
+
+    def __init__(self, options: dict):
+        self.root = options["root"]
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def _commit_rows(self, v: int) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.root, "data", f"commit-{v}")
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                for batch in pq.read_table(os.path.join(d, f)).to_batches():
+                    yield from zip(*[c.to_pylist() for c in batch.columns])
+
+    def _latest(self) -> int:
+        from uber_data_pipeline_spark.sources.snapshots import latest_version
+
+        return latest_version(self.root)
+
+    def read(self, start: dict):
+        latest = self._latest()
+        rows: list[tuple] = []
+        for v in range(start["version"] + 1, latest + 1):
+            rows.extend(self._commit_rows(v))
+        return iter(rows), {"version": latest}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        for v in range(start["version"] + 1, end["version"] + 1):
+            yield from self._commit_rows(v)
+
+
+class SnapshotCommitStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return STREAM_FORMAT_NAME
+
+    def schema(self) -> str:
+        # the commit stream carries the orders projection the
+        # pipeline stages (see queries/pipeline.py)
+        return "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return SnapshotCommitStreamReader(dict(self.options))
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(SnapshotCommitStreamSource)
