@@ -149,12 +149,12 @@ def test_watermark_drop_is_delay_driven(spark):
     is on-time-only (the driver oracle pins that case)."""
     from uber_data_pipeline_spark.streaming.events import late_data_audit_stream
 
+    from tests.conftest import SF_DIR
+
     # count eagerly: both runs share the artifact root, and the
     # second run restages it, invalidating the first lazy DataFrame
-    n_wide = late_data_audit_stream(
-        spark, "/root/testdata/sf0.001", delay="31 days"
-    ).count()
-    strict = late_data_audit_stream(spark, "/root/testdata/sf0.001")
+    n_wide = late_data_audit_stream(spark, SF_DIR, delay="31 days").count()
+    strict = late_data_audit_stream(spark, SF_DIR)
     n_strict = strict.count()
     assert n_wide > n_strict
     # strict result covers only on-time days (ts >= cut)
@@ -211,3 +211,32 @@ def test_pyds_batch_pushdown_matches_unfiltered(spark, tmp_path):
     )
     got = sorted(r.k for r in df.filter("k > 90").collect())
     assert got == list(range(91, 100))
+
+
+def test_snapshot_append_requires_parent_manifest(spark, tmp_path):
+    """An append commit whose parent manifest is missing must FAIL
+    (silently starting a fresh file list would drop all history)."""
+    root = str(tmp_path / "snap")
+    snapshots.commit_snapshot(spark.range(3).withColumnRenamed("id", "k"), root, 0)
+    with pytest.raises(FileNotFoundError):
+        snapshots.commit_snapshot(
+            spark.range(3).withColumnRenamed("id", "k"), root, 2, mode="append"
+        )
+
+
+def test_kmv_underfull_sketch_is_exact(spark):
+    """With fewer distinct keys than k, KMV must report the EXACT
+    counts (the kth-minimum extrapolation only applies to full
+    sketches)."""
+    from uber_data_pipeline_spark.operators.sketches import kmv_intersection
+
+    ev = spark.createDataFrame(
+        [(i, "view" if i % 2 == 0 else "purchase", i % 10) for i in range(60)]
+        + [(100 + i, "view", 50 + i) for i in range(5)],
+        "event_id long, event_type string, user_id long",
+    )
+    row = kmv_intersection(ev, k=64).collect()[0]
+    assert row.est_a == row.exact_a
+    assert row.est_b == row.exact_b
+    assert row.est_union == row.exact_union
+    assert row.est_intersection == row.exact_intersection

@@ -879,12 +879,16 @@ def substring_window_dups(docs: DataFrame, n: int = SUBSTR_WINDOW_N) -> DataFram
         shingles_spark,
     )
 
+    # cached: wins feeds the final per-doc select AND the position
+    # stream, whose self-referencing shared/per_doc split would
+    # otherwise re-run the tokenize+shingle+md5 pipeline three times
+    # (module cache contract, see header)
     wins = docs.selectExpr(
         "doc_id", f"{TOKENS_SPARK} AS tokens"
     ).selectExpr(
         "doc_id",
         f"transform({shingles_spark('tokens', n)}, w -> md5(w)) AS whs",
-    )
+    ).cache()
     pos = wins.selectExpr("doc_id", "explode(whs) AS wh")
     shared = (
         pos.groupBy("wh")

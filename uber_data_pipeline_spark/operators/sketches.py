@@ -767,14 +767,23 @@ def kmv_intersection(
         .filter(F.col("rn") <= k)
         .select("h")
     )
-    est = f"CAST(({k} - 1) * {_KMV_DOMAIN} AS BIGINT) DIV MAX(h)"
+    # UNDER-FULL RULE: a sketch holding fewer than k values has seen
+    # its whole set — the estimate is the exact count, not the
+    # kth-minimum extrapolation (which wildly overshoots small sets)
+    est = (
+        f"CASE WHEN COUNT(*) < {k} THEN COUNT(*) "
+        f"ELSE CAST(({k} - 1) * {_KMV_DOMAIN} AS BIGINT) DIV MAX(h) END"
+    )
     est_a = sketch.filter(F.col("event_type") == type_a).agg(
         F.expr(f"{est} AS est_a")
     )
     est_b = sketch.filter(F.col("event_type") == type_b).agg(
         F.expr(f"{est} AS est_b")
     )
-    est_u = union_k.agg(F.expr(f"{est} AS est_union"))
+    est_u = union_k.agg(
+        F.expr(f"{est} AS est_union"),
+        F.expr(f"LEAST(COUNT(*), {k}) AS n_union_sketch"),
+    )
     in_both = (
         union_k.join(
             sketch.filter(F.col("event_type") == type_a).select("h"), "h"
@@ -809,7 +818,12 @@ def kmv_intersection(
             "est_a",
             "est_b",
             "est_union",
-            f"n_in_both * est_union DIV {k} AS est_intersection",
+            # inclusion rule J = n_in_both / |union sketch|; with an
+            # under-full union sketch this reduces to the EXACT
+            # intersection count (est_union == n_union_sketch)
+            "CASE WHEN n_union_sketch = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE n_in_both * est_union DIV n_union_sketch END "
+            "AS est_intersection",
             "exact_a",
             "exact_b",
             "exact_union",
@@ -847,13 +861,17 @@ def sql_kmv_intersection(
                 FROM (SELECT DISTINCT h FROM sketch)
             ) WHERE rn <= {k}
         ), est_a AS (
-            SELECT ({k} - 1) * {_KMV_DOMAIN} // MAX(h) AS est_a
+            SELECT CASE WHEN COUNT(*) < {k} THEN COUNT(*)
+                   ELSE ({k} - 1) * {_KMV_DOMAIN} // MAX(h) END AS est_a
             FROM sketch WHERE event_type = '{type_a}'
         ), est_b AS (
-            SELECT ({k} - 1) * {_KMV_DOMAIN} // MAX(h) AS est_b
+            SELECT CASE WHEN COUNT(*) < {k} THEN COUNT(*)
+                   ELSE ({k} - 1) * {_KMV_DOMAIN} // MAX(h) END AS est_b
             FROM sketch WHERE event_type = '{type_b}'
         ), est_u AS (
-            SELECT ({k} - 1) * {_KMV_DOMAIN} // MAX(h) AS est_union
+            SELECT CASE WHEN COUNT(*) < {k} THEN COUNT(*)
+                   ELSE ({k} - 1) * {_KMV_DOMAIN} // MAX(h) END AS est_union,
+                   LEAST(COUNT(*), {k}) AS n_union_sketch
             FROM union_k
         ), nb AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_in_both
@@ -878,7 +896,9 @@ def sql_kmv_intersection(
             FROM pairs WHERE event_type = '{type_b}'
         )
         SELECT CAST({k} AS INT) AS k, est_a, est_b, est_union,
-               n_in_both * est_union // {k} AS est_intersection,
+               CASE WHEN n_union_sketch = 0 THEN 0
+                    ELSE n_in_both * est_union // n_union_sketch END
+                   AS est_intersection,
                exact_a, exact_b, exact_union, exact_intersection
         FROM est_a, est_b, est_u, nb, ex, ea, eb
     """

@@ -96,7 +96,6 @@ class SnapshotManifestSource(DataSource):
 
     def schema(self) -> str:
         import pyarrow.parquet as pq
-        from pyspark.pandas.typedef import as_spark_type  # noqa: F401
 
         reader = SnapshotManifestReader(dict(self.options))
         schema = pq.read_schema(reader.files[0])

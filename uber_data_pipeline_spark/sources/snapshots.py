@@ -56,7 +56,10 @@ def commit_snapshot(
         if f.endswith(".parquet")
     )
     parent = version - 1
-    if mode == "append" and parent >= 0 and os.path.exists(_manifest_path(root, parent)):
+    if mode == "append" and parent >= 0:
+        # a missing parent manifest must FAIL, not silently degrade
+        # to overwrite semantics (dropping all prior history): an
+        # append commit's contract is parent files + new files
         with open(_manifest_path(root, parent)) as fh:
             files = json.load(fh)["files"] + files
     manifest = {"version": version, "parent": parent, "files": files}

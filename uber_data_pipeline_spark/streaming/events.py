@@ -17,6 +17,7 @@ from __future__ import annotations
 import itertools
 import os
 import shutil
+import threading
 from collections.abc import Iterator
 from typing import Any
 
@@ -30,6 +31,17 @@ from uber_data_pipeline_spark.sources.cdc import read_stream_events
 
 SESSION_GAP_SECONDS = 1800
 _sink_ids = itertools.count()
+
+# Streaming runners pin session confs (shuffle.partitions = state
+# partitions; the late-data audit also flips statefulOperator.
+# allowMultiple) around .start()/.awaitTermination() and restore them
+# after. bench.py's concurrent pass plans many queries on ONE shared
+# session, so the set -> run -> restore windows of two streaming
+# queries must not interleave — this lock serializes them. Batch
+# queries planned inside a window still see the pinned
+# shuffle.partitions (harmless: AQE re-sizes), but never a
+# semantics-changing streaming conf mid-flip.
+_STREAM_CONF_LOCK = threading.Lock()
 
 _ARTIFACTS = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -84,28 +96,29 @@ def _run_to_memory(
     checkpoint's lifetime)."""
     spark = stream_df.sparkSession
     name = f"udp_stream_sink_{next(_sink_ids)}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev_provider = spark.conf.get(provider_key, None)
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    if state_store_provider is not None:
-        spark.conf.set(provider_key, state_store_provider)
-    try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    with _STREAM_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        prev_provider = spark.conf.get(provider_key, None)
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         if state_store_provider is not None:
-            if prev_provider is None:
-                spark.conf.unset(provider_key)
-            else:
-                spark.conf.set(provider_key, prev_provider)
+            spark.conf.set(provider_key, state_store_provider)
+        try:
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            if state_store_provider is not None:
+                if prev_provider is None:
+                    spark.conf.unset(provider_key)
+                else:
+                    spark.conf.set(provider_key, prev_provider)
     return spark.table(name)
 
 
@@ -519,24 +532,25 @@ def late_data_audit_stream(
             "append"
         ).parquet(log_dir)
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    allow_key = "spark.sql.streaming.statefulOperator.allowMultiple"
-    prev_allow = spark.conf.get(allow_key, "true")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
-    # strict late-row drop (see docstring): single stateful op here
-    spark.conf.set(allow_key, "false")
-    try:
-        q = (
-            agg.writeStream.foreachBatch(apply_batch)
-            .outputMode("update")
-            .option("checkpointLocation", os.path.join(root, "checkpoint"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        spark.conf.set(allow_key, prev_allow)
+    with _STREAM_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        allow_key = "spark.sql.streaming.statefulOperator.allowMultiple"
+        prev_allow = spark.conf.get(allow_key, "true")
+        spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+        # strict late-row drop (see docstring): single stateful op here
+        spark.conf.set(allow_key, "false")
+        try:
+            q = (
+                agg.writeStream.foreachBatch(apply_batch)
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(root, "checkpoint"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set(allow_key, prev_allow)
 
     from pyspark.sql import Window
 
