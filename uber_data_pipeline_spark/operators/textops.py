@@ -1107,3 +1107,69 @@ def sql_bpe_encode(table: str = "documents", top_k: int = BPE_APPLY_K) -> str:
         FROM stream JOIN enc USING (w)
         GROUP BY doc_id
     """
+
+
+# ------------------------------------------------------- Python UDTF
+
+UDTF_TOP_BIGRAMS = 20
+
+
+def udtf_top_bigrams(docs: DataFrame, top_k: int = UDTF_TOP_BIGRAMS) -> DataFrame:
+    """Corpus top-k word bigrams through a PYTHON UDTF (Spark 4
+    `@udtf`, Arrow-optimized) applied with a SQL LATERAL join — the
+    table-function extension point, exercised end-to-end: register,
+    lateral-expand one row into N, aggregate the expansion.
+
+    Honest placement per the repo's UDF policy: a row-python table
+    function is the SLOW PATH — the expression-only twin of this
+    exact query is `text_bigram_lm`'s bigram build (transform +
+    explode, whole-stage codegen), and THAT is the 100 TB shape.
+    This entry exists to prove the API surface with the same
+    engine-neutral semantics (whitespace tokens, count desc / gram
+    asc top-k), verified against the same DuckDB oracle as the
+    native form would be. `useArrow=True` batches rows through
+    Arrow, the UDTF yields (doc_id, gram) pairs, and everything
+    after it is ordinary JVM-side aggregation."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, gram string", useArrow=True)
+    class BigramUDTF:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield doc_id, toks[i] + " " + toks[i + 1]
+
+    spark = docs.sparkSession
+    spark.udtf.register("udp_bigram_udtf", BigramUDTF)
+    docs.select("doc_id", "text").createOrReplaceTempView("udp_udtf_docs")
+    return spark.sql(f"""
+        SELECT gram,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS doc_freq
+        FROM udp_udtf_docs d, LATERAL udp_bigram_udtf(d.doc_id, d.text) g
+        GROUP BY gram
+        ORDER BY n DESC, gram ASC
+        LIMIT {top_k}
+    """)
+
+
+def sql_udtf_top_bigrams(
+    table: str = "documents", top_k: int = UDTF_TOP_BIGRAMS
+) -> str:
+    from uber_data_pipeline_spark.functions.text import TOKENS_DUCK
+
+    return f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(tokens), 1)),
+                          i -> tokens[i] || ' ' || tokens[i + 1])) AS gram
+            FROM (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM {table})
+        )
+        SELECT gram,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM grams
+        GROUP BY gram
+        ORDER BY n DESC, gram ASC
+        LIMIT {top_k}
+    """

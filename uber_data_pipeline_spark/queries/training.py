@@ -189,6 +189,10 @@ QUERIES = {
     "text_hybrid_search": lambda spark, sf: search.hybrid_rrf_search(
         _docs(spark, sf), _emb(spark, sf)
     ),
+    # Python UDTF + LATERAL (API-surface proof; slow-path labeled)
+    "text_udtf_bigrams": lambda spark, sf: textops.udtf_top_bigrams(
+        _docs(spark, sf)
+    ),
     "text_langid": lambda spark, sf: textops.language_id(_docs(spark, sf)),
     "text_quality": lambda spark, sf: textops.quality_scores(_docs(spark, sf)),
     "text_tokens": lambda spark, sf: textops.token_counts(_docs(spark, sf)),
@@ -934,3 +938,5 @@ ORACLES["dedup_keep_best"] = f"""
 """
 
 ORACLES["text_hybrid_search"] = search.sql_hybrid_rrf()
+
+ORACLES["text_udtf_bigrams"] = textops.sql_udtf_top_bigrams()
