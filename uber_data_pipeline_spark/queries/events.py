@@ -54,6 +54,33 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 30-min gap sessions through Spark's NATIVE
+    `session_window` operator — one groupBy, no lag/cumsum window
+    pass; the built-in merges overlapping per-row [ts, ts+gap)
+    intervals into sessions at aggregation time (and is the form
+    that runs incrementally under Structured Streaming with merging
+    session state). Twin of `events_sessionization` (custom
+    lag-compare-cumsum): same sessions, boundaries expressed as
+    (start = first ts, end = last ts + gap — the operator's interval
+    semantics), which is exactly what the oracle recomputes from the
+    gap-cumsum form."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds").alias("w"),
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end_gap"),
+            "n_events",
+        )
+    )
+
+
 def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct active users per day: exact COUNT(DISTINCT) — Spark
     expands it to a two-phase (day, user) pre-aggregate, so the
@@ -618,6 +645,7 @@ QUERIES = {
     "events_forward_window_join": events_forward_window_join,
     "events_windowed_agg": events_windowed_agg,
     "events_sessionization": events_sessionization,
+    "events_native_session_window": events_native_session_window,
     "events_funnel": events_funnel,
     "events_funnel_timebound": events_funnel_timebound,
     "events_distinct_users": events_distinct_users,
@@ -983,3 +1011,28 @@ ORACLES = {
 }
 
 ORACLES["events_variant_kpis"] = ORACLES["events_json_kpis"]
+
+ORACLES["events_native_session_window"] = f"""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR EXTRACT(EPOCH FROM ts - LAG(ts) OVER w)
+                            > {SESSION_GAP_SECONDS}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP_SECONDS} SECOND AS session_end_gap,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+"""

@@ -764,8 +764,54 @@ def snapshot_stream_python_datasource(
     )
 
 
+def orders_observed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-time metrics via `Dataset.observe` (the Observation API):
+    the pipeline attaches count / decimal-sum / null-count aggregates
+    to the LOAD action itself — metrics ride the same scan that
+    materializes the data (zero extra passes), which is how a
+    production load emits its row-count/quality telemetry. The
+    staged write is the observed action; the observed values are
+    returned as the result row and must equal an independent
+    recompute — the oracle."""
+    import shutil as _shutil
+
+    from pyspark.sql import Observation
+
+    from uber_data_pipeline_spark.functions.numeric import dsum
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    obs = Observation("load_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+        F.count(F.when(F.col("o_orderstatus").isNull(), 1)).alias(
+            "n_null_status"
+        ),
+    )
+    target = os.path.join(
+        _ARTIFACT_DIR, "observed_load", os.path.basename(sf_dir.rstrip("/"))
+    )
+    _shutil.rmtree(target, ignore_errors=True)
+    observed.write.mode("overwrite").parquet(target)
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                float(m["total_price"]),
+                int(m["n_null_status"]),
+            )
+        ],
+        "n_rows bigint, total_price double, n_null_status bigint",
+    )
+
+
 QUERIES = {
     "cdc_incremental_merge": cdc_incremental_merge,
+    "orders_observed_load": orders_observed_load,
     "snapshot_time_travel": snapshot_time_travel,
     "snapshot_python_datasource": snapshot_python_datasource,
     "snapshot_stream_python_datasource": snapshot_stream_python_datasource,
@@ -1048,6 +1094,13 @@ ORACLES = {
         {_SQL_SNAP_AGG.format(v=1, price=_SQL_SNAP_PRICE, where="")}
     """,
     "dq_quarantine_split": _SQL_QUARANTINE,
+    "orders_observed_load": f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {_sql_dsum("o_totalprice")} AS total_price,
+               CAST(COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END)
+                    AS BIGINT) AS n_null_status
+        FROM orders
+    """,
     "snapshot_stream_python_datasource": f"""
         SELECT o_orderstatus AS status,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
