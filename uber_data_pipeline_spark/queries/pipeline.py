@@ -635,26 +635,37 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     quarantined.write.mode("overwrite").parquet(root)
     qr = spark.read.parquet(root)
-    per_rule = [
-        qr.agg(
+    # ONE conditional aggregate over the re-read quarantine (all
+    # per-rule counts + the quarantined total share a single scan),
+    # unpivoted with stack; total_passed is its own reduced aggregate
+    # over the source (was: one scan per rule — measured 5.7 s ->
+    # 3.0 s at sf0.1; the rest is the quarantine write itself)
+    wide = qr.agg(
+        *[
             F.count(F.when(F.array_contains("violated", name), 1))
             .cast("long")
-            .alias("n_rows")
-        ).select(F.lit(f"rule:{name}").alias("metric"), "n_rows")
-        for name, _ in _QUARANTINE_RULES
-    ]
-    totals = [
-        qr.agg(F.count("*").cast("long").alias("n_rows")).select(
-            F.lit("total_quarantined").alias("metric"), "n_rows"
-        ),
+            .alias(f"r{i}")
+            for i, (name, _) in enumerate(_QUARANTINE_RULES)
+        ],
+        F.count("*").cast("long").alias("tq"),
+    )
+    stack_expr = ", ".join(
+        [
+            f"'rule:{name}', r{i}"
+            for i, (name, _) in enumerate(_QUARANTINE_RULES)
+        ]
+        + ["'total_quarantined', tq"]
+    )
+    n = len(_QUARANTINE_RULES) + 1
+    per_rule = wide.selectExpr(
+        f"stack({n}, {stack_expr}) AS (metric, n_rows)"
+    )
+    passed = (
         flagged.filter(F.size("violated") == 0)
         .agg(F.count("*").cast("long").alias("n_rows"))
-        .select(F.lit("total_passed").alias("metric"), "n_rows"),
-    ]
-    out = per_rule[0]
-    for df in per_rule[1:] + totals:
-        out = out.unionByName(df)
-    return out
+        .select(F.lit("total_passed").alias("metric"), "n_rows")
+    )
+    return per_rule.unionByName(passed)
 
 
 PYDS_PRICE_MIN = 150_000.0
