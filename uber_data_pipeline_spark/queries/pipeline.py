@@ -21,6 +21,7 @@ from uber_data_pipeline_spark.catalog import load_table
 from uber_data_pipeline_spark.sources.cdc import merge_latest, scd2_history
 from uber_data_pipeline_spark.streaming.events import (
     LATE_AUDIT_CUT,
+    state_store_read,
     dedup_stream,
     hll_distinct_stream,
     late_data_audit_stream,
@@ -848,6 +849,7 @@ QUERIES = {
     "orders_schema_evolution": orders_schema_evolution,
     "streaming_hll_distinct": hll_distinct_stream,
     "streaming_late_data_audit": late_data_audit_stream,
+    "streaming_state_store_read": state_store_read,
 }
 
 
@@ -1196,6 +1198,18 @@ ORACLES = {
         FROM events GROUP BY 1
     """,
     "streaming_windowed_agg": _EVENT_ORACLES["events_windowed_agg"],
+    # the post-eviction state: only windows still open under the
+    # final watermark (end > max ts - 1h) survive in the store
+    "streaming_state_store_read": """
+        WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS m FROM events)
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events, mx
+        GROUP BY 1, 2, mx.m
+        HAVING date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY
+               > mx.m - INTERVAL 1 HOUR
+    """,
     # the on-time-only aggregate: every straggler (ts < cut) was
     # dropped by the watermark, so it must not appear here
     "streaming_late_data_audit": f"""

@@ -563,3 +563,52 @@ def late_data_audit_stream(
         .filter(F.col("rn") == 1)
         .select("window_start", "event_type", "n_events", "sum_value")
     )
+
+
+def state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming STATE itself, read as a batch table through
+    Spark's `statestore` data source — the state-debugging /
+    state-audit surface a production operator needs when a stateful
+    query misbehaves (inspect keys, sizes, skew) without stopping it.
+
+    A daily-window count per event_type runs over the staged feed
+    (update mode, 1-hour watermark, own checkpoint); AvailableNow's
+    terminal empty batch advances the watermark and EVICTS every
+    finalized window, so the surviving state is exactly the
+    still-open tail — windows whose end > max(ts) - delay — which is
+    what the oracle recomputes relationally. Key/value structs come
+    back in the store's internal layout (key.window.start,
+    value.count); the projection below is the stable public face."""
+    root = os.path.join(
+        _ARTIFACTS, "state_read", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ev = read_stream_events(spark, events_landing_dir(sf_dir))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    with _STREAM_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+        try:
+            q = (
+                agg.writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(root, "checkpoint"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.format("statestore")
+        .load(os.path.join(root, "checkpoint"))
+        .select(
+            F.col("key.window.start").alias("window_start"),
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("long").alias("n_events"),
+        )
+    )
