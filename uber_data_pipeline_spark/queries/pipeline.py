@@ -550,6 +550,29 @@ def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _stage_snapshots_once(
+    root: str, marker_params: dict, slices, commit_fn
+) -> None:
+    """Stage immutable snapshot commits once per (sf, params): a
+    marker JSON records the staging parameters; on match the staged
+    lake is REUSED (snapshot commits are immutable by contract, so
+    unlike the MERGE sinks there is nothing to rebuild), on mismatch
+    or absence the lake is rebuilt from scratch. Steady-state cost of
+    the snapshot entries drops from 3 write jobs to zero."""
+    import json as _json
+
+    marker = os.path.join(root, "_STAGED.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if _json.load(fh) == marker_params:
+                return
+    shutil.rmtree(root, ignore_errors=True)
+    for i, (sl, mode) in enumerate(slices):
+        commit_fn(sl, root, i, mode=mode)
+    with open(marker, "w") as fh:
+        _json.dump(marker_params, fh)
+
+
 def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-based snapshot versioning + time travel
     (sources/snapshots.py — the Delta/Iceberg/BigQuery-snapshot role
@@ -575,10 +598,14 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(
         _ARTIFACT_DIR, "snapshots", os.path.basename(sf_dir.rstrip("/"))
     )
-    shutil.rmtree(root, ignore_errors=True)
-    commit_snapshot(orders.filter(F.col("o_orderdate") < cutoff), root, 0)
-    commit_snapshot(
-        orders.filter(F.col("o_orderdate") >= cutoff), root, 1, mode="append"
+    _stage_snapshots_once(
+        root,
+        {"entry": "time_travel", "cutoff": CDC_CUTOFF, "v": 1},
+        [
+            (orders.filter(F.col("o_orderdate") < cutoff), "overwrite"),
+            (orders.filter(F.col("o_orderdate") >= cutoff), "append"),
+        ],
+        commit_snapshot,
     )
 
     def _agg(df: DataFrame, version: int) -> DataFrame:
@@ -690,17 +717,20 @@ def snapshot_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(
         _ARTIFACT_DIR, "pyds_snapshots", os.path.basename(sf_dir.rstrip("/"))
     )
-    shutil.rmtree(root, ignore_errors=True)
-    commit_snapshot(
-        orders.filter(F.col("o_orderdate") < cutoff).drop("o_orderdate"),
+    _stage_snapshots_once(
         root,
-        0,
-    )
-    commit_snapshot(
-        orders.filter(F.col("o_orderdate") >= cutoff).drop("o_orderdate"),
-        root,
-        1,
-        mode="append",
+        {"entry": "pyds_batch", "cutoff": CDC_CUTOFF, "v": 1},
+        [
+            (
+                orders.filter(F.col("o_orderdate") < cutoff).drop("o_orderdate"),
+                "overwrite",
+            ),
+            (
+                orders.filter(F.col("o_orderdate") >= cutoff).drop("o_orderdate"),
+                "append",
+            ),
+        ],
+        commit_snapshot,
     )
     pyds.register(spark)
     from uber_data_pipeline_spark.functions.numeric import dsum
@@ -740,20 +770,32 @@ def snapshot_stream_python_datasource(
     root = os.path.join(
         _ARTIFACT_DIR, "pyds_stream", os.path.basename(sf_dir.rstrip("/"))
     )
-    shutil.rmtree(root, ignore_errors=True)
     cut1 = F.lit("1998-01-01").cast("timestamp_ntz")
     cut2 = F.lit(CDC_CUTOFF).cast("timestamp_ntz")
-    slices = (
-        orders.filter(F.col("o_orderdate") < cut1),
-        orders.filter((F.col("o_orderdate") >= cut1) & (F.col("o_orderdate") < cut2)),
-        orders.filter(F.col("o_orderdate") >= cut2),
+    # commits are immutable -> staged once; the CHECKPOINT is per-run
+    # (a reused checkpoint would see no new commits and emit nothing)
+    commits_root = os.path.join(root, "commits")
+    _stage_snapshots_once(
+        commits_root,
+        {"entry": "pyds_stream", "cuts": ["1998-01-01", CDC_CUTOFF], "v": 1},
+        [
+            (orders.filter(F.col("o_orderdate") < cut1).drop("o_orderdate"), "append"),
+            (
+                orders.filter(
+                    (F.col("o_orderdate") >= cut1) & (F.col("o_orderdate") < cut2)
+                ).drop("o_orderdate"),
+                "append",
+            ),
+            (orders.filter(F.col("o_orderdate") >= cut2).drop("o_orderdate"), "append"),
+        ],
+        commit_snapshot,
     )
-    for i, sl in enumerate(slices):
-        commit_snapshot(sl.drop("o_orderdate"), root, i, mode="append")
+    checkpoint = os.path.join(root, "checkpoint")
+    shutil.rmtree(checkpoint, ignore_errors=True)
     pyds.register_stream(spark)
     st = (
         spark.readStream.format("snapshot_commits")
-        .option("root", root)
+        .option("root", commits_root)
         .load()
     )
     name = f"pyds_stream_sink_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
@@ -761,7 +803,7 @@ def snapshot_stream_python_datasource(
         st.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
