@@ -200,6 +200,48 @@ def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _format_roundtrip(
+    spark: SparkSession, sf_dir: str, fmt: str
+) -> DataFrame:
+    """Shared JSON/ORC landing roundtrip (same contract as
+    events_csv_roundtrip: stage once, explicit-schema read-back, the
+    parquet-derived oracle proves bit-exact value survival). JSON is
+    the schemaless-landing half of real ingest; ORC the columnar
+    interchange format warehouse exports still arrive in. Both reads
+    are splittable with declared schemas — no inference scan."""
+    from uber_data_pipeline_spark.functions.numeric import dsum
+    from uber_data_pipeline_spark.sources.readers import read_json, read_orc
+
+    stage = os.path.join(
+        _ARTIFACT_DIR, f"{fmt}_stage", os.path.basename(sf_dir.rstrip("/"))
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        writer = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value")
+            .write.mode("overwrite")
+        )
+        getattr(writer, fmt)(stage)
+    schema = "event_id bigint, event_type string, value double"
+    back = (
+        read_json(spark, stage, schema)
+        if fmt == "json"
+        else read_orc(spark, stage, schema)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+def events_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "json")
+
+
+def events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "orc")
+
+
 GDPR_KEY_MOD = 1000
 GDPR_KEY_REMAINDER = 7
 
@@ -884,6 +926,8 @@ QUERIES = {
     "streaming_windowed_topk": windowed_topk_stream,
     "incremental_agg_maintenance": incremental_agg_maintenance,
     "events_csv_roundtrip": events_csv_roundtrip,
+    "events_json_roundtrip": events_json_roundtrip,
+    "events_orc_roundtrip": events_orc_roundtrip,
     "streaming_stream_join": stream_stream_join,
     "gdpr_delete_audit": gdpr_delete_audit,
     "compact_small_files_report": compaction_report,
@@ -1323,3 +1367,6 @@ ORACLES = {
         FROM ranked WHERE rk <= 3
     """,
 }
+
+ORACLES["events_json_roundtrip"] = ORACLES["events_csv_roundtrip"]
+ORACLES["events_orc_roundtrip"] = ORACLES["events_csv_roundtrip"]
