@@ -739,6 +739,7 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PYDS_PRICE_MIN = 150_000.0
+PYDS_STREAM_FROM = "2001-01-01 00:00:00"
 
 
 def snapshot_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -801,7 +802,14 @@ def snapshot_stream_python_datasource(
     exact commit ranges via readBetweenOffsets. Three commits are
     staged (the CDC cutoff splits orders into three date slices);
     the drained stream's per-status aggregate must equal the batch
-    aggregate over `orders` — the oracle."""
+    aggregate over `orders` — the oracle.
+
+    The feed is the 2001 tail of orders (~9%% of the fact):
+    SimpleDataSourceStreamReader materializes each batch ON THE
+    DRIVER by API contract (the lightweight offset-tracking variant),
+    so the staged change-feed is kept control-plane-sized — the
+    high-throughput path is the partitioned DataSourceStreamReader
+    noted in sources/pyds.py."""
     from uber_data_pipeline_spark.functions.numeric import dsum
     from uber_data_pipeline_spark.sources import pyds
     from uber_data_pipeline_spark.sources.snapshots import commit_snapshot
@@ -812,23 +820,25 @@ def snapshot_stream_python_datasource(
     root = os.path.join(
         _ARTIFACT_DIR, "pyds_stream", os.path.basename(sf_dir.rstrip("/"))
     )
-    cut1 = F.lit("1998-01-01").cast("timestamp_ntz")
-    cut2 = F.lit(CDC_CUTOFF).cast("timestamp_ntz")
+    lo = F.lit(PYDS_STREAM_FROM).cast("timestamp_ntz")
+    cut1 = F.lit("2001-03-01").cast("timestamp_ntz")
+    cut2 = F.lit("2001-05-01").cast("timestamp_ntz")
+    tail = orders.filter(F.col("o_orderdate") >= lo)
     # commits are immutable -> staged once; the CHECKPOINT is per-run
     # (a reused checkpoint would see no new commits and emit nothing)
     commits_root = os.path.join(root, "commits")
     _stage_snapshots_once(
         commits_root,
-        {"entry": "pyds_stream", "cuts": ["1998-01-01", CDC_CUTOFF], "v": 1},
+        {"entry": "pyds_stream", "cuts": [PYDS_STREAM_FROM, "2001-03-01", "2001-05-01"], "v": 2},
         [
-            (orders.filter(F.col("o_orderdate") < cut1).drop("o_orderdate"), "append"),
+            (tail.filter(F.col("o_orderdate") < cut1).drop("o_orderdate"), "append"),
             (
-                orders.filter(
+                tail.filter(
                     (F.col("o_orderdate") >= cut1) & (F.col("o_orderdate") < cut2)
                 ).drop("o_orderdate"),
                 "append",
             ),
-            (orders.filter(F.col("o_orderdate") >= cut2).drop("o_orderdate"), "append"),
+            (tail.filter(F.col("o_orderdate") >= cut2).drop("o_orderdate"), "append"),
         ],
         commit_snapshot,
     )
@@ -1205,6 +1215,7 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_orders,
                {_sql_dsum("o_totalprice")} AS total_price
         FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{PYDS_STREAM_FROM}'
         GROUP BY 1
     """,
     "snapshot_python_datasource": f"""
