@@ -254,3 +254,54 @@ def test_tws_sessionizer_matches_batch_when_protobuf_available(spark):
 
     df = sessionization_stream_tws(spark, SF_DIR)
     assert df.count() > 0
+
+
+def test_snapshot_manifest_stats_skip_files(spark, tmp_path):
+    """Manifest-level data skipping: per-file [min,max] recorded at
+    commit time prunes non-intersecting files before Spark lists
+    them, and the surviving rows still pass through the exact
+    predicate (skipping is a pure optimization)."""
+    root = str(tmp_path / "snap")
+    # two disjoint key ranges in two commits -> two file sets
+    snapshots.commit_snapshot(
+        spark.range(0, 100).repartition(1).withColumnRenamed("id", "k"),
+        root, 0, stats_cols=["k"],
+    )
+    snapshots.commit_snapshot(
+        spark.range(1000, 1100).repartition(1).withColumnRenamed("id", "k"),
+        root, 1, mode="append", stats_cols=["k"],
+    )
+    with open(os.path.join(root, "manifests", "v1.json")) as fh:
+        m = json.load(fh)
+    assert all("k" in s for s in m["stats"].values())
+    got = snapshots.read_snapshot(spark, root, 1, between=("k", 1050, 1060))
+    assert sorted(r.k for r in got.collect()) == list(range(1050, 1061))
+    # only the second commit's file survives pruning
+    scanned = got.inputFiles()
+    assert all("commit-1" in f for f in scanned) and len(scanned) == 1
+    # a range hitting no file yields an empty (correct-schema) result
+    assert snapshots.read_snapshot(spark, root, 1, between=("k", 500, 600)).count() == 0
+
+
+def test_codec_registry_dispatch(spark):
+    """extract_features dispatches through the codec registry captured
+    at plan time: a registered fake codec changes the features, and
+    restoring the stub restores them."""
+    from uber_data_pipeline_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(0, "aaa", "en", "s", 3), (1, "bbb", "en", "s", 3), (2, "ccc", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.attach_media(docs)
+    base = {r.media_id: r.feat for r in multimodal.extract_features(media).collect()}
+    try:
+        multimodal.register_codec("audio", lambda p, dim: [9.0] * dim)
+        got = {r.media_id: r.feat for r in multimodal.extract_features(media).collect()}
+    finally:
+        multimodal.register_codec("audio", multimodal._decode_payload)
+    # doc_id 1 -> kind 'audio' changed; others (image/text kinds) unchanged
+    assert got[1] == [9.0] * multimodal.FEATURE_DIM
+    assert got[0] == base[0] and got[2] == base[2]
+    after = {r.media_id: r.feat for r in multimodal.extract_features(media).collect()}
+    assert after == base

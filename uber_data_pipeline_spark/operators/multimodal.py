@@ -91,13 +91,36 @@ def decode_audio(payload: bytes) -> list[float]:
     )
 
 
+# Codec REGISTRY — the real-codec integration point: a deployment
+# with PIL/torchaudio installs its decoders per kind
+# (register_codec("image", pil_decode)) and every mapInPandas kernel
+# below dispatches through the registry; nothing else changes. The
+# kernel CAPTURES the registry at plan time, so driver-side
+# registration ships to executors inside the pickled closure (worker
+# processes re-import modules — a worker-side module lookup would
+# silently ignore driver registrations). The default for every kind
+# is the deterministic stub.
+CODECS: dict[str, "callable"] = {kind: _decode_payload for kind in KINDS}
+
+
+def register_codec(kind: str, fn) -> None:
+    """Install a real decoder for ``kind`` ('image'|'audio'|'text');
+    fn(payload: bytes, dim: int) -> list[float]."""
+    if kind not in KINDS:
+        raise KeyError(f"unknown media kind {kind!r}; one of {KINDS}")
+    CODECS[kind] = fn
+
+
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """(media_id, kind, n_bytes, feat: array<double>) via mapInPandas:
     one Python roundtrip per Arrow batch; the blob never leaves the
     executor, and the output drops it so downstream stages shuffle
-    only the (small) features."""
+    only the (small) features. Decoders resolve per-row through the
+    CODEC registry by kind."""
 
     schema = f"media_id long, kind string, n_bytes int, feat array<double>"
+
+    codecs = dict(CODECS)  # captured at plan time, shipped in the closure
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -106,7 +129,10 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": [len(p) for p in pdf["payload"]],
-                    "feat": [_decode_payload(bytes(p), dim) for p in pdf["payload"]],
+                    "feat": [
+                        codecs[k](bytes(p), dim)
+                        for k, p in zip(pdf["kind"], pdf["payload"])
+                    ],
                 }
             )
 

@@ -43,11 +43,15 @@ def commit_snapshot(
     root: str,
     version: int,
     mode: str = "append",
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Write ``df``'s rows as the data files of commit ``version`` and
     publish its manifest. ``mode='append'`` inherits the parent
     (version-1) manifest's files; ``mode='overwrite'`` starts fresh.
-    Returns the published manifest dict."""
+    ``stats_cols`` records per-file [min, max] for those columns in
+    the manifest (read from the parquet FOOTERS the write already
+    produced — no second data pass), enabling manifest-level data
+    skipping in :func:`read_snapshot`. Returns the manifest dict."""
     data_dir = os.path.join(root, "data", f"commit-{version}")
     df.write.mode("overwrite").parquet(data_dir)
     files = sorted(
@@ -55,14 +59,36 @@ def commit_snapshot(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
+    stats: dict[str, dict] = {}
+    if stats_cols:
+        import pyarrow.parquet as pq
+
+        for path in files:
+            meta = pq.ParquetFile(path).metadata
+            names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+            col_stats = {}
+            for c in stats_cols:
+                lo, hi = None, None
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(names[c]).statistics
+                    if st is None or not st.has_min_max:
+                        lo, hi = None, None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if lo is not None:
+                    col_stats[c] = [lo, hi]
+            stats[path] = col_stats
     parent = version - 1
     if mode == "append" and parent >= 0:
         # a missing parent manifest must FAIL, not silently degrade
         # to overwrite semantics (dropping all prior history): an
         # append commit's contract is parent files + new files
         with open(_manifest_path(root, parent)) as fh:
-            files = json.load(fh)["files"] + files
-    manifest = {"version": version, "parent": parent, "files": files}
+            pm = json.load(fh)
+        files = pm["files"] + files
+        stats = {**pm.get("stats", {}), **stats}
+    manifest = {"version": version, "parent": parent, "files": files, "stats": stats}
     os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
     tmp = _manifest_path(root, version) + ".tmp"
     with open(tmp, "w") as fh:
@@ -71,13 +97,46 @@ def commit_snapshot(
     return manifest
 
 
-def read_snapshot(spark: SparkSession, root: str, version: int) -> DataFrame:
+def read_snapshot(
+    spark: SparkSession,
+    root: str,
+    version: int,
+    between: tuple[str, object, object] | None = None,
+) -> DataFrame:
     """Time-travel read: the table exactly as of commit ``version`` —
     Spark scans the manifest's explicit file list (footer stats,
-    column pruning, and pushdown all apply as normal)."""
+    column pruning, and pushdown all apply as normal).
+
+    ``between=(col, lo, hi)`` adds MANIFEST-LEVEL data skipping: files
+    whose recorded [min, max] envelope for ``col`` cannot intersect
+    [lo, hi] are dropped before Spark ever lists them — the
+    Delta/Iceberg file-skipping role, metadata-only on the driver.
+    The exact predicate is ALSO applied to the surviving rows, so
+    skipping is a pure optimization (pruning correctness is
+    unit-tested); files without recorded stats are conservatively
+    kept."""
     with open(_manifest_path(root, version)) as fh:
         manifest = json.load(fh)
-    return spark.read.parquet(*manifest["files"])
+    files = manifest["files"]
+    if between is not None:
+        col, lo, hi = between
+        stats = manifest.get("stats", {})
+        files = [
+            f
+            for f in files
+            if col not in stats.get(f, {})
+            or not (stats[f][col][1] < lo or stats[f][col][0] > hi)
+        ]
+        if not files:
+            from pyspark.sql import functions as _F
+
+            empty = spark.read.parquet(*manifest["files"]).limit(0)
+            return empty.filter(_F.col(col).between(lo, hi))
+        df = spark.read.parquet(*files)
+        from pyspark.sql import functions as _F
+
+        return df.filter(_F.col(col).between(lo, hi))
+    return spark.read.parquet(*files)
 
 
 def latest_version(root: str) -> int:
