@@ -640,14 +640,16 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(
         _ARTIFACT_DIR, "snapshots", os.path.basename(sf_dir.rstrip("/"))
     )
+    import functools
+
     _stage_snapshots_once(
         root,
-        {"entry": "time_travel", "cutoff": CDC_CUTOFF, "v": 1},
+        {"entry": "time_travel", "cutoff": CDC_CUTOFF, "stats": ["o_orderkey"], "v": 2},
         [
-            (orders.filter(F.col("o_orderdate") < cutoff), "overwrite"),
-            (orders.filter(F.col("o_orderdate") >= cutoff), "append"),
+            (orders.filter(F.col("o_orderdate") < cutoff).repartition(4), "overwrite"),
+            (orders.filter(F.col("o_orderdate") >= cutoff).repartition(4), "append"),
         ],
-        commit_snapshot,
+        functools.partial(commit_snapshot, stats_cols=["o_orderkey"]),
     )
 
     def _agg(df: DataFrame, version: int) -> DataFrame:
@@ -915,8 +917,40 @@ def orders_observed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKIP_KEY_LO = 100
+SKIP_KEY_HI = 5_000
+
+
+def snapshot_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level data skipping, value-verified: the time-travel
+    lake records per-file [min, max] of o_orderkey in its manifests
+    (from the parquet footers the commit already wrote); this read
+    asks for a key range and files whose envelope cannot intersect it
+    are dropped on the DRIVER, before Spark lists them — the
+    Delta/Iceberg file-skipping role. The exact predicate still
+    applies to surviving rows (skipping is a pure optimization —
+    pruning correctness pinned by tests/test_r4_operators.py), and
+    the aggregate must equal the oracle's plain filtered scan."""
+    from uber_data_pipeline_spark.functions.numeric import dsum
+    from uber_data_pipeline_spark.sources.snapshots import read_snapshot
+
+    # ensure the staged lake exists (shares snapshot_time_travel's)
+    snapshot_time_travel(spark, sf_dir).collect()
+    root = os.path.join(
+        _ARTIFACT_DIR, "snapshots", os.path.basename(sf_dir.rstrip("/"))
+    )
+    df = read_snapshot(
+        spark, root, 1, between=("o_orderkey", SKIP_KEY_LO, SKIP_KEY_HI)
+    )
+    return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
 QUERIES = {
     "cdc_incremental_merge": cdc_incremental_merge,
+    "snapshot_skipping_read": snapshot_skipping_read,
     "orders_observed_load": orders_observed_load,
     "snapshot_time_travel": snapshot_time_travel,
     "snapshot_python_datasource": snapshot_python_datasource,
@@ -1203,6 +1237,14 @@ ORACLES = {
         {_SQL_SNAP_AGG.format(v=1, price=_SQL_SNAP_PRICE, where="")}
     """,
     "dq_quarantine_split": _SQL_QUARANTINE,
+    "snapshot_skipping_read": f"""
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {_sql_dsum("o_totalprice")} AS total_price
+        FROM orders
+        WHERE o_orderkey BETWEEN {SKIP_KEY_LO} AND {SKIP_KEY_HI}
+        GROUP BY 1
+    """,
     "orders_observed_load": f"""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                {_sql_dsum("o_totalprice")} AS total_price,
