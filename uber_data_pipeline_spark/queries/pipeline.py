@@ -615,6 +615,33 @@ def _stage_snapshots_once(
         _json.dump(marker_params, fh)
 
 
+def _stage_time_travel_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once) the two-commit time-travel lake with o_orderkey
+    stats recorded; shared by snapshot_time_travel and
+    snapshot_skipping_read."""
+    import functools
+
+    from uber_data_pipeline_spark.sources.snapshots import commit_snapshot
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.lit(CDC_CUTOFF).cast("timestamp_ntz")
+    root = os.path.join(
+        _ARTIFACT_DIR, "snapshots", os.path.basename(sf_dir.rstrip("/"))
+    )
+    _stage_snapshots_once(
+        root,
+        {"entry": "time_travel", "cutoff": CDC_CUTOFF, "stats": ["o_orderkey"], "v": 2},
+        [
+            (orders.filter(F.col("o_orderdate") < cutoff).repartition(4), "overwrite"),
+            (orders.filter(F.col("o_orderdate") >= cutoff).repartition(4), "append"),
+        ],
+        functools.partial(commit_snapshot, stats_cols=["o_orderkey"]),
+    )
+    return root
+
+
 def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-based snapshot versioning + time travel
     (sources/snapshots.py — the Delta/Iceberg/BigQuery-snapshot role
@@ -628,29 +655,9 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1-as-of aggregate the full relation's — which is exactly what
     the oracle recomputes from `orders`."""
     from uber_data_pipeline_spark.functions.numeric import dsum
-    from uber_data_pipeline_spark.sources.snapshots import (
-        commit_snapshot,
-        read_snapshot,
-    )
+    from uber_data_pipeline_spark.sources.snapshots import read_snapshot
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
-    )
-    cutoff = F.lit(CDC_CUTOFF).cast("timestamp_ntz")
-    root = os.path.join(
-        _ARTIFACT_DIR, "snapshots", os.path.basename(sf_dir.rstrip("/"))
-    )
-    import functools
-
-    _stage_snapshots_once(
-        root,
-        {"entry": "time_travel", "cutoff": CDC_CUTOFF, "stats": ["o_orderkey"], "v": 2},
-        [
-            (orders.filter(F.col("o_orderdate") < cutoff).repartition(4), "overwrite"),
-            (orders.filter(F.col("o_orderdate") >= cutoff).repartition(4), "append"),
-        ],
-        functools.partial(commit_snapshot, stats_cols=["o_orderkey"]),
-    )
+    root = _stage_time_travel_lake(spark, sf_dir)
 
     def _agg(df: DataFrame, version: int) -> DataFrame:
         return df.agg(
@@ -934,11 +941,7 @@ def snapshot_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uber_data_pipeline_spark.functions.numeric import dsum
     from uber_data_pipeline_spark.sources.snapshots import read_snapshot
 
-    # ensure the staged lake exists (shares snapshot_time_travel's)
-    snapshot_time_travel(spark, sf_dir).collect()
-    root = os.path.join(
-        _ARTIFACT_DIR, "snapshots", os.path.basename(sf_dir.rstrip("/"))
-    )
+    root = _stage_time_travel_lake(spark, sf_dir)
     df = read_snapshot(
         spark, root, 1, between=("o_orderkey", SKIP_KEY_LO, SKIP_KEY_HI)
     )
