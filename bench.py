@@ -170,6 +170,10 @@ def main() -> int:
             "spark.sql.shuffle.partitions",
             "spark.sql.sources.partitionOverwriteMode",
             "spark.sql.streaming.stateStore.providerClass",
+            # sources/pyds.register flips this on (it must stay on
+            # through the lazy read's action); restore it after
+            "spark.sql.python.filterPushdown.enabled",
+            "spark.sql.streaming.statefulOperator.allowMultiple",
         )
         snapshot = {k: spark.conf.get(k, None) for k in conf_keys}
         t0 = time.perf_counter()

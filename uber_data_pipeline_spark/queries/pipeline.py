@@ -592,27 +592,44 @@ def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+import threading as _threading
+
+# serializes first-run staging: two registry entries share the
+# time-travel lake, and bench.py's concurrent pass may hit both
+# before either has staged — without the lock one thread rmtrees the
+# root while the other is mid-commit
+_STAGE_LOCK = _threading.Lock()
+
+
 def _stage_snapshots_once(
     root: str, marker_params: dict, slices, commit_fn
 ) -> None:
     """Stage immutable snapshot commits once per (sf, params): a
     marker JSON records the staging parameters; on match the staged
     lake is REUSED (snapshot commits are immutable by contract, so
-    unlike the MERGE sinks there is nothing to rebuild), on mismatch
-    or absence the lake is rebuilt from scratch. Steady-state cost of
-    the snapshot entries drops from 3 write jobs to zero."""
+    unlike the MERGE sinks there is nothing to rebuild), on mismatch,
+    absence, or an unreadable marker (crash mid-publish) the lake is
+    rebuilt from scratch. The marker itself publishes atomically
+    (tmp + rename, same as the snapshot manifests). Steady-state cost
+    of the snapshot entries drops from 3 write jobs to zero."""
     import json as _json
 
     marker = os.path.join(root, "_STAGED.json")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            if _json.load(fh) == marker_params:
-                return
-    shutil.rmtree(root, ignore_errors=True)
-    for i, (sl, mode) in enumerate(slices):
-        commit_fn(sl, root, i, mode=mode)
-    with open(marker, "w") as fh:
-        _json.dump(marker_params, fh)
+    with _STAGE_LOCK:
+        if os.path.exists(marker):
+            try:
+                with open(marker) as fh:
+                    if _json.load(fh) == marker_params:
+                        return
+            except ValueError:
+                pass  # corrupt marker -> restage
+        shutil.rmtree(root, ignore_errors=True)
+        for i, (sl, mode) in enumerate(slices):
+            commit_fn(sl, root, i, mode=mode)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(marker_params, fh)
+        os.replace(tmp, marker)
 
 
 def _stage_time_travel_lake(spark: SparkSession, sf_dir: str) -> str:

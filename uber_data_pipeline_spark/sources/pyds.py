@@ -98,6 +98,11 @@ class SnapshotManifestSource(DataSource):
         import pyarrow.parquet as pq
 
         reader = SnapshotManifestReader(dict(self.options))
+        if not reader.files:
+            raise ValueError(
+                f"snapshot v{reader.version} at {reader.root} has no data "
+                "files; cannot infer a schema from an empty snapshot"
+            )
         schema = pq.read_schema(reader.files[0])
         from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -108,8 +113,12 @@ class SnapshotManifestSource(DataSource):
 
 
 def register(spark) -> None:
-    # pushFilters is rejected outright unless the runtime flag is on;
-    # set it here so a vanilla (driver) session works too
+    # pushFilters is rejected outright unless the runtime flag is on.
+    # Set DELIBERATELY without restore: the returned DataFrame is
+    # lazy, so the flag must still be on when the caller's ACTION
+    # runs — a set/restore window here would break every read.
+    # Harnesses that care about conf hygiene snapshot+restore it
+    # around their run (bench.py does).
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotManifestSource)
 

@@ -152,6 +152,10 @@ def read_orc(
     reader = spark.read
     if table in SCHEMAS:
         reader = reader.schema(SCHEMAS[table])
+    elif table is not None:
+        # not a catalog name -> treat as an explicit DDL schema string
+        # (same contract as read_csv/read_json's schema parameter)
+        reader = reader.schema(table)
     return reader.orc(path)
 
 

@@ -118,25 +118,23 @@ def read_snapshot(
     with open(_manifest_path(root, version)) as fh:
         manifest = json.load(fh)
     files = manifest["files"]
-    if between is not None:
-        col, lo, hi = between
-        stats = manifest.get("stats", {})
-        files = [
-            f
-            for f in files
-            if col not in stats.get(f, {})
-            or not (stats[f][col][1] < lo or stats[f][col][0] > hi)
-        ]
-        if not files:
-            from pyspark.sql import functions as _F
+    if between is None:
+        return spark.read.parquet(*files)
+    from pyspark.sql import functions as F
 
-            empty = spark.read.parquet(*manifest["files"]).limit(0)
-            return empty.filter(_F.col(col).between(lo, hi))
-        df = spark.read.parquet(*files)
-        from pyspark.sql import functions as _F
-
-        return df.filter(_F.col(col).between(lo, hi))
-    return spark.read.parquet(*files)
+    col, lo, hi = between
+    stats = manifest.get("stats", {})
+    kept = [
+        f
+        for f in files
+        if col not in stats.get(f, {})
+        or not (stats[f][col][1] < lo or stats[f][col][0] > hi)
+    ]
+    # every file pruned: scan the full list limit(0) for the schema
+    df = spark.read.parquet(*(kept or files))
+    if not kept:
+        df = df.limit(0)
+    return df.filter(F.col(col).between(lo, hi))
 
 
 def latest_version(root: str) -> int:

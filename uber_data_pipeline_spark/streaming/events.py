@@ -157,24 +157,17 @@ _SESSION_OUT_SCHEMA = (
 )
 
 
-def _session_kernel(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Gap sessionizer: carries (open-session start, last ts, count,
-    session counter) across micro-batches; emits a snapshot row per
-    session touched in this batch (update semantics — the final batch
-    emission for a session is its closed form)."""
+def _session_fold(user_id, state, pdfs):
+    """Core gap-sessionizer fold shared by the applyInPandasWithState
+    kernel and the transformWithState processor: consume the batch's
+    timestamp chunks, return (emitted rows, new state tuple). State =
+    (start_us, last_us, n, session_id); emits a snapshot row per
+    session touched (the final emission for a session is its closed
+    form)."""
     gap_us = SESSION_GAP_SECONDS * 1_000_000
-    if state.exists:
-        start, last, n, sid = state.get
-    else:
-        start, last, n, sid = None, None, 0, 0
-
+    start, last, n, sid = state
     out: list[tuple] = []
-    (user_id,) = key
-    for pdf in batches:
+    for pdf in pdfs:
         ts = pdf["ts"]
         if getattr(ts.dt, "tz", None) is not None:
             ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
@@ -188,18 +181,36 @@ def _session_kernel(
                 n += 1
             last = t
     if last is not None:
-        out.append((user_id, sid, n, start, last))  # snapshot of the open session
+        out.append((user_id, sid, n, start, last))  # snapshot of the open one
+    return out, (start, last, n, sid)
 
-    state.update((start, last, n, sid))
-    yield pd.DataFrame(
+
+def _session_frame(rows: list[tuple]) -> pd.DataFrame:
+    return pd.DataFrame(
         {
-            "user_id": [r[0] for r in out],
-            "session_id": [r[1] for r in out],
-            "n_events": [r[2] for r in out],
-            "session_start": pd.to_datetime([r[3] for r in out], unit="us"),
-            "session_end": pd.to_datetime([r[4] for r in out], unit="us"),
+            "user_id": [r[0] for r in rows],
+            "session_id": [r[1] for r in rows],
+            "n_events": [r[2] for r in rows],
+            "session_start": pd.to_datetime([r[3] for r in rows], unit="us"),
+            "session_end": pd.to_datetime([r[4] for r in rows], unit="us"),
         }
     )
+
+
+def _session_kernel(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState wrapper over :func:`_session_fold`."""
+    if state.exists:
+        st = state.get
+    else:
+        st = (None, None, 0, 0)
+    (user_id,) = key
+    out, new_st = _session_fold(user_id, st, batches)
+    state.update(new_st)
+    yield _session_frame(out)
 
 
 ATTRIBUTION_WINDOW_MINUTES = 30
@@ -632,38 +643,13 @@ class _SessionProcessor:
         pass
 
     def handleInputRows(self, key, rows, timer_values):
-        gap_us = SESSION_GAP_SECONDS * 1_000_000
-        if self._state.exists():
-            start, last, n, sid = self._state.get()
-        else:
-            start, last, n, sid = None, None, 0, 0
-        out: list[tuple] = []
-        (user_id,) = key
-        for pdf in rows:
-            ts = pdf["ts"]
-            if getattr(ts.dt, "tz", None) is not None:
-                ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
-            ts_us = ts.astype("datetime64[us]").astype("int64").sort_values()
-            for t in ts_us:
-                if last is None or t - last > gap_us:
-                    if last is not None:
-                        out.append((user_id, sid, n, start, last))
-                    sid, start, n = sid + 1, t, 1
-                else:
-                    n += 1
-                last = t
-        if last is not None:
-            out.append((user_id, sid, n, start, last))
-        self._state.update((start, last, n, sid))
-        yield pd.DataFrame(
-            {
-                "user_id": [r[0] for r in out],
-                "session_id": [r[1] for r in out],
-                "n_events": [r[2] for r in out],
-                "session_start": pd.to_datetime([r[3] for r in out], unit="us"),
-                "session_end": pd.to_datetime([r[4] for r in out], unit="us"),
-            }
+        st = (
+            self._state.get() if self._state.exists() else (None, None, 0, 0)
         )
+        (user_id,) = key
+        out, new_st = _session_fold(user_id, st, rows)
+        self._state.update(new_st)
+        yield _session_frame(out)
 
 
 def sessionization_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
