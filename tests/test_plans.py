@@ -201,6 +201,10 @@ def test_copurchase_pairs_partial_agg(spark):
         "events_burst_detection",
         "parts_abc_by_nation",
         "orders_yoy_growth",
+        # r4: 7-day RANGE frame partitioned by priority
+        "orders_moving_window",
+        # r4: keep-best rank partitioned by cluster_id
+        "dedup_keep_best",
     ],
 )
 def test_windows_partitioned(spark, name):
