@@ -305,3 +305,66 @@ def test_codec_registry_dispatch(spark):
     assert got[0] == base[0] and got[2] == base[2]
     after = {r.media_id: r.feat for r in multimodal.extract_features(media).collect()}
     assert after == base
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 60)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 560)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([7, 30, 45]),
+)
+def test_interval_join_property(spark, ivs, pts, bin_days):
+    """For ANY interval/point set and bin width, the binned equi-join
+    equals the naive BETWEEN join (lossless binning)."""
+    iv = spark.createDataFrame(
+        [(i, k, s, s + ln) for i, (k, s, ln) in enumerate(ivs)],
+        "interval_id int, k int, s_day long, e_day long",
+    )
+    pt = spark.createDataFrame(pts, "k int, p_day long")
+    got = {
+        (r.interval_id, r.n_points)
+        for r in interval_point_counts(
+            iv, pt, "k", "interval_id", bin_days=bin_days
+        ).collect()
+    }
+    naive = {}
+    for i, (k, s, ln) in enumerate(ivs):
+        n = sum(1 for pk, pd_ in pts if pk == k and s <= pd_ <= s + ln)
+        if n:
+            naive[i] = n
+    assert got == set(naive.items())
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(0, 255), min_size=2, max_size=30, unique=True),
+    st.sampled_from([1, 2, 3]),
+)
+def test_banded_hamming_property(spark, sigs, max_h):
+    """For ANY 8-bit signature set and distance bound, the pigeonhole
+    banded join finds exactly the within-distance pairs."""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "doc_id long, simhash long"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in banded_hamming_pairs(df, bits=8, max_hamming=max_h).collect()
+    }
+    want = {
+        (a, b)
+        for a in range(len(sigs))
+        for b in range(a + 1, len(sigs))
+        if bin(sigs[a] ^ sigs[b]).count("1") <= max_h
+    }
+    assert got == want
