@@ -980,3 +980,61 @@ def keep_best_per_cluster(clusters: DataFrame, quality: DataFrame) -> DataFrame:
             F.col("quality_score").alias("best_quality"),
         )
     )
+
+
+def lsh_pairs_incremental(
+    spark,
+    index_dir: str,
+    delta_docs: DataFrame,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """INCREMENTAL dedup — the shape a growing 100 TB corpus actually
+    runs: when a new crawl partition lands, only ITS signatures are
+    computed (the expensive tokenize->shingle->minhash pass touches
+    delta bytes only); candidates are delta-band probes against the
+    STORED index bands plus the delta's own, so every emitted pair
+    touches >= 1 new document and the existing corpus is never
+    rescanned. Produces exactly the full-corpus LSH pairs restricted
+    to pairs involving a delta doc (signatures are per-doc, so
+    collision structure is identical — the oracle recomputes the
+    full-corpus pairs and filters).
+
+    Scale shape: cost is O(delta) signature work + band-bucket-local
+    probe joins (the index side arrives pre-partitioned if the index
+    was bucketed by band_key at write time); verification joins hit
+    only candidate ids."""
+    base_sigs = spark.read.parquet(f"{index_dir}/sigs")
+    base_bands = spark.read.parquet(f"{index_dir}/bands")
+    delta_sigs = minhash_signatures(delta_docs).cache()
+    delta_bands = lsh_bands(delta_sigs)
+    all_bands = base_bands.unionByName(delta_bands)
+    a, b = delta_bands.alias("a"), all_bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    all_sigs = base_sigs.unionByName(delta_sigs)
+    sa = all_sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = all_sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    n_agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(n_agree / F.lit(float(NUM_PERM)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )

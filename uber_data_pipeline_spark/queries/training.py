@@ -102,6 +102,32 @@ def _lsh_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+DELTA_MOD = 5
+
+
+def _lsh_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: the corpus minus every DELTA_MOD-th
+    doc is the EXISTING indexed corpus (persisted once per SF); the
+    delta partition probes the stored index + itself — only delta
+    signatures are computed (operators/dedup.lsh_pairs_incremental).
+    The oracle recomputes the full-corpus LSH pairs and keeps those
+    touching a delta doc (identical by construction)."""
+    import os
+
+    base = _docs(spark, sf_dir).filter(f"doc_id % {DELTA_MOD} != 0")
+    delta = _docs(spark, sf_dir).filter(f"doc_id % {DELTA_MOD} = 0")
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        ".artifacts", "lsh_index_base", os.path.basename(sf_dir.rstrip("/")),
+    )
+    if not os.path.exists(os.path.join(root, "bands", "_SUCCESS")):
+        dedup.write_lsh_index(base, root)
+    return dedup.lsh_pairs_incremental(
+        spark, root, delta, EST_JACCARD_THRESHOLD
+    )
+
+
 QUERIES = {
     # one-pass decimal-exact X^T X (the covariance/PCA/OPQ base step)
     "embeddings_gram_matrix": lambda spark, sf: similarity.gram_matrix(
@@ -149,6 +175,8 @@ QUERIES = {
     "dedup_jaccard_ppjoin": lambda spark, sf: dedup.ngram_jaccard_pairs_prefix(
         _docs(spark, sf), JACCARD_THRESHOLD
     ),
+    # incremental-crawl probe: delta-only signatures vs stored index
+    "dedup_incremental_delta": _lsh_incremental_pairs,
     "dedup_minhash_lsh": lambda spark, sf: dedup.lsh_candidate_pairs(
         _docs(spark, sf), EST_JACCARD_THRESHOLD
     ),
@@ -940,3 +968,8 @@ ORACLES["dedup_keep_best"] = f"""
 ORACLES["text_hybrid_search"] = search.sql_hybrid_rrf()
 
 ORACLES["text_udtf_bigrams"] = textops.sql_udtf_top_bigrams()
+
+ORACLES["dedup_incremental_delta"] = f"""
+    SELECT * FROM ({_SQL_MINHASH_LSH})
+    WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+"""
