@@ -102,6 +102,9 @@ SCALAR_BROADCAST_OK = {
     # bm25's 1-row (N, avgdl) stats + the 1-row query embedding
     # broadcast onto bounded candidate relations
     "text_hybrid_search",
+    # 1-row date-bounds aggregate crossJoined onto the 1-row
+    # footer-audit frame
+    "orders_range_layout",
 }
 
 

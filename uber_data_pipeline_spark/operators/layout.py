@@ -104,3 +104,84 @@ def sql_zorder_layout_audit(table: str = "orders") -> str:
                {_SCAN} AS scanned
         FROM keyed GROUP BY file_id
     """
+
+
+RANGE_FILES = 16
+
+
+def range_layout_audit(
+    orders: DataFrame, target: str, n_files: int = RANGE_FILES
+) -> DataFrame:
+    """PHYSICAL 1-D time-series layout: write the fact
+    repartitionByRange(o_orderdate) + sortWithinPartitions (the
+    standard date-layout for range-scan pruning), then read the REAL
+    parquet footers back (pyarrow, metadata only) and audit the
+    contract that makes pruning work: file [min, max] date envelopes
+    must be pairwise NON-OVERLAPPING (the range partitioner gives
+    each partition a disjoint key range, and equal keys never split).
+    A date-range predicate then scans exactly the touched files; the
+    same audit on a hash layout reports nearly-all-pairs overlap.
+
+    One row: total_rows (exact), n_files_within_bound (contract:
+    1..n_files — the sampler may leave a partition empty), plus the
+    deterministic n_overlapping_pairs = 0 and the global date
+    min/max — everything the oracle can recompute relationally.
+    """
+    import pyarrow.parquet as pq
+
+    (
+        orders.select("o_orderkey", "o_orderdate")
+        .repartitionByRange(n_files, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+    import os
+
+    envelopes = []
+    total = 0
+    for f in sorted(os.listdir(target)):
+        if not f.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(target, f)).metadata
+        names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        lo, hi = None, None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(names["o_orderdate"]).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        total += meta.num_rows
+        envelopes.append((lo, hi))
+    overlaps = sum(
+        1
+        for i in range(len(envelopes))
+        for j in range(i + 1, len(envelopes))
+        if not (envelopes[i][1] < envelopes[j][0] or envelopes[j][1] < envelopes[i][0])
+    )
+    spark = orders.sparkSession
+    return spark.createDataFrame(
+        [(total, 1 <= len(envelopes) <= n_files, overlaps)],
+        "total_rows bigint, n_files_within_bound boolean, n_overlapping_pairs bigint",
+    ).crossJoin(
+        F.broadcast(
+            orders.agg(
+                F.min(F.to_date("o_orderdate")).alias("min_date"),
+                F.max(F.to_date("o_orderdate")).alias("max_date"),
+            )
+        )
+    )
+
+
+def sql_range_layout_audit(table: str = "orders") -> str:
+    """The audit's relational contract: row count and date bounds are
+    exact data properties; non-overlap is the range layout's
+    guarantee (0), and the file count stays within the requested
+    bound."""
+    return f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+               TRUE AS n_files_within_bound,
+               CAST(0 AS BIGINT) AS n_overlapping_pairs,
+               MIN(CAST(o_orderdate AS DATE)) AS min_date,
+               MAX(CAST(o_orderdate AS DATE)) AS max_date
+        FROM {table}
+    """

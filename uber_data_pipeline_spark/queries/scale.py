@@ -36,6 +36,22 @@ def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout.zorder_layout_audit(load_table(spark, sf_dir, "orders"))
 
 
+def orders_range_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical range-partitioned time-series layout + footer audit
+    (operators/layout.range_layout_audit): real parquet files, real
+    min/max envelopes, non-overlap verified from metadata only."""
+    import os
+
+    target = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        ".artifacts", "range_layout", os.path.basename(sf_dir.rstrip("/")),
+    )
+    return layout.range_layout_audit(
+        load_table(spark, sf_dir, "orders"), target
+    )
+
+
 def orders_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnostics on the orders join key (o_custkey) — the
     report that decides between plan-level salting
@@ -45,11 +61,13 @@ def orders_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "orders_bloom_semi_join": orders_bloom_semi_join,
+    "orders_range_layout": orders_range_layout,
     "orders_key_skew_report": orders_key_skew_report,
     "orders_zorder_layout": orders_zorder_layout,
 }
 
 ORACLES = {
+    "orders_range_layout": layout.sql_range_layout_audit(),
     "orders_key_skew_report": sql_key_skew_report("orders", "o_custkey"),
     "orders_bloom_semi_join": sketches.sql_bloom_semi_join(
         f"SELECT o_orderkey AS k FROM orders "
