@@ -211,3 +211,75 @@ def test_streaming_merge_resumes_from_checkpoint(spark):
     # the restart really was incremental: the half-drained table is a
     # strict subset state, not already-final
     assert n_partial <= len(want)
+
+
+def test_latest_version_default_on_empty_lake(tmp_path):
+    """A stream started before any commit exists must see 'no new
+    data' (version -1), not crash; the strict batch path still
+    raises a clear error."""
+    import pytest
+
+    from uber_data_pipeline_spark.sources.snapshots import latest_version
+
+    empty = str(tmp_path / "lake")
+    # missing manifests dir
+    assert latest_version(empty, default=-1) == -1
+    with pytest.raises(FileNotFoundError):
+        latest_version(empty)
+    # present but empty manifests dir
+    os.makedirs(os.path.join(empty, "manifests"))
+    assert latest_version(empty, default=-1) == -1
+    with pytest.raises(FileNotFoundError):
+        latest_version(empty)
+
+
+def test_stream_reader_empty_lake_reports_no_data(tmp_path):
+    """SnapshotCommitStreamReader.read on an uncommitted lake yields
+    an empty batch at offset {"version": -1} (ADVICE r2)."""
+    from uber_data_pipeline_spark.sources.pyds import SnapshotCommitStreamReader
+
+    r = SnapshotCommitStreamReader({"root": str(tmp_path / "lake")})
+    rows, offset = r.read(r.initialOffset())
+    assert list(rows) == []
+    assert offset == {"version": -1}
+
+
+def test_partitioned_and_simple_stream_readers_agree(spark, tmp_path):
+    """The partition-based (executor-side) and simple (driver-side)
+    commit-stream readers share the offset protocol and must drain
+    identical rows from the same lake."""
+    from uber_data_pipeline_spark.sources import pyds
+    from uber_data_pipeline_spark.sources.snapshots import commit_snapshot
+
+    root = str(tmp_path / "lake")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).limit(200)
+    half = orders.filter(F.col("o_orderkey") % 2 == 0)
+    other = orders.subtract(half)
+    commit_snapshot(half, root, 0, mode="append")
+    commit_snapshot(other, root, 1, mode="append")
+
+    pyds.register_stream(spark)
+
+    def drain(variant: str) -> set:
+        reader = spark.readStream.format("snapshot_commits").option("root", root)
+        if variant == "simple":
+            reader = reader.option("reader", "simple")
+        name = f"pyds_agree_{variant}"
+        q = (
+            reader.load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{variant}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {tuple(r) for r in spark.table(name).collect()}
+
+    got_part = drain("partitioned")
+    got_simple = drain("simple")
+    assert got_part == got_simple
+    assert len(got_part) == 200

@@ -148,10 +148,15 @@ def range_layout_audit(
         lo, hi = None, None
         for rg in range(meta.num_row_groups):
             st = meta.row_group(rg).column(names["o_orderdate"]).statistics
+            if st is None or not st.has_min_max:
+                # mirrors sources/snapshots.commit_snapshot: a file
+                # without stats can't be audited — skip the row group
+                continue
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
         total += meta.num_rows
-        envelopes.append((lo, hi))
+        if lo is not None:
+            envelopes.append((lo, hi))
     overlaps = sum(
         1
         for i in range(len(envelopes))

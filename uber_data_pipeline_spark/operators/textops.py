@@ -980,22 +980,37 @@ def sql_bigram_typicality(table: str = "documents") -> str:
 BPE_APPLY_K = 20
 
 
+# Fixpoint passes per merge. replace() is left-to-right NON-OVERLAPPING,
+# and consecutive occurrences of the same pair share their '|' boundary
+# ('|a|b|a|b|'): one pass merges only alternate occurrences of a chain.
+# Each pass merges at least half of the remaining chain, and a merge can
+# never CREATE a new occurrence (the pattern '|x|y|' matches single-char
+# units only; a merged unit is 2 chars), so ceil(log2(word_len)) passes
+# reach the fixpoint — 8 covers words up to 256 chars.
+BPE_FIX_PASSES = 8
+
+
 def _bpe_fold_spark(word_col: str = "w") -> str:
     """Spark-side fold applying the merge list in priority order to a
     boundary-guarded unit string ('|h|e|l|l|o|'): each merge 'xy'
-    rewrites '|x|y|' -> '|xy|'. replace() is left-to-right
-    non-overlapping in BOTH engines, which is exactly BPE's greedy
-    scan, and the '|' guards make unit boundaries unambiguous (a
-    merged 'll' can never half-match a later 'l o' merge)."""
+    rewrites '|x|y|' -> '|xy|', iterated ``BPE_FIX_PASSES`` times so
+    boundary-sharing chains ('|a|b|a|b|') merge exhaustively — true
+    BPE applies each merge to a fixpoint, and the pass count bounds
+    that fixpoint (see BPE_FIX_PASSES). The '|' guards make unit
+    boundaries unambiguous (a merged 'll' can never half-match a
+    later 'l o' merge). The DuckDB twin nests the identical passes."""
     init = (
         f"concat('|', concat_ws('|', transform(sequence(1, length({word_col})), "
         f"i -> substring({word_col}, i, 1))), '|')"
     )
-    return (
-        f"aggregate(merges, {init}, (acc, m) -> "
-        "replace(acc, concat('|', substring(m, 1, 1), '|', substring(m, 2, 1), '|'), "
-        "concat('|', m, '|')))"
-    )
+    body = "acc"
+    for _ in range(BPE_FIX_PASSES):
+        body = (
+            f"replace({body}, "
+            "concat('|', substring(m, 1, 1), '|', substring(m, 2, 1), '|'), "
+            "concat('|', m, '|'))"
+        )
+    return f"aggregate(merges, {init}, (acc, m) -> {body})"
 
 
 def bpe_encode(docs: DataFrame, top_k: int = BPE_APPLY_K) -> DataFrame:
@@ -1063,12 +1078,17 @@ def bpe_encode(docs: DataFrame, top_k: int = BPE_APPLY_K) -> DataFrame:
 def sql_bpe_encode(table: str = "documents", top_k: int = BPE_APPLY_K) -> str:
     from uber_data_pipeline_spark.functions.text import TOKENS_DUCK
 
+    body = "acc"
+    for _ in range(BPE_FIX_PASSES):
+        body = (
+            f"replace({body}, '|' || substring(m, 1, 1) || '|' || "
+            "substring(m, 2, 1) || '|', '|' || m || '|')"
+        )
     fold = (
         "list_reduce(list_prepend("
         "'|' || array_to_string(list_transform(range(1, length(w) + 1), "
         "i -> substring(w, i, 1)), '|') || '|', merges), "
-        "(acc, m) -> replace(acc, '|' || substring(m, 1, 1) || '|' || "
-        "substring(m, 2, 1) || '|', '|' || m || '|'))"
+        f"(acc, m) -> {body})"
     )
     return f"""
         WITH words AS (

@@ -21,6 +21,9 @@ from uber_data_pipeline_spark.catalog import load_table
 from uber_data_pipeline_spark.sources.cdc import merge_latest, scd2_history
 from uber_data_pipeline_spark.streaming.events import (
     LATE_AUDIT_CUT,
+    RATE_MOD,
+    RATE_KEY_MOD,
+    RATE_TOTAL,
     state_store_read,
     dedup_stream,
     hll_distinct_stream,
@@ -161,6 +164,35 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_flat_once(stage: str, params: dict, write_fn) -> None:
+    """Stage a flat-format landing directory once per (sf, params):
+    the same marker+lock contract as _stage_snapshots_once — a marker
+    JSON records the staging parameters (columns, table, format) and
+    a mismatched/absent/corrupt marker forces a restage, so a later
+    change to the staged projection or schema can never silently
+    reuse stale data. _SUCCESS alone is not enough: it proves the
+    write finished, not that it wrote THESE columns."""
+    import json as _json
+
+    marker = os.path.join(stage, "_STAGED.json")
+    with _STAGE_LOCK:
+        if os.path.exists(marker) and os.path.exists(
+            os.path.join(stage, "_SUCCESS")
+        ):
+            try:
+                with open(marker) as fh:
+                    if _json.load(fh) == params:
+                        return
+            except ValueError:
+                pass  # corrupt marker -> restage
+        shutil.rmtree(stage, ignore_errors=True)
+        write_fn(stage)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(params, fh)
+        os.replace(tmp, marker)
+
+
 def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source-connector exercise as a query: stage the events
     fact to CSV once (the landing-file format half the world's ingest
@@ -179,16 +211,18 @@ def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(
         _ARTIFACT_DIR, "csv_stage", os.path.basename(sf_dir.rstrip("/"))
     )
-    # _SUCCESS, not directory existence: a crashed partial write must
-    # be re-staged, not trusted
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        (
+    cols = ["event_id", "event_type", "value"]
+    _stage_flat_once(
+        stage,
+        {"table": "events", "columns": cols, "format": "csv"},
+        lambda tgt: (
             load_table(spark, sf_dir, "events")
-            .select("event_id", "event_type", "value")
+            .select(*cols)
             .write.mode("overwrite")
             .option("header", "true")
-            .csv(stage)
-        )
+            .csv(tgt)
+        ),
+    )
     back = read_csv(
         spark, stage, "event_id bigint, event_type string, value double"
     )
@@ -215,13 +249,17 @@ def _format_roundtrip(
     stage = os.path.join(
         _ARTIFACT_DIR, f"{fmt}_stage", os.path.basename(sf_dir.rstrip("/"))
     )
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        writer = (
+    cols = ["event_id", "event_type", "value"]
+    _stage_flat_once(
+        stage,
+        {"table": "events", "columns": cols, "format": fmt},
+        lambda tgt: getattr(
             load_table(spark, sf_dir, "events")
-            .select("event_id", "event_type", "value")
-            .write.mode("overwrite")
-        )
-        getattr(writer, fmt)(stage)
+            .select(*cols)
+            .write.mode("overwrite"),
+            fmt,
+        )(tgt),
+    )
     schema = "event_id bigint, event_type string, value double"
     back = (
         read_json(spark, stage, schema)
@@ -435,6 +473,45 @@ def streaming_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def streaming_merge_sink_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC merge sink fed by an UNBOUNDED source the engine does
+    not control: Spark's `rate-micro-batch` source (the offline Kafka
+    stand-in) emits a dense 0..N counter at a fixed rowsPerBatch;
+    each value maps to a deterministic change event (key cohort =
+    value % RATE_MOD, last-writer-wins by version = value), each
+    micro-batch is compacted and MERGEd into the partitioned parquet
+    target via foreachBatch — pinning offset/trigger handling on a
+    source whose pacing Spark owns, unlike the file feed of
+    `streaming_merge_sink`. Termination is a consumption threshold
+    (the source never drains); values past RATE_TOTAL are no-ops, so
+    the final table is stop-point-invariant and has a closed
+    relational form — the oracle (streaming/events.py
+    merge_sink_stream_rate has the full argument)."""
+    from uber_data_pipeline_spark.streaming.events import merge_sink_stream_rate
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("version", F.lit(0).cast("int"))
+    )
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_ARTIFACT_DIR, "rate_merge", sf_name)
+    shutil.rmtree(root, ignore_errors=True)
+    merged = merge_sink_stream_rate(
+        spark,
+        base,
+        target_path=os.path.join(root, "target"),
+        checkpoint_dir=os.path.join(root, "checkpoint"),
+        part_expr=f"CAST(o_orderkey % {MERGE_SINK_PARTS} AS INT)",
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("total_price"),
+        "version",
+    )
 
 
 COMPACT_FRAGMENTS = 64
@@ -823,19 +900,20 @@ def snapshot_stream_python_datasource(
 ) -> DataFrame:
     """The snapshot commit log consumed as a STREAM through the
     Spark 4 Python streaming DataSource API (sources/pyds.py
-    SnapshotCommitStreamReader): offsets are commit versions, each
-    micro-batch drains newly-published commits, and recovery replays
-    exact commit ranges via readBetweenOffsets. Three commits are
-    staged (the CDC cutoff splits orders into three date slices);
-    the drained stream's per-status aggregate must equal the batch
-    aggregate over `orders` — the oracle.
+    SnapshotCommitPartitionedReader): offsets are commit versions,
+    each micro-batch drains newly-published commits. Three commits
+    are staged (the CDC cutoff splits orders into three date
+    slices); the drained stream's per-status aggregate must equal
+    the batch aggregate over `orders` — the oracle.
 
-    The feed is the 2001 tail of orders (~9%% of the fact):
-    SimpleDataSourceStreamReader materializes each batch ON THE
-    DRIVER by API contract (the lightweight offset-tracking variant),
-    so the staged change-feed is kept control-plane-sized — the
-    high-throughput path is the partitioned DataSourceStreamReader
-    noted in sources/pyds.py."""
+    This is the partition-based DataSourceStreamReader path: the
+    driver only lists commit versions and plans one InputPartition
+    per commit FILE; `read()` executes on EXECUTORS and yields
+    pyarrow RecordBatches — no row materializes on the driver, so
+    the source scales with the cluster, not driver memory. The
+    driver-side SimpleDataSourceStreamReader variant remains
+    available via .option("reader", "simple") and shares the offset
+    protocol (tests pin both paths to identical results)."""
     from uber_data_pipeline_spark.functions.numeric import dsum
     from uber_data_pipeline_spark.sources import pyds
     from uber_data_pipeline_spark.sources.snapshots import commit_snapshot
@@ -978,6 +1056,7 @@ QUERIES = {
     "dq_quarantine_split": dq_quarantine_split,
     "cdc_merge_sink": cdc_merge_sink,
     "streaming_merge_sink": streaming_merge_sink,
+    "streaming_merge_sink_rate": streaming_merge_sink_rate,
     "streaming_sessionization_rocksdb": sessionization_stream_rocksdb,
     "pipeline_dag_incremental": pipeline_dag_incremental,
     "dag_schedules": dag_schedules,
@@ -1443,3 +1522,25 @@ ORACLES = {
 
 ORACLES["events_json_roundtrip"] = ORACLES["events_csv_roundtrip"]
 ORACLES["events_orc_roundtrip"] = ORACLES["events_csv_roundtrip"]
+
+# rate-feed merge: last-writer-wins closed form. For key residue
+# b = o_orderkey % RATE_KEY_MOD < RATE_MOD, the max consumed version
+# is RATE_TOTAL - RATE_MOD + b (RATE_TOTAL % RATE_MOD == 0); payloads
+# are the same pure functions of that version the stream applies.
+assert RATE_TOTAL % RATE_MOD == 0
+_RATE_VMAX = f"({RATE_TOTAL - RATE_MOD} + (o_orderkey % {RATE_KEY_MOD}))"
+ORACLES["streaming_merge_sink_rate"] = f"""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % {RATE_KEY_MOD} < {RATE_MOD} THEN
+               CASE CAST({_RATE_VMAX} % 3 AS INT)
+                   WHEN 0 THEN 'RATE_A' WHEN 1 THEN 'RATE_B'
+                   ELSE 'RATE_C' END
+           ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % {RATE_KEY_MOD} < {RATE_MOD} THEN
+               CAST(1000.0 + {_RATE_VMAX} * 0.5 AS DOUBLE)
+           ELSE o_totalprice END AS total_price,
+           CASE WHEN o_orderkey % {RATE_KEY_MOD} < {RATE_MOD} THEN
+               CAST({_RATE_VMAX} AS INT)
+           ELSE 0 END AS version
+    FROM orders
+"""

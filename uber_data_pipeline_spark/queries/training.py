@@ -971,5 +971,5 @@ ORACLES["text_udtf_bigrams"] = textops.sql_udtf_top_bigrams()
 
 ORACLES["dedup_incremental_delta"] = f"""
     SELECT * FROM ({_SQL_MINHASH_LSH})
-    WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+    WHERE doc_a % {DELTA_MOD} = 0 OR doc_b % {DELTA_MOD} = 0
 """

@@ -137,10 +137,22 @@ def read_snapshot(
     return df.filter(F.col(col).between(lo, hi))
 
 
-def latest_version(root: str) -> int:
-    versions = [
-        int(f[1:-5])
-        for f in os.listdir(os.path.join(root, "manifests"))
-        if f.startswith("v") and f.endswith(".json")
-    ]
+def latest_version(root: str, default: int | None = None) -> int:
+    """Highest committed manifest version. With ``default`` set, a
+    missing/empty manifests dir returns it instead of raising — the
+    streaming reader passes -1 so a stream started before the first
+    commit reports "no new data" rather than crashing."""
+    mdir = os.path.join(root, "manifests")
+    try:
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+    except FileNotFoundError:
+        versions = []
+    if not versions:
+        if default is not None:
+            return default
+        raise FileNotFoundError(f"no committed manifests under {mdir}")
     return max(versions)

@@ -393,6 +393,157 @@ def merge_sink_stream(
     return spark.read.parquet(target_path)
 
 
+# --- rate-source merge sink -------------------------------------------
+#
+# Deterministic change-feed derived from Spark's `rate-micro-batch`
+# source (the offline Kafka stand-in): `value` is a dense 0..N counter
+# (rowsPerBatch per trigger, no wall-clock content), so every change
+# row is a pure function of `value` and the FINAL merged state has a
+# closed relational form the DuckDB oracle recomputes. Values >=
+# RATE_TOTAL are filtered to no-ops, so stopping the unbounded source
+# "late" can never change the result.
+RATE_TOTAL = 1000  # change events consumed from the feed
+RATE_ROWS_PER_BATCH = 250  # -> 4 real micro-batches
+RATE_MOD = 40  # value residue -> key-cohort selector
+RATE_KEY_MOD = 1000  # key residue space (cohort = residues 0..RATE_MOD-1)
+
+
+def rate_change_rows(rate: DataFrame) -> DataFrame:
+    """Map raw rate rows to CDC change rows. Shared by the stream and
+    any batch re-derivation: key_res selects the key cohort
+    (o_orderkey % RATE_KEY_MOD == key_res), version = value gives
+    last-writer-wins a total order, payloads are exact-in-double
+    functions of value (halves)."""
+    return rate.filter(f"value < {RATE_TOTAL}").selectExpr(
+        f"CAST(value % {RATE_MOD} AS BIGINT) AS key_res",
+        "CAST(value AS INT) AS version",
+        "CASE CAST(value % 3 AS INT) WHEN 0 THEN 'RATE_A' "
+        "WHEN 1 THEN 'RATE_B' ELSE 'RATE_C' END AS o_orderstatus",
+        "CAST(1000.0D + CAST(value AS DOUBLE) * 0.5D AS DOUBLE) "
+        "AS o_totalprice",
+    )
+
+
+def merge_sink_stream_rate(
+    spark: SparkSession,
+    base: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    part_expr: str,
+    part_col: str = "pk_mod",
+) -> DataFrame:
+    """The merge sink fed by an UNBOUNDED source the engine does not
+    control: `rate-micro-batch` emits rowsPerBatch rows per trigger
+    forever (the Kafka analog available offline), each micro-batch is
+    compacted (max-version per key, the standard per-batch CDC
+    dedupe) and MERGEd into the partitioned parquet target via
+    foreachBatch. Because the source never drains, termination is an
+    explicit consumption threshold (>= RATE_TOTAL source rows), and
+    correctness does NOT depend on where we stop: rows past
+    RATE_TOTAL map to zero change rows, and the per-key
+    last-writer-wins payload is a closed function of the max consumed
+    version, so any stop point at-or-after the threshold yields the
+    identical table.
+
+    Scale shape: per batch the compacted change set is at most
+    RATE_MOD rows — it BROADCASTS into the cohort scan, and the merge
+    rewrites only the touched partitions. Offset/trigger handling is
+    the source's own (batch id advances per trigger; the checkpoint
+    replays exact value ranges on recovery)."""
+    from uber_data_pipeline_spark.sources.writers import merge_upsert_partitioned
+
+    if not os.path.exists(os.path.join(target_path, "_SUCCESS")):
+        base.withColumn(part_col, F.expr(part_expr)).repartition(
+            F.col(part_col)
+        ).write.partitionBy(part_col).mode("overwrite").parquet(target_path)
+
+    # cohort dimension: the keys the feed can ever touch (bounded:
+    # RATE_MOD/RATE_KEY_MOD of the table), computed once and reused
+    # every batch
+    cohort = (
+        base.select("o_orderkey")
+        .filter(F.col("o_orderkey") % RATE_KEY_MOD < RATE_MOD)
+        .withColumn("key_res", F.col("o_orderkey") % RATE_KEY_MOD)
+        .localCheckpoint()
+    )
+
+    rate = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", str(RATE_ROWS_PER_BATCH))
+        .option("numPartitions", "4")
+        .load()
+    )
+    changes = rate_change_rows(rate)
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        # per-batch compaction: last writer (max version) per key
+        # cohort; versions are distinct so the struct max is total
+        compact = (
+            bdf.groupBy("key_res")
+            .agg(
+                F.max(
+                    F.struct("version", "o_orderstatus", "o_totalprice")
+                ).alias("s")
+            )
+            .select("key_res", "s.*")
+        )
+        upserts = (
+            cohort.join(F.broadcast(compact), "key_res")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice", "version")
+            .withColumn(part_col, F.expr(part_expr))
+        )
+        merge_upsert_partitioned(
+            bdf.sparkSession, target_path, upserts, ["o_orderkey"], part_col
+        )
+
+    q = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    # termination: batch k carries values [k*rowsPerBatch,
+    # (k+1)*rowsPerBatch), so a COMPLETED progress for LAST_BATCH
+    # proves every value < RATE_TOTAL is merged — batches past it are
+    # no-ops (rate_change_rows filters them to zero rows). Do NOT sum
+    # numInputRows: the foreachBatch body runs several jobs over the
+    # batch, and each re-scan of the source is counted again, so the
+    # sum overshoots by the job count and would stop early.
+    import time
+
+    last_batch = RATE_TOTAL // RATE_ROWS_PER_BATCH - 1
+    done = -1
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        done = max(
+            (p["batchId"] for p in q.recentProgress), default=-1
+        )
+        if done >= last_batch:
+            break
+        time.sleep(0.2)
+    # stop in the idle gap right after a batch completes (the paced
+    # trigger leaves ~1 s of quiet) so stop() never interrupts an
+    # in-flight foreachBatch callback — an interrupted callback
+    # surfaces as uncaught-exception noise in the stream thread
+    settle = time.monotonic() + 10
+    while done >= last_batch and time.monotonic() < settle:
+        new_done = max(
+            (p["batchId"] for p in q.recentProgress), default=-1
+        )
+        if new_done > done:
+            break
+        time.sleep(0.05)
+    q.stop()
+    q.awaitTermination()
+    if done < last_batch:
+        raise TimeoutError(
+            f"rate feed completed batch {done} < {last_batch} in 120s"
+        )
+    return spark.read.parquet(target_path)
+
+
 def sessionization_stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sessionizer on the RocksDB state store provider — the
     100 TB state path (keyed state off-heap/on-disk instead of
