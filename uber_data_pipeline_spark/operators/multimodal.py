@@ -266,30 +266,77 @@ def sql_metadata_stats() -> str:
     """
 
 
-PHASH_BITS = 16
+# 60 signature bits (a real DCT pHash is 64; 60 keeps every weight
+# 1<<i inside signed BIGINT range in BOTH engines and divides evenly
+# into the pigeonhole segments). Width is a SCALE parameter, not a
+# tuning nicety: the banded join buckets on bits/(h+1)-bit segments,
+# so expected bucket size is n / 2^(bits/(h+1)) — at the original 16
+# bits the 5-bit segments gave 32 bucket values and candidate volume
+# grew QUADRATICALLY with the corpus (measured 65x wall at a 10x SF
+# soak); at 60 bits the 20-bit segments keep candidates ~linear until
+# the corpus approaches 2^20 per skew bucket, and AQE skew-split
+# carries it from there.
+PHASH_BITS = 60
 PHASH_MAX_HAMMING = 2
+# every REENCODE_EVERY-th media item gets a "re-encoded" variant in
+# the phash corpus (tail-byte edit) — the real-world same-image-
+# different-encoder case a perceptual hash exists to catch
+PHASH_REENCODE_EVERY = 11
+PHASH_VARIANT_OFFSET = 1_000_000_000
 
 
-def _phash_sig_expr(hash_col: str) -> str:
-    """Perceptual-hash stand-in over the stub codec: bit i of the
-    signature = high bit of decoded byte i (equivalently: first hex
-    nibble of md5 pair i is in 89abcdef). Engine-neutral string math —
-    the SAME expression string parses in Spark SQL and DuckDB, so the
-    oracle replays it verbatim. A real deployment computes a true
-    DCT-median pHash inside the decode kernel; the banded join below
-    is unchanged."""
+def _phash_sig_expr(text_col: str) -> str:
+    """Perceptual-hash stand-in with REAL pHash structure: the
+    payload is cut into PHASH_BITS equal blocks and bit i is a
+    1-bit feature (md5 parity) of block i — the block-feature layout
+    of an actual DCT pHash, so a local payload edit flips only the
+    bits of the touched blocks and near-exact payloads land within
+    small hamming, while unrelated payloads differ on ~half the
+    bits. Engine-neutral string math — the SAME expression string
+    parses in Spark SQL and DuckDB, so the oracle replays it
+    verbatim. A real deployment swaps this for the true DCT-median
+    inside the decode kernel; the banded join is unchanged."""
+    b = (
+        f"CAST(greatest(1, ceil(length({text_col}) / {PHASH_BITS}.0)) AS INT)"
+    )
     return " + ".join(
-        f"(CASE WHEN instr('89abcdef', substring({hash_col}, {2 * i + 1}, 1)) > 0 "
-        f"THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN instr('89abcdef', substring(md5(substring({text_col}, "
+        f"{i} * {b} + 1, {b})), 1, 1)) > 0 THEN {1 << i} ELSE 0 END)"
         for i in range(PHASH_BITS)
     )
 
 
-def phash_signatures(media: DataFrame) -> DataFrame:
-    """(media_id, phash): integer signature per media item from the
-    stub-decoded payload bytes."""
-    return media.selectExpr("media_id", "md5(payload) AS h").selectExpr(
-        "media_id", f"CAST({_phash_sig_expr('h')} AS BIGINT) AS phash"
+def attach_reencodes(
+    media: DataFrame, every: int = PHASH_REENCODE_EVERY
+) -> DataFrame:
+    """(media_id, payload_text): the media corpus plus a re-encoded
+    VARIANT of every ``every``-th item — payload identical except the
+    final byte (what a lossless re-encode or metadata rewrite does to
+    a blob's tail). Variants take media_id + PHASH_VARIANT_OFFSET.
+    This is the planted ground truth the phash join must recover:
+    each (original, variant) pair differs in exactly one signature
+    block."""
+    base = media.selectExpr(
+        "media_id", "CAST(payload AS STRING) AS payload_text"
+    )
+    variants = (
+        base.filter(F.col("media_id") % every == 0)
+        .filter(F.length("payload_text") >= 1)
+        .selectExpr(
+            f"media_id + {PHASH_VARIANT_OFFSET} AS media_id",
+            "concat(substring(payload_text, 1, length(payload_text) - 1), "
+            "'!') AS payload_text",
+        )
+    )
+    return base.unionByName(variants)
+
+
+def phash_signatures(media_text: DataFrame) -> DataFrame:
+    """(media_id, phash): block-feature signature per media item
+    (input: media_id, payload_text)."""
+    return media_text.selectExpr(
+        "media_id",
+        f"CAST({_phash_sig_expr('payload_text')} AS BIGINT) AS phash",
     )
 
 
@@ -301,11 +348,14 @@ def phash_near_dups(
     banded_hamming_pairs — segment-bucket-local candidates, never an
     O(n^2) cross join; the identical shape dedups a billion-image
     corpus, with the signature table persisted once and the band join
-    AQE-skew-split on hot buckets)."""
+    AQE-skew-split on hot buckets). The corpus is the media table
+    plus its planted re-encode variants (attach_reencodes), and the
+    expected result is exactly those (original, variant) pairs: a
+    variant differs in one signature block -> hamming <= 1."""
     from uber_data_pipeline_spark.operators.dedup import banded_hamming_pairs
 
     return banded_hamming_pairs(
-        phash_signatures(media),
+        phash_signatures(attach_reencodes(media)),
         PHASH_BITS,
         max_hamming,
         id_col="media_id",
@@ -318,13 +368,25 @@ def phash_near_dups(
 
 
 def sql_phash_near_dups(max_hamming: int = PHASH_MAX_HAMMING) -> str:
-    """DuckDB twin: md5(utf8 text) == md5(payload) since the payload
-    IS the utf-8 encoding; signature expression replayed verbatim."""
+    """DuckDB twin: the text IS the payload (attach_media encodes it
+    utf-8 and the corpus is ASCII), so the re-encode construction and
+    the block-feature signature expression replay verbatim."""
     return f"""
-        WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+        WITH m AS (
+            SELECT doc_id AS media_id, text AS payload_text
+            FROM documents
+            UNION ALL
+            SELECT doc_id + {PHASH_VARIANT_OFFSET} AS media_id,
+                   substring(text, 1, length(text) - 1) || '!'
+                       AS payload_text
+            FROM documents
+            WHERE doc_id % {PHASH_REENCODE_EVERY} = 0
+              AND length(text) >= 1
+        ),
         sg AS (
             SELECT media_id,
-                   CAST({_phash_sig_expr('h')} AS BIGINT) AS phash
+                   CAST({_phash_sig_expr('payload_text')} AS BIGINT)
+                       AS phash
             FROM m
         )
         SELECT a.media_id AS media_a, b.media_id AS media_b,
