@@ -147,6 +147,7 @@ def main() -> int:
     # allowed to fail the bench.
     concurrent_wall = None
     concurrent_errors = None
+    concurrent_error_msgs = []
     try:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -181,6 +182,7 @@ def main() -> int:
             errs = [r for r in pool.map(_run_one, entrymod.queries().items()) if r]
         concurrent_wall = round(time.perf_counter() - t0, 3)
         concurrent_errors = len(errs)
+        concurrent_error_msgs = [e[:300] for e in errs[:5]]
         for k, v in snapshot.items():
             if v is None:
                 try:
@@ -227,6 +229,7 @@ def main() -> int:
                 "concurrent_wall_s": concurrent_wall,
                 "concurrent_workers": 8,
                 "concurrent_errors": concurrent_errors,
+                "concurrent_error_msgs": concurrent_error_msgs,
             },
             f,
             indent=1,

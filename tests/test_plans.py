@@ -208,6 +208,8 @@ def test_copurchase_pairs_partial_agg(spark):
         "orders_moving_window",
         # r4: keep-best rank partitioned by cluster_id
         "dedup_keep_best",
+        # r5: packing cumsum partitioned by (lang, salt bucket)
+        "training_token_packing",
     ],
 )
 def test_windows_partitioned(spark, name):
@@ -308,3 +310,13 @@ def test_media_scan_prunes_payload(spark):
     read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
     assert "payload" not in read_schema, read_schema
     assert "meta" in read_schema, read_schema
+
+
+def test_stratum_sample_broadcasts_counts(spark):
+    """training_stratum_target_sample's stratum-count relation must
+    BROADCAST onto the corpus scan (the counts are |lang x source|
+    rows); a sort-merge join here would shuffle the whole corpus for
+    a dictionary-sized dimension."""
+    plan = plan_of(spark, "training_stratum_target_sample")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]

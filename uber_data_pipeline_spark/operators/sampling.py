@@ -136,3 +136,156 @@ def stratified_sample(
         df.withColumn("sample_bucket", F.expr(bucket_spark(id_col)))
         .filter(F.col("sample_bucket") < thresholds)
     )
+
+
+# ---- target-count stratified sampling + token-budget packing ---------
+
+STRATUM_TARGET = 8  # per-(lang, source) target rows
+PACK_BUDGET_TOKENS = 4000  # whitespace tokens per training shard
+PACK_BUCKETS = 16  # salt fan-out for the packing cumsum
+
+
+def stratum_target_sample(
+    docs: DataFrame, target: int = STRATUM_TARGET
+) -> DataFrame:
+    """Stratified downsample to an ABSOLUTE target of ~``target``
+    rows per (lang, source) stratum — the complement of the
+    rate-based :func:`stratified_sample`: rates are derived from the
+    measured stratum sizes instead of configured, which is how a
+    curation pipeline hits a fixed per-cell budget whatever the crawl
+    brought in. A row survives iff bucket * n_stratum <
+    target * 256 — exact integer math, same md5 bucket, so the kept
+    set is a pure row function given the (tiny) count relation.
+
+    Scale shape: one corpus scan + a |lang x source| count aggregate
+    broadcast back; the decision is row-local, the report groupBy is
+    bounded-cardinality. Report: per-stratum totals, sampled count,
+    and the applied rate in exact 1/256 units (rate_256 = the integer
+    threshold the bucket was compared against, capped at 256)."""
+    counts = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    sampled = (
+        docs.select(
+            "lang", "source", F.expr(bucket_spark("doc_id")).alias("bucket")
+        )
+        .join(F.broadcast(counts), ["lang", "source"])
+        .filter(F.col("bucket") * F.col("n_total") < target * 256)
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("n_sampled"))
+    )
+    return (
+        counts.join(sampled, ["lang", "source"], "left")
+        .selectExpr(
+            "lang",
+            "source",
+            "n_total",
+            "COALESCE(n_sampled, 0) AS n_sampled",
+            f"CAST(least(256, ceil({target} * 256.0 / n_total)) AS BIGINT)"
+            " AS rate_256",
+        )
+    )
+
+
+def sql_stratum_target_sample(
+    table: str = "documents", target: int = STRATUM_TARGET
+) -> str:
+    return f"""
+        WITH counts AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM {table} GROUP BY lang, source
+        ),
+        sampled AS (
+            SELECT d.lang, d.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_sampled
+            FROM {table} d JOIN counts c USING (lang, source)
+            WHERE ({bucket_duck('d.doc_id')}) * c.n_total < {target} * 256
+            GROUP BY d.lang, d.source
+        )
+        SELECT c.lang, c.source, c.n_total,
+               COALESCE(s.n_sampled, 0) AS n_sampled,
+               CAST(least(256, ceil({target} * 256.0 / c.n_total))
+                    AS BIGINT) AS rate_256
+        FROM counts c LEFT JOIN sampled s USING (lang, source)
+    """
+
+
+def token_packing(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET_TOKENS,
+    buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Token-budget shard packing — the sequence-packing step before
+    LLM pretraining: assign documents to shards so each shard holds
+    ~``budget`` whitespace tokens, via a running token sum and
+    shard = floor((cumsum - n_tokens) / budget).
+
+    Scale shape: a GLOBAL ordered cumsum is a single-partition window
+    — the classic scale-killer — so packing is TWO-LEVEL: docs salt
+    into ``buckets`` deterministic buckets (doc_id % buckets) and the
+    cumsum window partitions by (lang, bucket), ordered by doc_id
+    within. Each bucket packs independently (shards never span
+    buckets; at 100 TB each bucket is a partition-local streaming
+    pass, and the fan-out constant scales with the cluster). The
+    report aggregates per (lang, bucket, shard): docs, tokens, and
+    budget fill in exact micro-units. Deterministic, no RNG."""
+    from uber_data_pipeline_spark.functions.text import TOKENS_SPARK
+
+    packed = docs.selectExpr(
+        "lang",
+        f"doc_id % {buckets} AS bucket",
+        "doc_id",
+        f"size({TOKENS_SPARK}) AS n_tokens",
+    ).selectExpr(
+        "lang",
+        "bucket",
+        "n_tokens",
+        "CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang, bucket "
+        f"ORDER BY doc_id) - n_tokens) / {budget}) AS BIGINT) AS shard",
+    )
+    return (
+        packed.groupBy("lang", "bucket", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .selectExpr(
+            "lang",
+            "bucket",
+            "shard",
+            "n_docs",
+            "sum_tokens",
+            f"CAST(sum_tokens * 1000000 / {budget} AS BIGINT)"
+            " AS fill_micro",
+        )
+    )
+
+
+def sql_token_packing(
+    table: str = "documents",
+    budget: int = PACK_BUDGET_TOKENS,
+    buckets: int = PACK_BUCKETS,
+) -> str:
+    from uber_data_pipeline_spark.functions.text import TOKENS_DUCK
+
+    return f"""
+        WITH toks AS (
+            SELECT lang, doc_id % {buckets} AS bucket, doc_id,
+                   len({TOKENS_DUCK}) AS n_tokens
+            FROM {table}
+        ),
+        packed AS (
+            SELECT lang, bucket, n_tokens,
+                   CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang,
+                        bucket ORDER BY doc_id) - n_tokens)
+                        / {budget}) AS BIGINT) AS shard
+            FROM toks
+        )
+        SELECT lang, bucket, shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(SUM(n_tokens) * 1000000 / {budget} AS BIGINT)
+                   AS fill_micro
+        FROM packed
+        GROUP BY lang, bucket, shard
+    """

@@ -36,7 +36,11 @@ from uber_data_pipeline_spark.operators.sampling import (
     bucket_duck,
     domain_mixture,
     domain_mixture_oracle,
+    sql_stratum_target_sample,
+    sql_token_packing,
     stratified_sample,
+    stratum_target_sample,
+    token_packing,
 )
 
 JACCARD_THRESHOLD = 0.5
@@ -258,6 +262,15 @@ QUERIES = {
     # uniform domain rebalance (cap dominant sources, keep rare whole)
     "documents_domain_mixture": lambda spark, sf: domain_mixture(
         _docs(spark, sf).select("doc_id", "source"), "doc_id", "source"
+    ),
+    # absolute per-(lang, source) budget (rates derived from measured
+    # stratum sizes, not configured)
+    "training_stratum_target_sample": lambda spark, sf: stratum_target_sample(
+        _docs(spark, sf)
+    ),
+    # token-budget shard packing (two-level bucketed cumsum)
+    "training_token_packing": lambda spark, sf: token_packing(
+        _docs(spark, sf)
     ),
     "text_repetition": lambda spark, sf: textops.repetition_scores(_docs(spark, sf)),
     "decontaminate_ngrams": lambda spark, sf: textops.benchmark_contamination(
@@ -737,6 +750,8 @@ ORACLES = {
     "documents_domain_mixture": domain_mixture_oracle(
         "documents", "doc_id", "source"
     ),
+    "training_stratum_target_sample": sql_stratum_target_sample(),
+    "training_token_packing": sql_token_packing(),
     "documents_stratified_sample": f"""
         SELECT doc_id, lang, sample_bucket
         FROM (
