@@ -621,6 +621,69 @@ def events_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIVOT_TYPES = ["view", "click", "purchase", "signup"]
+
+
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNPIVOT (melt) surface, round-tripped: the declared-values
+    day x type pivot of `events_pivot_daily` melted back to long form
+    with `DataFrame.unpivot` — wide-to-long is how a pivoted report
+    feeds a long-format consumer, and the round trip must reproduce
+    the direct long-form aggregate exactly (the oracle). Zero-filled
+    pivot cells are dropped on the way out (the direct aggregate
+    never has them).
+
+    Scale shape: unpivot is a row-local stack expansion (x4 here,
+    declared width) over the already-REDUCED day-grain relation — no
+    shuffle beyond the pivot's own aggregate; the melt itself adds
+    none."""
+    wide = events_pivot_daily(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ["day"],
+            [f"n_{t}" for t in PIVOT_TYPES],
+            "event_type",
+            "n_events",
+        )
+        .withColumn("event_type", F.expr("substring(event_type, 3)"))
+        .filter(F.col("n_events") > 0)
+    )
+
+
+def events_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value median through a GROUPED-AGG pandas UDF (Arrow
+    UDAF, `@pandas_udf` returning a scalar per group) — the
+    vectorized custom-aggregate extension point, exercised end to
+    end: register, groupBy().agg(), quantize to exact micro-units so
+    both engines hash-match.
+
+    Honest placement per the repo's UDF policy: a grouped-agg pandas
+    UDF gets NO partial aggregation — every raw row shuffles to its
+    group — so the 100 TB path for this exact query is the built-in
+    `median`/`percentile_approx` (one pass, mergeable sketch). This
+    entry proves the API surface for aggregates the built-ins cannot
+    express, verified against the same oracle the native form would
+    use."""
+    from uber_data_pipeline_spark.functions.udafs import count_udaf, median_udaf
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            median_udaf(F.col("value")).alias("m"),
+            # native count(*) cannot mix with a grouped-agg pandas UDF
+            # (INVALID_PANDAS_UDF_PLACEMENT) — the count rides the
+            # same Arrow pass as a second UDAF
+            count_udaf(F.col("value")).alias("n_events"),
+        )
+        .selectExpr(
+            "event_type",
+            "floor(m * 1000000 + 0.5) / 1000000 AS median_value",
+            "n_events",
+        )
+    )
+
+
 QUERIES = {
     "events_top_paths": events_top_paths,
     "events_burst_detection": events_burst_detection,
@@ -650,6 +713,8 @@ QUERIES = {
     "events_funnel_timebound": events_funnel_timebound,
     "events_distinct_users": events_distinct_users,
     "events_pivot_daily": events_pivot_daily,
+    "events_unpivot": events_unpivot,
+    "events_median_udaf": events_median_udaf,
 }
 
 def _profile_similarity_oracle() -> str:
@@ -1011,6 +1076,23 @@ ORACLES = {
 }
 
 ORACLES["events_variant_kpis"] = ORACLES["events_json_kpis"]
+
+ORACLES["events_unpivot"] = """
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE event_type IN ('view', 'click', 'purchase', 'signup')
+    GROUP BY 1, 2
+"""
+
+ORACLES["events_median_udaf"] = """
+    SELECT event_type,
+           floor(median(value) * 1000000 + 0.5) / 1000000
+               AS median_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+"""
 
 ORACLES["events_native_session_window"] = f"""
     WITH ev AS (
