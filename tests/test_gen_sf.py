@@ -130,3 +130,18 @@ def test_embeddings_rotated_not_duplicated(con):
     ).fetchone()[0]
     # rotation can fix a constant vector; allow a tiny fraction
     assert dup <= total * 0.02, f"{dup}/{total} vectors duplicated verbatim"
+
+
+def test_bench_sf1_artifact_has_no_superlinear_flags():
+    """The committed scale-soak artifact must exist and certify that
+    no entry grew beyond its documented complexity class."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_sf1.json",
+    )
+    with open(path) as f:
+        art = json.load(f)
+    assert art["flagged_superlinear"] == []
+    assert art["n_queries"] >= 160

@@ -283,3 +283,54 @@ def test_partitioned_and_simple_stream_readers_agree(spark, tmp_path):
     got_simple = drain("simple")
     assert got_part == got_simple
     assert len(got_part) == 200
+
+
+def test_ensure_staged_rebuilds_on_source_change(tmp_path):
+    """The staleness contract that the sf1 soak motivated: a staged
+    derivative must rebuild when its SOURCE fingerprint changes, and
+    must reuse (not rebuild) when nothing changed."""
+    import time
+
+    from uber_data_pipeline_spark.sources.staging import (
+        ensure_staged,
+        source_fingerprint,
+    )
+
+    src = tmp_path / "source.parquet"
+    src.write_bytes(b"generation-1")
+    root = str(tmp_path / "derived")
+    builds = []
+
+    def build(tgt):
+        builds.append(1)
+        (tmp_path / "derived" / "data").write_text("built")
+
+    params = lambda: {"what": "t", "src": source_fingerprint(str(src))}  # noqa: E731
+    ensure_staged(root, params(), build)
+    ensure_staged(root, params(), build)
+    assert len(builds) == 1  # second call reused
+    time.sleep(0.01)
+    src.write_bytes(b"generation-2!")  # size + mtime change
+    ensure_staged(root, params(), build)
+    assert len(builds) == 2  # source change forced a rebuild
+
+
+def test_events_landing_dir_relinks_on_source_change(tmp_path, monkeypatch):
+    """The stream landing hardlink must re-stage when the source
+    parquet is REPLACED (old hardlink keeps the dead inode alive, so
+    an existence check would stream stale data)."""
+    import uber_data_pipeline_spark.streaming.events as SE
+
+    sfdir = tmp_path / "sfX"
+    sfdir.mkdir()
+    src = sfdir / "events.parquet"
+    src.write_bytes(b"gen-1")
+    monkeypatch.setattr(SE, "_ARTIFACTS", str(tmp_path / "art"))
+    d1 = SE.events_landing_dir(str(sfdir))
+    staged = os.path.join(d1, "events.parquet")
+    assert open(staged, "rb").read() == b"gen-1"
+    # replace the source (new inode), as a regenerated SF does
+    src.unlink()
+    src.write_bytes(b"gen-2-longer")
+    d2 = SE.events_landing_dir(str(sfdir))
+    assert open(os.path.join(d2, "events.parquet"), "rb").read() == b"gen-2-longer"

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from uber_data_pipeline_spark.catalog import load_table
+from uber_data_pipeline_spark.sources.staging import source_fingerprint
 from uber_data_pipeline_spark.sources.cdc import merge_latest, scd2_history
 from uber_data_pipeline_spark.streaming.events import (
     LATE_AUDIT_CUT,
@@ -214,7 +215,8 @@ def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["event_id", "event_type", "value"]
     _stage_flat_once(
         stage,
-        {"table": "events", "columns": cols, "format": "csv"},
+        {"table": "events", "columns": cols, "format": "csv",
+         "src": source_fingerprint(os.path.join(sf_dir, "events.parquet"))},
         lambda tgt: (
             load_table(spark, sf_dir, "events")
             .select(*cols)
@@ -252,7 +254,8 @@ def _format_roundtrip(
     cols = ["event_id", "event_type", "value"]
     _stage_flat_once(
         stage,
-        {"table": "events", "columns": cols, "format": fmt},
+        {"table": "events", "columns": cols, "format": fmt,
+         "src": source_fingerprint(os.path.join(sf_dir, "events.parquet"))},
         lambda tgt: getattr(
             load_table(spark, sf_dir, "events")
             .select(*cols)
@@ -726,7 +729,8 @@ def _stage_time_travel_lake(spark: SparkSession, sf_dir: str) -> str:
     )
     _stage_snapshots_once(
         root,
-        {"entry": "time_travel", "cutoff": CDC_CUTOFF, "stats": ["o_orderkey"], "v": 2},
+        {"entry": "time_travel", "cutoff": CDC_CUTOFF, "stats": ["o_orderkey"], "v": 2,
+         "src": source_fingerprint(os.path.join(sf_dir, "orders.parquet"))},
         [
             (orders.filter(F.col("o_orderdate") < cutoff).repartition(4), "overwrite"),
             (orders.filter(F.col("o_orderdate") >= cutoff).repartition(4), "append"),
@@ -865,7 +869,8 @@ def snapshot_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _stage_snapshots_once(
         root,
-        {"entry": "pyds_batch", "cutoff": CDC_CUTOFF, "v": 1},
+        {"entry": "pyds_batch", "cutoff": CDC_CUTOFF, "v": 1,
+         "src": source_fingerprint(os.path.join(sf_dir, "orders.parquet"))},
         [
             (
                 orders.filter(F.col("o_orderdate") < cutoff).drop("o_orderdate"),
@@ -933,7 +938,8 @@ def snapshot_stream_python_datasource(
     commits_root = os.path.join(root, "commits")
     _stage_snapshots_once(
         commits_root,
-        {"entry": "pyds_stream", "cuts": [PYDS_STREAM_FROM, "2001-03-01", "2001-05-01"], "v": 2},
+        {"entry": "pyds_stream", "cuts": [PYDS_STREAM_FROM, "2001-03-01", "2001-05-01"], "v": 2,
+         "src": source_fingerprint(os.path.join(sf_dir, "orders.parquet"))},
         [
             (tail.filter(F.col("o_orderdate") < cut1).drop("o_orderdate"), "append"),
             (

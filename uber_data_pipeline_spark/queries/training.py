@@ -71,15 +71,28 @@ def _media_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     prove nothing about scan cost."""
     import os
 
+    from uber_data_pipeline_spark.sources.staging import (
+        ensure_staged,
+        source_fingerprint,
+    )
+
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))),
         ".artifacts", "media_lake", os.path.basename(sf_dir.rstrip("/")),
     )
-    if not os.path.exists(os.path.join(root, "_SUCCESS")):
-        multimodal.attach_media(_docs(spark, sf_dir)).write.mode(
-            "overwrite"
-        ).parquet(root)
+    ensure_staged(
+        root,
+        {
+            "what": "media_lake",
+            "src": source_fingerprint(
+                os.path.join(sf_dir, "documents.parquet")
+            ),
+        },
+        lambda tgt: multimodal.attach_media(_docs(spark, sf_dir))
+        .write.mode("overwrite")
+        .parquet(tgt),
+    )
     return spark.read.parquet(root)
 
 
@@ -94,13 +107,26 @@ def _lsh_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     import os
 
+    from uber_data_pipeline_spark.sources.staging import (
+        ensure_staged,
+        source_fingerprint,
+    )
+
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))),
         ".artifacts", "lsh_index", os.path.basename(sf_dir.rstrip("/")),
     )
-    if not os.path.exists(os.path.join(root, "bands", "_SUCCESS")):
-        dedup.write_lsh_index(_docs(spark, sf_dir), root)
+    ensure_staged(
+        root,
+        {
+            "what": "lsh_index",
+            "src": source_fingerprint(
+                os.path.join(sf_dir, "documents.parquet")
+            ),
+        },
+        lambda tgt: dedup.write_lsh_index(_docs(spark, sf_dir), tgt),
+    )
     return dedup.lsh_pairs_from_index(spark, root, EST_JACCARD_THRESHOLD)
 
 
@@ -118,6 +144,11 @@ def _lsh_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching a delta doc (identical by construction)."""
     import os
 
+    from uber_data_pipeline_spark.sources.staging import (
+        ensure_staged,
+        source_fingerprint,
+    )
+
     base = _docs(spark, sf_dir).filter(f"doc_id % {DELTA_MOD} != 0")
     delta = _docs(spark, sf_dir).filter(f"doc_id % {DELTA_MOD} = 0")
     root = os.path.join(
@@ -125,8 +156,17 @@ def _lsh_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.abspath(__file__)))),
         ".artifacts", "lsh_index_base", os.path.basename(sf_dir.rstrip("/")),
     )
-    if not os.path.exists(os.path.join(root, "bands", "_SUCCESS")):
-        dedup.write_lsh_index(base, root)
+    ensure_staged(
+        root,
+        {
+            "what": "lsh_index_base",
+            "delta_mod": DELTA_MOD,
+            "src": source_fingerprint(
+                os.path.join(sf_dir, "documents.parquet")
+            ),
+        },
+        lambda tgt: dedup.write_lsh_index(base, tgt),
+    )
     return dedup.lsh_pairs_incremental(
         spark, root, delta, EST_JACCARD_THRESHOLD
     )

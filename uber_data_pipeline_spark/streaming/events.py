@@ -58,11 +58,28 @@ def events_landing_dir(sf_dir: str) -> str:
     os.makedirs(dst_dir, exist_ok=True)
     src = os.path.join(sf_dir, "events.parquet")
     dst = os.path.join(dst_dir, "events.parquet")
+    # staleness guard, not just existence: if the SOURCE parquet was
+    # replaced since staging (a regenerated derived SF; a refreshed
+    # lake), the old hardlink still resolves to the dead inode and an
+    # existence check would silently stream stale data. samefile
+    # covers the hardlink path; size+mtime covers the copy fallback.
+    if os.path.exists(dst):
+        try:
+            same = os.path.samefile(src, dst)
+        except OSError:
+            same = False
+        if not same:
+            s, d = os.stat(src), os.stat(dst)
+            same = (s.st_size, s.st_mtime_ns) == (d.st_size, d.st_mtime_ns)
+        if not same:
+            os.remove(dst)
     if not os.path.exists(dst):
         try:
             os.link(src, dst)
         except OSError:
             shutil.copyfile(src, dst)
+            st = os.stat(src)
+            os.utime(dst, ns=(st.st_atime_ns, st.st_mtime_ns))
     return dst_dir
 
 
@@ -501,7 +518,10 @@ def merge_sink_stream_rate(
     q = (
         changes.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime="1 second")
+        # paced trigger: leaves an idle gap after each batch so the
+        # post-threshold stop below lands between batches, and bounds
+        # the busy-loop rate of the no-op tail batches
+        .trigger(processingTime="500 milliseconds")
         .start()
     )
     # termination: batch k carries values [k*rowsPerBatch,
