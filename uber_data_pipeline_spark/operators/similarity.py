@@ -1061,3 +1061,86 @@ def sql_power_iteration_step(table: str = "embeddings") -> str:
                floor(CAST(y AS DOUBLE) / nrm * 1000000 + 0.5) / 1000000 AS v1
         FROM y CROSS JOIN nrm
     """
+
+
+# ---- mapInArrow norm kernel ------------------------------------------
+
+NORM_Q = 10_000  # per-element integer quantum for the Arrow norm kernel
+
+
+def norms_arrow(emb: DataFrame) -> DataFrame:
+    """Per-label vector-norm census through `mapInArrow` — the
+    Arrow-NATIVE kernel surface (one step below mapInPandas: the
+    kernel sees raw pyarrow RecordBatches, no pandas conversion, so
+    fixed-width numeric work pays zero serialization beyond Arrow
+    itself). Each vector's squared norm is computed in EXACT integer
+    space: elements quantize to NORM_Q units (floor(x*Q + 0.5), a
+    pure function of the float64 value, identical in both engines),
+    the squared sum stays in int64 (dim * (Q*|x|)^2 << 2^63), and
+    every downstream aggregate is integer math — the established
+    engine-parity recipe for Arrow kernels (see gram_matrix).
+
+    Scale shape: the kernel is a row-local streaming pass (no state
+    across batches); the only shuffle is the bounded-cardinality
+    label groupBy of the (label, int64) projection — payload vectors
+    never shuffle.
+
+    Returns per label: n_vecs, min/max/sum of the squared-quantum
+    norms (sum is the exact aggregate a merger would add)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            emb_arr = batch.column(batch.schema.get_field_index("embedding"))
+            lengths = np.asarray(
+                [len(v) if v is not None else 0 for v in emb_arr]
+            )
+            vals = emb_arr.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            q = np.floor(vals * NORM_Q + 0.5).astype(np.int64)
+            sq = q * q
+            ends = np.cumsum(lengths)
+            starts = ends - lengths
+            cs = np.concatenate(([0], np.cumsum(sq)))
+            ssq = cs[ends] - cs[starts]
+            yield pa.record_batch(
+                [
+                    batch.column(batch.schema.get_field_index("label")),
+                    pa.array(ssq, pa.int64()),
+                ],
+                names=["label", "ssq_q"],
+            )
+
+    per_vec = emb.select("label", "embedding").mapInArrow(
+        kernel, "label int, ssq_q bigint"
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.min("ssq_q").alias("min_ssq_q"),
+        F.max("ssq_q").alias("max_ssq_q"),
+        F.sum("ssq_q").cast("long").alias("sum_ssq_q"),
+    )
+
+
+def sql_norms_arrow(table: str = "embeddings") -> str:
+    """DuckDB twin: the same quantize-square-sum per vector, in SQL."""
+    return f"""
+        WITH per_vec AS (
+            SELECT label,
+                   CAST(list_sum(list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {NORM_Q}
+                                  + 0.5) AS BIGINT)
+                             * CAST(floor(CAST(x AS DOUBLE) * {NORM_Q}
+                                  + 0.5) AS BIGINT)))
+                        AS BIGINT) AS ssq_q
+            FROM {table}
+        )
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               MIN(ssq_q) AS min_ssq_q,
+               MAX(ssq_q) AS max_ssq_q,
+               CAST(SUM(ssq_q) AS BIGINT) AS sum_ssq_q
+        FROM per_vec
+        GROUP BY label
+    """

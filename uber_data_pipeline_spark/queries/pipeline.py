@@ -239,14 +239,20 @@ def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _format_roundtrip(
     spark: SparkSession, sf_dir: str, fmt: str
 ) -> DataFrame:
-    """Shared JSON/ORC landing roundtrip (same contract as
+    """Shared JSON/ORC/XML landing roundtrip (same contract as
     events_csv_roundtrip: stage once, explicit-schema read-back, the
     parquet-derived oracle proves bit-exact value survival). JSON is
     the schemaless-landing half of real ingest; ORC the columnar
-    interchange format warehouse exports still arrive in. Both reads
-    are splittable with declared schemas — no inference scan."""
+    interchange format warehouse exports still arrive in; XML the
+    document-feed format Spark 4 reads natively (spark-xml merged
+    into core). Every read declares its schema — no inference scan —
+    and JSON/ORC stay splittable (XML record-splits by rowTag)."""
     from uber_data_pipeline_spark.functions.numeric import dsum
-    from uber_data_pipeline_spark.sources.readers import read_json, read_orc
+    from uber_data_pipeline_spark.sources.readers import (
+        read_json,
+        read_orc,
+        read_xml,
+    )
 
     stage = os.path.join(
         _ARTIFACT_DIR, f"{fmt}_stage", os.path.basename(sf_dir.rstrip("/"))
@@ -256,17 +262,21 @@ def _format_roundtrip(
         stage,
         {"table": "events", "columns": cols, "format": fmt,
          "src": source_fingerprint(os.path.join(sf_dir, "events.parquet"))},
-        lambda tgt: getattr(
+        lambda tgt: (
             load_table(spark, sf_dir, "events")
             .select(*cols)
-            .write.mode("overwrite"),
-            fmt,
-        )(tgt),
+            .write.mode("overwrite")
+            .option("rowTag", "row")
+            .format(fmt)
+            .save(tgt)
+        ),
     )
     schema = "event_id bigint, event_type string, value double"
     back = (
         read_json(spark, stage, schema)
         if fmt == "json"
+        else read_xml(spark, stage, schema)
+        if fmt == "xml"
         else read_orc(spark, stage, schema)
     )
     return back.groupBy("event_type").agg(
@@ -281,6 +291,10 @@ def events_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _format_roundtrip(spark, sf_dir, "orc")
+
+
+def events_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "xml")
 
 
 GDPR_KEY_MOD = 1000
@@ -1077,6 +1091,7 @@ QUERIES = {
     "events_csv_roundtrip": events_csv_roundtrip,
     "events_json_roundtrip": events_json_roundtrip,
     "events_orc_roundtrip": events_orc_roundtrip,
+    "events_xml_roundtrip": events_xml_roundtrip,
     "streaming_stream_join": stream_stream_join,
     "gdpr_delete_audit": gdpr_delete_audit,
     "compact_small_files_report": compaction_report,
@@ -1528,6 +1543,7 @@ ORACLES = {
 
 ORACLES["events_json_roundtrip"] = ORACLES["events_csv_roundtrip"]
 ORACLES["events_orc_roundtrip"] = ORACLES["events_csv_roundtrip"]
+ORACLES["events_xml_roundtrip"] = ORACLES["events_csv_roundtrip"]
 
 # rate-feed merge: last-writer-wins closed form. For key residue
 # b = o_orderkey % RATE_KEY_MOD < RATE_MOD, the max consumed version

@@ -102,9 +102,9 @@ def _media_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-once/probe-many: write the minhash index to parquet (per
-    SF, _SUCCESS-guarded) and generate candidates from the STORED
-    index — must equal the from-raw-text LSH path, so it shares that
-    oracle."""
+    SF, bound to the source fingerprint via ensure_staged) and
+    generate candidates from the STORED index — must equal the
+    from-raw-text LSH path, so it shares that oracle."""
     import os
 
     from uber_data_pipeline_spark.sources.staging import (
@@ -175,6 +175,10 @@ def _lsh_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     # one-pass decimal-exact X^T X (the covariance/PCA/OPQ base step)
     "embeddings_gram_matrix": lambda spark, sf: similarity.gram_matrix(
+        _emb(spark, sf)
+    ),
+    # Arrow-native kernel surface: mapInArrow norm census
+    "embeddings_norms_arrow": lambda spark, sf: similarity.norms_arrow(
         _emb(spark, sf)
     ),
     # one PCA power-iteration step over that gram matrix
@@ -1021,6 +1025,8 @@ ORACLES["dedup_keep_best"] = f"""
 """
 
 ORACLES["text_hybrid_search"] = search.sql_hybrid_rrf()
+
+ORACLES["embeddings_norms_arrow"] = similarity.sql_norms_arrow()
 
 ORACLES["text_udtf_bigrams"] = textops.sql_udtf_top_bigrams()
 

@@ -159,6 +159,25 @@ def read_orc(
     return reader.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    row_tag: str = "row",
+) -> DataFrame:
+    """XML with mandatory explicit schema (Spark 4's built-in XML
+    source — the spark-xml lineage merged into core). Schema is
+    declared, never inferred: XML inference is a full extra pass AND
+    type-guesses; the landing contract names its fields. rowTag picks
+    the repeating record element."""
+    return (
+        spark.read.schema(schema)
+        .option("rowTag", row_tag)
+        .format("xml")
+        .load(path)
+    )
+
+
 def jdbc_read_options(
     url: str,
     table: str,
