@@ -62,7 +62,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # deterministic session timezone so timestamp math matches the oracle
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local-mode sizing: in local[N] the driver heap IS the
+        # executor heap — every task plus every concurrent broadcast
+        # build shares it. 8g OOM'd broadcast builds under 8-way
+        # concurrency at the sf1 soak; 24g leaves headroom on the
+        # 128 GiB box. A cluster deployment sizes executors instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
     )
