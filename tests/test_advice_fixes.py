@@ -1,0 +1,115 @@
+"""Regression tests for the round-3 ADVICE items (driver round 4).
+
+Each test pins one of the four low-severity advisor findings:
+  1. norms_arrow kernel: empty Arrow batch / null embedding row.
+  2. staging: _stage_flat_once delegates to sources.staging.ensure_staged.
+  3. fill_micro parity under a budget that does not divide 1_000_000.
+  4. driver-heap default derived from available memory (capped).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_norms_arrow_empty_batch_and_null_rows(spark):
+    """ADVICE r3 item 1: the mapInArrow kernel must survive (a) empty
+    partitions — np.asarray([]) is float64 and cannot index — and
+    (b) null embedding rows (pyarrow null ListScalar has no len)."""
+    from uber_data_pipeline_spark.operators import similarity
+
+    rows = [
+        (1, [0.5, -0.5]),
+        (1, None),
+        (2, [1.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "label int, embedding array<double>"
+    ).repartition(8)  # more partitions than rows -> empty Arrow batches
+    got = {
+        r.label: (r.n_vecs, r.sum_ssq_q)
+        for r in similarity.norms_arrow(emb).collect()
+    }
+    q = similarity.NORM_Q
+    # label 1: one real vector (0.5,-0.5) -> 2*(Q/2)^2, plus the null row
+    # which contributes a 0-length vector (ssq 0) but still counts a row
+    assert got[1] == (2, 2 * (q // 2) ** 2)
+    assert got[2] == (1, q * q)
+
+
+def test_norms_arrow_all_empty_input(spark):
+    from uber_data_pipeline_spark.operators import similarity
+
+    emb = spark.createDataFrame([], "label int, embedding array<double>")
+    assert similarity.norms_arrow(emb).count() == 0
+
+
+def test_stage_flat_once_delegates_with_success_postcondition(tmp_path):
+    """ADVICE r3 item 2: the flat-stage helper now delegates to
+    ensure_staged; a matching marker with a MISSING _SUCCESS must
+    restage, and a build that fails to produce _SUCCESS must raise
+    rather than publish a marker."""
+    import os
+
+    from uber_data_pipeline_spark.queries.pipeline import _stage_flat_once
+
+    stage = str(tmp_path / "flat")
+    builds = []
+
+    def good_write(tgt):
+        builds.append(tgt)
+        os.makedirs(tgt, exist_ok=True)
+        open(os.path.join(tgt, "_SUCCESS"), "w").close()
+
+    _stage_flat_once(stage, {"v": 1}, good_write)
+    _stage_flat_once(stage, {"v": 1}, good_write)
+    assert len(builds) == 1  # second call reuses
+
+    os.remove(os.path.join(stage, "_SUCCESS"))
+    _stage_flat_once(stage, {"v": 1}, good_write)
+    assert len(builds) == 2  # missing _SUCCESS -> restage
+
+    def bad_write(tgt):
+        os.makedirs(tgt, exist_ok=True)  # finishes without _SUCCESS
+
+    with pytest.raises(RuntimeError):
+        _stage_flat_once(str(tmp_path / "bad"), {"v": 1}, bad_write)
+
+
+def test_default_driver_mem_bounds():
+    """ADVICE r3 item 4: the heap default derives from physical RAM
+    (half, capped 24g, floored 2g) instead of a hard 24g."""
+    from uber_data_pipeline_spark.session import _default_driver_mem
+
+    val = _default_driver_mem()
+    assert val.endswith("g")
+    assert 2 <= int(val[:-1]) <= 24
+
+
+def test_token_packing_fill_micro_non_divisor_budget(spark, duck):
+    """ADVICE r3 item 3: with a budget that does NOT divide 1_000_000
+    the fill_micro expression must still hash-match the oracle —
+    floor() on both engines, not engine-specific double->bigint cast."""
+    import os
+
+    from uber_data_pipeline_spark.catalog import load_table
+    from uber_data_pipeline_spark.operators import sampling
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    budget = 333  # 1_000_000 / 333 is not an integer
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.lang, r.bucket, r.shard): (r.n_docs, r.sum_tokens, r.fill_micro)
+        for r in sampling.token_packing(docs, budget=budget).collect()
+    }
+    want = {
+        (lang, bucket, shard): (n, s, f)
+        for lang, bucket, shard, n, s, f in duck.execute(
+            sampling.sql_token_packing(budget=budget)
+        ).fetchall()
+    }
+    assert got == want

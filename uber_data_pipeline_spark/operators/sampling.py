@@ -255,7 +255,10 @@ def token_packing(
             "shard",
             "n_docs",
             "sum_tokens",
-            f"CAST(sum_tokens * 1000000 / {budget} AS BIGINT)"
+            # explicit floor: Spark CAST(double AS BIGINT) truncates
+            # while DuckDB rounds, so the cast must only ever see an
+            # exact integer-valued double regardless of the budget
+            f"CAST(floor(sum_tokens * 1000000 / {budget}) AS BIGINT)"
             " AS fill_micro",
         )
     )
@@ -284,7 +287,7 @@ def sql_token_packing(
         SELECT lang, bucket, shard,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-               CAST(SUM(n_tokens) * 1000000 / {budget} AS BIGINT)
+               CAST(floor(SUM(n_tokens) * 1000000 / {budget}) AS BIGINT)
                    AS fill_micro
         FROM packed
         GROUP BY lang, bucket, shard

@@ -1091,10 +1091,22 @@ def norms_arrow(emb: DataFrame) -> DataFrame:
     import pyarrow as pa
 
     def kernel(batches):
+        import pyarrow.compute as pc
+
         for batch in batches:
+            if batch.num_rows == 0:
+                continue
             emb_arr = batch.column(batch.schema.get_field_index("embedding"))
-            lengths = np.asarray(
-                [len(v) if v is not None else 0 for v in emb_arr]
+            # value_lengths is null for null list slots; a null slot
+            # contributes nothing to flatten(), so null -> 0 keeps the
+            # cumulative-offset bookkeeping aligned with the flat values.
+            # int64 throughout: np.asarray over an empty python list is
+            # float64, which cannot index cs[ends].
+            lengths = (
+                pc.list_value_length(emb_arr)
+                .fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
             vals = emb_arr.flatten().to_numpy(zero_copy_only=False).astype(
                 np.float64

@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from uber_data_pipeline_spark.catalog import load_table
-from uber_data_pipeline_spark.sources.staging import source_fingerprint
+from uber_data_pipeline_spark.sources.staging import (
+    ensure_staged,
+    source_fingerprint,
+)
 from uber_data_pipeline_spark.sources.cdc import merge_latest, scd2_history
 from uber_data_pipeline_spark.streaming.events import (
     LATE_AUDIT_CUT,
@@ -166,32 +169,19 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stage_flat_once(stage: str, params: dict, write_fn) -> None:
-    """Stage a flat-format landing directory once per (sf, params):
-    the same marker+lock contract as _stage_snapshots_once — a marker
-    JSON records the staging parameters (columns, table, format) and
-    a mismatched/absent/corrupt marker forces a restage, so a later
-    change to the staged projection or schema can never silently
-    reuse stale data. _SUCCESS alone is not enough: it proves the
-    write finished, not that it wrote THESE columns."""
-    import json as _json
+    """Stage a flat-format landing directory once per (sf, params).
 
-    marker = os.path.join(stage, "_STAGED.json")
-    with _STAGE_LOCK:
-        if os.path.exists(marker) and os.path.exists(
-            os.path.join(stage, "_SUCCESS")
-        ):
-            try:
-                with open(marker) as fh:
-                    if _json.load(fh) == params:
-                        return
-            except ValueError:
-                pass  # corrupt marker -> restage
-        shutil.rmtree(stage, ignore_errors=True)
-        write_fn(stage)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            _json.dump(params, fh)
-        os.replace(tmp, marker)
+    Delegates the marker+lock+fingerprint staleness contract to
+    sources.staging.ensure_staged (ADVICE r3: one copy of the logic),
+    adding only the flat-writer-specific postcondition: Spark's
+    _SUCCESS file must exist, because the marker proves we wrote
+    THESE columns while _SUCCESS proves the write itself finished."""
+    ensure_staged(
+        stage,
+        params,
+        write_fn,
+        valid_fn=lambda root: os.path.exists(os.path.join(root, "_SUCCESS")),
+    )
 
 
 def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

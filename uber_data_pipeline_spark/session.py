@@ -36,6 +36,22 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _default_driver_mem() -> str:
+    """Local-mode driver-heap default: half of the machine's total
+    memory, capped at 24g and floored at 2g. In local[N] the driver
+    heap IS the executor heap — every task plus every concurrent
+    broadcast build shares it — so 24g is right on the 128 GiB bench
+    box but would push a small host into swap (ADVICE r3). Explicit
+    SPARK_DRIVER_MEM always wins."""
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES")
+        page_size = os.sysconf("SC_PAGE_SIZE")
+        total_gib = pages * page_size / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "24g"
+    return f"{max(2, min(24, int(total_gib // 2)))}g"
+
+
 def get_spark(
     app_name: str = "uber-data-pipeline-spark",
     master: str | None = None,
@@ -62,12 +78,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # deterministic session timezone so timestamp math matches the oracle
         .config("spark.sql.session.timeZone", "UTC")
-        # local-mode sizing: in local[N] the driver heap IS the
-        # executor heap — every task plus every concurrent broadcast
-        # build shares it. 8g OOM'd broadcast builds under 8-way
-        # concurrency at the sf1 soak; 24g leaves headroom on the
-        # 128 GiB box. A cluster deployment sizes executors instead.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # local-mode sizing: half of physical RAM capped at 24g (8g
+        # OOM'd broadcast builds under 8-way concurrency at the sf1
+        # soak). A cluster deployment sizes executors instead.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
     )

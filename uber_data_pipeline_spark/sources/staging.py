@@ -48,24 +48,33 @@ def source_fingerprint(*paths: str) -> dict:
     return out
 
 
-def ensure_staged(root: str, params: dict, build_fn) -> str:
+def ensure_staged(root: str, params: dict, build_fn, valid_fn=None) -> str:
     """Build-once guard with a staleness contract: reuse the artifact
     at ``root`` only when its marker matches ``params`` exactly
     (include a source_fingerprint() in params to bind the artifact to
-    its inputs); otherwise wipe and rebuild via ``build_fn(root)``.
-    Returns ``root``."""
+    its inputs) AND the optional ``valid_fn(root)`` postcondition
+    holds (e.g. a Spark ``_SUCCESS`` file exists); otherwise wipe and
+    rebuild via ``build_fn(root)``. ``valid_fn`` is re-asserted after
+    the build so a write that silently failed its postcondition can
+    never publish a marker. Returns ``root``."""
     marker = os.path.join(root, "_STAGED.json")
     with _LOCK:
         if os.path.exists(marker):
             try:
                 with open(marker) as fh:
-                    if json.load(fh) == params:
+                    if json.load(fh) == params and (
+                        valid_fn is None or valid_fn(root)
+                    ):
                         return root
             except ValueError:
                 pass  # corrupt marker (crash mid-publish) -> restage
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
         build_fn(root)
+        if valid_fn is not None and not valid_fn(root):
+            raise RuntimeError(
+                f"staged build at {root} failed its validity postcondition"
+            )
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(params, fh)
