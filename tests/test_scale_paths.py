@@ -109,6 +109,43 @@ def test_banded_cosine_pairs_is_lossless_here(spark):
     assert banded  # non-trivial on this corpus
 
 
+def test_banded_cosine_pairs_pruned_plan_recall(spark):
+    """The PRUNED tau=0.8 plan the registry entry now runs
+    (srp_band_plan(0.8) -> bounded bands, ~10x candidate prune): on a
+    corpus with PLANTED true near-dups it must still reproduce the
+    exact engine pair-for-pair. The shipped corpus has no pairs above
+    the ~0.60 noise ceiling, so this is the non-trivial recall pin
+    for the strict threshold."""
+    import numpy as np
+
+    from uber_data_pipeline_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_banded,
+        srp_band_plan,
+    )
+
+    r, bands, prunes = srp_band_plan(0.8)
+    assert prunes and bands / 2.0**r < 0.2  # ~10x fewer candidates
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 64))
+    rows = []
+    vid = 0
+    for v in base:
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    # plant 12 near-dups: tiny perturbations of the first 12 vectors
+    for v in base[:12]:
+        w = v + rng.normal(scale=0.08, size=64)
+        rows.append((vid, [float(x) for x in w]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    banded = {tuple(r) for r in cosine_pairs_banded(emb, 0.8).collect()}
+    exact = {tuple(r) for r in cosine_pairs(emb, 0.8, n_blocks=1).collect()}
+    assert banded == exact
+    assert len(exact) >= 12  # the planted pairs qualify
+
+
 def test_srp_band_plan_sizing():
     """The (bits, bands) cost model: prunes hard at real near-dup
     thresholds, admits it can't at low ones, and always meets the

@@ -32,7 +32,10 @@ QUADRATIC_DOCUMENTED = {
     "ann_bruteforce_topk",
     "ann_knn_classify",
     "events_profile_similarity",
-    "dedup_embedding_cosine",  # tau=0.4: documented not-LSH-prunable
+    # tau=0.4 sits in the noise tail where no capped LSH plan prunes;
+    # the registered dedup_embedding_cosine now runs the PRUNED
+    # tau=0.8 plan (linear allowance) and the tau=0.4 demo moved here
+    "dedup_embedding_cosine_baseline",
     "dedup_jaccard_exact",
     "lineitem_corr_matrix",  # O(cols^2) moments, rows linear — safe
     # O(E^1.5) edge-iterator closure

@@ -545,9 +545,13 @@ def connected_components(
         .cache()
     )
     if edges.count() <= local_edge_limit:
+        # cached: the union-find output feeds BOTH the broadcast sizes
+        # job and the join probe — without a boundary the Python pass
+        # runs once per consumer job
         labels = (
             edges.groupBy(F.lit(1).alias("g"))
             .applyInPandas(_unionfind_kernel, "node long, label long")
+            .cache()
         )
         sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
         return labels.join(F.broadcast(sizes), "label").select(

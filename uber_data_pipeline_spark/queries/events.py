@@ -1075,7 +1075,27 @@ ORACLES = {
     """,
 }
 
-ORACLES["events_variant_kpis"] = ORACLES["events_json_kpis"]
+# Independent oracle for the VARIANT twin (VERDICT r3 item 8): same
+# KPIs, but through DuckDB's json_transform STRUCT extraction — a
+# different oracle-side parse path than events_json_kpis'
+# json_extract_string, so the twin pair no longer shares one string
+# (an oracle bug in either parse path now shows up as a divergence).
+ORACLES["events_variant_kpis"] = """
+    WITH parsed AS (
+        SELECT event_type,
+               (json_transform(props, '{"k": "INTEGER"}')).k AS k
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(k) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           COUNT(DISTINCT k) AS n_distinct_k
+    FROM parsed
+    GROUP BY 1
+"""
 
 ORACLES["events_unpivot"] = """
     SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
