@@ -325,3 +325,31 @@ def test_prefix_filter_keeps_prefix_suffix_straddling_pairs(spark):
         for r in ngram_jaccard_pairs_prefix(docs, 0.5).collect()
     }
     assert exact == pref
+
+
+def test_semantic_dedup_greedy_keep_semantics(spark):
+    """SemDeDup keep rule on a planted cell: of a tau-close pair, the
+    member FARTHER from its cell centroid (lower ccos) survives and
+    the nearer twin drops; tau-far members all survive. Labels are
+    the quantizer, so single-label corpora form one cell."""
+    import numpy as np
+
+    from uber_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 64))
+    rows = [(i, 0, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant an exact duplicate of vector 0 as vec_id 100
+    rows.append((100, 0, [float(x) for x in base[0]]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label bigint, embedding array<double>"
+    )
+    out = {r.vec_id: r for r in semantic_dedup(emb, 0.95).collect()}
+    assert len(out) == 7
+    # identical twins have identical ccos; tie breaks by vec_id, so 0
+    # is the higher-priority member and 100 drops
+    assert out[0].kept and not out[100].kept
+    # independent gaussians at dim 64 are nowhere near cosine 0.95
+    assert all(out[i].kept for i in range(1, 6))

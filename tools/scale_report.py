@@ -37,6 +37,10 @@ QUADRATIC_DOCUMENTED = {
     # tau=0.8 plan (linear allowance) and the tau=0.4 demo moved here
     "dedup_embedding_cosine_baseline",
     "dedup_jaccard_exact",
+    # cell-local pairwise under the FIXED 10-cell label quantizer
+    # (n^2/K at fixed K); production SemDeDup scales K with n so cell
+    # populations stay bounded — see operators/similarity.py docstring
+    "dedup_semantic_cluster",
     "lineitem_corr_matrix",  # O(cols^2) moments, rows linear — safe
     # O(E^1.5) edge-iterator closure
     "copurchase_triangle_census",

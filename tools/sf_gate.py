@@ -89,9 +89,12 @@ def main() -> int:
     verified = _seed_verified(args.out)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     secs = _bench_secs()
-    todo = [n for n in qs if n not in verified]
     if args.only:
-        todo = [n for n in todo if n in set(args.only)]
+        # --only forces the named entries even if already verified
+        # (an entry whose semantics changed needs a fresh sf1 row)
+        todo = [n for n in qs if n in set(args.only)]
+    else:
+        todo = [n for n in qs if n not in verified]
     todo.sort(key=lambda n: secs.get(n, 0.0))
 
     state: dict = {}

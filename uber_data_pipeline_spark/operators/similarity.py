@@ -275,25 +275,16 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def ivf_topk(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
-    """IVF approximate top-k: corpus vectors live in their nearest
-    centroid's cell (rank 1); queries probe their ``nprobe`` nearest
-    cells; candidates are exact-gemm-reranked inside each probed cell
-    and merged by the global rank window.
-
-    The assignment cosine runs as the JVM fold expression (identical
-    to the oracle's), NOT the gemm kernel — assignment rank
-    boundaries must match the oracle bit-for-bit, and the centroid
-    table is tiny (10s-1000s of rows broadcast). At 100 TB the probe
-    join shuffles on cell (bounded cells, AQE-splittable); candidate
-    volume per query is nprobe * cell-size, never n.
-
+def _centroid_ranked(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell, ccos, crk): every vector's rounded
+    cosine to EVERY label centroid, ranked per vector (crk=1 is the
+    nearest-cell assignment). The assignment cosine runs as the JVM
+    fold expression (identical to the oracle's), NOT the gemm kernel
+    — assignment rank boundaries must match the oracle bit-for-bit —
+    and the centroid table is tiny (label cardinality, broadcast).
     The squared norms are folded ONCE per vector and once per
-    centroid instead of inside every (vector, centroid) pair — the
-    pair expression keeps only the dot-product fold. sqrt of the
-    same fold result is the same double, so assignment ranks are
-    unchanged vs the naive three-fold cosine (which is what the
-    oracle still runs)."""
+    centroid; sqrt of the same fold result is the same double, so
+    ranks equal the naive three-fold cosine the oracle runs."""
     from uber_data_pipeline_spark.functions.vectors import dot_spark
 
     from pyspark.sql import Window
@@ -313,7 +304,20 @@ def ivf_topk(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
-    ranked = scored.withColumn("crk", F.row_number().over(w))
+    return scored.withColumn("crk", F.row_number().over(w))
+
+
+def ivf_topk(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest
+    centroid's cell (rank 1); queries probe their ``nprobe`` nearest
+    cells; candidates are exact-gemm-reranked inside each probed cell
+    and merged by the global rank window.
+
+    Assignment numerics live in :func:`_centroid_ranked` (JVM fold
+    cosine, oracle-identical rank boundaries). At 100 TB the probe
+    join shuffles on cell (bounded cells, AQE-splittable); candidate
+    volume per query is nprobe * cell-size, never n."""
+    ranked = _centroid_ranked(emb)
     probes = ranked.filter(F.col("crk") <= nprobe).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"), "cell"
     )
@@ -333,6 +337,108 @@ def ivf_topk(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
         )
     )
     return rank_topk(candidates, k, partition_cols=("query_id",))
+
+
+SEMDEDUP_TAU = 0.35
+
+
+def semantic_dedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): assign every vector to its nearest centroid
+    cell, then WITHIN each cell greedily keep members in priority
+    order — farthest-from-centroid first (the paper keeps the member
+    with the LOWEST cosine to the centroid; ties break by vec_id) —
+    dropping a member iff some higher-priority member of the same
+    cell is cosine >= tau to it. Output: (vec_id, cell, ccos, kept).
+
+    Scale shape: this is the whole point of SemDeDup — the global
+    near-dup search collapses to CELL-LOCAL pairwise scoring, one
+    Arrow-batched gemm per cell after a single shuffle on cell. On
+    this corpus the quantizer is the label-centroid table (fixed 10
+    cells), so within-cell work is n^2/K at fixed K — documented in
+    tools/scale_report.py; in production the codebook size K grows
+    with the corpus (the paper uses K ~ n/5000) so cell populations
+    stay BOUNDED and total work is linear in n with the kernel
+    scaling out across cells. The greedy drop rule is evaluated
+    against all higher-priority members (not only kept ones), which
+    makes it order-deterministic and exactly replayable by the
+    oracle's EXISTS.
+
+    The priority order uses the ROUNDED assignment cosine (ccos,
+    6 dp) from :func:`_centroid_ranked` and the pair test uses the
+    same rounded gemm cosine as :func:`cosine_pairs`, so both
+    engines replay identical comparisons."""
+    assign = _centroid_ranked(emb).filter(F.col("crk") == 1).select(
+        "vec_id", "embedding", "cell", "ccos"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"vec_id": [], "cell": [], "ccos": [], "kept": []}
+            )
+        order = np.lexsort(
+            (pdf["vec_id"].to_numpy(), pdf["ccos"].to_numpy())
+        )
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        mat = _normalize(_stack(pdf["embedding"]))
+        sims = np.round(mat @ mat.T, COSINE_ROUND)
+        # dropped iff tau-close to ANY earlier row in priority order
+        dropped = np.tril(sims >= tau, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cell": pdf["cell"],
+                "ccos": pdf["ccos"],
+                "kept": ~dropped,
+            }
+        )
+
+    return assign.groupBy("cell").applyInPandas(
+        kernel, "vec_id long, cell bigint, ccos double, kept boolean"
+    )
+
+
+def sql_semantic_dedup(tau: float = SEMDEDUP_TAU) -> str:
+    """DuckDB replay of :func:`semantic_dedup`: same decimal-exact
+    centroids, same rounded assignment cosine and rank order, and the
+    greedy drop as one EXISTS over higher-priority cellmates."""
+    from uber_data_pipeline_spark.functions.vectors import cosine_duck
+
+    return f"""
+        WITH pos AS (
+            SELECT label AS cell, i AS pos, embedding[i]::DOUBLE AS val
+            FROM embeddings, unnest(range(1, 65)) AS r(i)
+        ), cmean AS (
+            SELECT cell, pos,
+                   ROUND(CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS m
+            FROM pos GROUP BY 1, 2
+        ), centroids AS (
+            SELECT cell, list(m ORDER BY pos) AS cvec FROM cmean GROUP BY 1
+        ), scored AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   {cosine_duck("e.embedding", "c.cvec")} AS ccos
+            FROM embeddings e CROSS JOIN centroids c
+        ), assign AS (
+            SELECT vec_id, embedding, cell, ccos
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY ccos DESC, cell ASC) AS crk
+                FROM scored
+            ) WHERE crk = 1
+        )
+        SELECT a.vec_id, a.cell, a.ccos,
+               NOT EXISTS (
+                   SELECT 1 FROM assign b
+                   WHERE b.cell = a.cell
+                     AND (b.ccos < a.ccos
+                          OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
+                     AND {cosine_duck("a.embedding", "b.embedding")}
+                         >= {tau}
+               ) AS kept
+        FROM assign a
+    """
 
 
 def with_srp_bucket(emb: DataFrame, n_bits: int = LSH_BITS) -> DataFrame:

@@ -264,6 +264,12 @@ QUERIES = {
     "dedup_embedding_cosine_baseline": lambda spark, sf: (
         similarity.cosine_pairs_banded(_emb(spark, sf), COSINE_NEAR_DUP)
     ),
+    # SemDeDup (Abbas et al. 2023): nearest-centroid cells, greedy
+    # farthest-from-centroid-first keep within each cell — the
+    # cluster-then-prune semantic near-dup policy; work is cell-local
+    "dedup_semantic_cluster": lambda spark, sf: similarity.semantic_dedup(
+        _emb(spark, sf)
+    ),
     "ann_bruteforce_topk": lambda spark, sf: similarity.brute_force_topk(
         _emb(spark, sf), ANN_K
     ),
@@ -632,6 +638,7 @@ ORACLES = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE {cosine_duck("a.embedding", "b.embedding")} >= {COSINE_NEAR_DUP}
     """,
+    "dedup_semantic_cluster": similarity.sql_semantic_dedup(),
     "ann_bruteforce_topk": _sql_ann_exact(ANN_K),
     "ann_knn_classify": similarity.sql_knn_classify(_sql_ann_exact(ANN_K)),
     "ann_lsh_topk": _sql_ann_lsh(LSH_ANN_K),
