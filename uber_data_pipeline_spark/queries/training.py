@@ -283,6 +283,15 @@ QUERIES = {
     "ann_ivf_recall": lambda spark, sf: similarity.ivf_recall(
         _emb(spark, sf), ANN_K
     ),
+    # FAISS-style IVFADC: compressed (PQ-coded) cell members scored by
+    # asymmetric distance, 2k shortlist, exact rerank — the index
+    # shape a 100 TB embedding corpus serves from, plus its recall gate
+    "ann_ivfpq_topk": lambda spark, sf: similarity.ivfpq_topk(
+        _emb(spark, sf), ANN_K
+    ),
+    "ann_ivfpq_recall": lambda spark, sf: similarity.ivfpq_recall(
+        _emb(spark, sf), ANN_K
+    ),
     # k-NN label vote built on the exact ANN engine (embedding-quality
     # probe: per-class accuracy of 5-NN majority vote)
     "ann_knn_classify": lambda spark, sf: similarity.knn_classify(
@@ -661,6 +670,22 @@ ORACLES = {
     "ann_ivf_recall": f"""
         WITH exact AS ({_sql_ann_exact(ANN_K)}),
         approx AS ({_sql_ann_ivf(ANN_K)}),
+        hits AS (
+            SELECT a.query_id, COUNT(*) AS n_hits
+            FROM approx a JOIN exact e
+              ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+            GROUP BY 1
+        )
+        SELECT v.vec_id AS query_id,
+               CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+               ROUND(COALESCE(h.n_hits, 0) / CAST({ANN_K} AS DOUBLE), 6)
+                   AS recall_at_k
+        FROM embeddings v LEFT JOIN hits h ON h.query_id = v.vec_id
+    """,
+    "ann_ivfpq_topk": similarity.sql_ivfpq_topk(ANN_K),
+    "ann_ivfpq_recall": f"""
+        WITH exact AS ({_sql_ann_exact(ANN_K)}),
+        approx AS ({similarity.sql_ivfpq_topk(ANN_K)}),
         hits AS (
             SELECT a.query_id, COUNT(*) AS n_hits
             FROM approx a JOIN exact e
