@@ -65,6 +65,139 @@ def _bench_secs() -> dict[str, float]:
         return {}
 
 
+def _install_oracle_caches(con, oracles: dict[str, str]) -> dict[str, str]:
+    """Materialize the shared shingle/minhash CTE relations ONCE per
+    gate run — DuckDB-computed from the raw parquet, so oracle
+    independence is preserved; this only removes the N-fold recompute
+    of identical intermediates across the 9 dedup oracles (the cost
+    that bottlenecked CORRECTNESS_sf1_partial). The cache DDL is
+    derived from the SAME CTE constants the oracles embed (zero
+    drift), and the rewrite is exact-string replacement of those
+    constants."""
+    from uber_data_pipeline_spark.queries.training import (
+        _MINHASH_CTE,
+        _PERM_VALUES,
+        _SHINGLES_CTE,
+    )
+    from uber_data_pipeline_spark.operators import dedup
+
+    con.execute(
+        f"CREATE TABLE tok_cache AS WITH {_SHINGLES_CTE} SELECT * FROM tok"
+    )
+    con.execute(
+        f"CREATE TABLE sh_cache AS WITH {_SHINGLES_CTE} SELECT * FROM sh"
+    )
+    con.execute(
+        f"CREATE TABLE mh_cache AS WITH {_MINHASH_CTE} SELECT * FROM mh"
+    )
+    minhash_repl = f"""
+    tok AS (SELECT * FROM tok_cache),
+    sh AS (SELECT * FROM sh_cache),
+    hs AS (
+        SELECT doc_id, {dedup.SHINGLE_HASH_DUCK} AS h FROM sh
+    ),
+    perms AS (
+        SELECT * FROM (VALUES {_PERM_VALUES}) AS t(perm_id, a, b)
+    ),
+    mh AS (SELECT * FROM mh_cache)
+"""
+    shingles_repl = """
+    tok AS (SELECT * FROM tok_cache),
+    sh AS (SELECT * FROM sh_cache)
+"""
+    out = {}
+    for name, sql in oracles.items():
+        # replace the superset block first (it embeds the shingle CTE)
+        sql = sql.replace(_MINHASH_CTE, minhash_repl)
+        sql = sql.replace(_SHINGLES_CTE, shingles_repl)
+        out[name] = sql
+    return out
+
+
+def _sampled_specs(mod: int) -> dict:
+    """name -> (sampled_oracle_sql, spark_row_filter) for the entries
+    whose FULL oracle is inherently quadratic on the DuckDB side
+    (exact all-pairs cosine baselines and the recall gates that embed
+    them). The sampled oracle restricts the QUERY side to
+    vec_id % mod == 0 and the Spark result — still computed by the
+    UNMODIFIED registry entry over the full corpus — is filtered to
+    the same keys before the compare. Per-query rankings / per-row
+    flags are independent of other queries, so every compared row is
+    exact; what's sampled is coverage, not precision."""
+    from uber_data_pipeline_spark.functions.vectors import cosine_duck
+    from uber_data_pipeline_spark.operators import similarity as S
+    from uber_data_pipeline_spark.queries import training as T
+
+    qp_a = f"(a.vec_id % {mod} = 0)"
+    qp = f"(vec_id % {mod} = 0)"
+
+    def recall_sql(k: int, approx: str) -> str:
+        return f"""
+        WITH exact AS ({T._sql_ann_exact(k, qp_a)}),
+        approx AS ({approx}),
+        hits AS (
+            SELECT a.query_id, COUNT(*) AS n_hits
+            FROM approx a JOIN exact e
+              ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+            GROUP BY 1
+        )
+        SELECT v.vec_id AS query_id,
+               CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+               ROUND(COALESCE(h.n_hits, 0) / CAST({k} AS DOUBLE), 6)
+                   AS recall_at_k
+        FROM embeddings v LEFT JOIN hits h ON h.query_id = v.vec_id
+        WHERE v.vec_id % {mod} = 0
+        """
+
+    def pair_sql(tau) -> str:
+        return f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {cosine_duck("a.embedding", "b.embedding")} AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {qp_a}
+          AND {cosine_duck("a.embedding", "b.embedding")} >= {tau}
+        """
+
+    def by_query(pdf):
+        return pdf[pdf.query_id % mod == 0]
+
+    def by_vec_a(pdf):
+        return pdf[pdf.vec_a % mod == 0]
+
+    return {
+        "ann_bruteforce_topk": (T._sql_ann_exact(T.ANN_K, qp_a), by_query),
+        "ann_ivf_topk": (T._sql_ann_ivf(T.ANN_K, qp), by_query),
+        "ann_ivfpq_topk": (
+            S.sql_ivfpq_topk(T.ANN_K, query_pred=qp),
+            by_query,
+        ),
+        "ann_lsh_recall": (
+            recall_sql(T.LSH_ANN_K, T._sql_ann_lsh(T.LSH_ANN_K, qp_a)),
+            by_query,
+        ),
+        "ann_ivf_recall": (
+            recall_sql(T.ANN_K, T._sql_ann_ivf(T.ANN_K, qp)),
+            by_query,
+        ),
+        "ann_ivfpq_recall": (
+            recall_sql(T.ANN_K, S.sql_ivfpq_topk(T.ANN_K, query_pred=qp)),
+            by_query,
+        ),
+        "dedup_embedding_cosine": (
+            pair_sql(T.COSINE_NEAR_DUP_STRICT),
+            by_vec_a,
+        ),
+        "dedup_embedding_cosine_baseline": (
+            pair_sql(T.COSINE_NEAR_DUP),
+            by_vec_a,
+        ),
+        "dedup_semantic_cluster": (
+            S.sql_semantic_dedup(query_pred=qp_a),
+            lambda pdf: pdf[pdf.vec_id % mod == 0],
+        ),
+    }
+
+
 def _run_oracle(con, sql: str, timeout: float):
     """DuckDB execute with a wall cap: a Timer fires con.interrupt()
     so one pathological recompute can't absorb the whole budget."""
@@ -83,6 +216,15 @@ def main() -> int:
     ap.add_argument("--budget", type=float, default=3300.0)
     ap.add_argument("--oracle-timeout", type=float, default=240.0)
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--no-cte-cache", action="store_true")
+    ap.add_argument(
+        "--sampled",
+        action="store_true",
+        help="run the sampled-key-range replay for the entries whose "
+        "full oracle is quadratic (exact cosine baselines + recall "
+        "gates); records them under verified_sampled",
+    )
+    ap.add_argument("--sample-mod", type=int, default=100)
     args = ap.parse_args()
 
     t_start = time.monotonic()
@@ -91,8 +233,11 @@ def main() -> int:
     secs = _bench_secs()
     if args.only:
         # --only forces the named entries even if already verified
-        # (an entry whose semantics changed needs a fresh sf1 row)
+        # (an entry whose semantics changed needs a fresh sf1 row);
+        # drop them from the seed so a timeout/failure honestly
+        # removes the stale green row instead of carrying it
         todo = [n for n in qs if n in set(args.only)]
+        verified -= set(todo)
     else:
         todo = [n for n in qs if n not in verified]
     todo.sort(key=lambda n: secs.get(n, 0.0))
@@ -105,6 +250,7 @@ def main() -> int:
         pass
     failed = list(state.get("failed", []))
     timeouts = list(state.get("oracle_timeouts", []))
+    sampled_ok = set(state.get("verified_sampled", []))
 
     def _flush(note: str) -> None:
         sf_name = os.path.basename(args.sf_dir.rstrip("/"))
@@ -117,6 +263,7 @@ def main() -> int:
             "oracle_timeouts": sorted(set(timeouts)),
             "note": note,
             "verified": sorted(verified),
+            "verified_sampled": sorted(sampled_ok),
         }
         tmp = args.out + ".tmp"
         with open(tmp, "w") as fh:
@@ -131,14 +278,84 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
 
+    if not args.no_cte_cache:
+        from uber_data_pipeline_spark.queries.training import _SHINGLES_CTE
+
+        if any(_SHINGLES_CTE in oracles.get(n, "") for n in todo):
+            t0 = time.monotonic()
+            oracles = _install_oracle_caches(con, oracles)
+            print(
+                f"oracle CTE caches built in {time.monotonic() - t0:.0f}s",
+                flush=True,
+            )
+
     spark = get_spark(app_name="udp-sf-gate")
     spark.sparkContext.setLogLevel("ERROR")
 
     note = (
         "cheap-first resumable sweep (tools/sf_gate.py); includes the "
         "entries of CORRECTNESS_sf1_partial.json; oracle_timeouts are "
-        "DuckDB-side recompute cost, not engine failures"
+        "DuckDB-side recompute cost, not engine failures; "
+        "verified_sampled = full-corpus Spark result compared on the "
+        "vec_id % sample_mod == 0 query slice (rows exact, coverage "
+        "sampled) because the full oracle is quadratic DuckDB-side"
     )
+    if args.sampled:
+        specs = _sampled_specs(args.sample_mod)
+        names = [n for n in qs if n in specs and n not in verified]
+        if args.only:
+            names = [n for n in names if n in set(args.only)]
+        for name in names:
+            if time.monotonic() - t_start > args.budget:
+                note += "; sampled pass stopped on time budget"
+                break
+            t0 = time.monotonic()
+            o_sql, row_filter = specs[name]
+            try:
+                sdf = row_filter(
+                    qs[name](spark, args.sf_dir).toPandas()
+                ).reset_index(drop=True)
+            except Exception as e:  # noqa: BLE001
+                failed.append(name)
+                print(f"FAIL {name} (sampled): spark error: {e}", flush=True)
+                spark.catalog.clearCache()
+                _flush(note)
+                continue
+            try:
+                odf = _run_oracle(con, o_sql, args.oracle_timeout)
+            except Exception as e:  # noqa: BLE001
+                msg = str(e)
+                if "INTERRUPT" in msg.upper() or "interrupted" in msg:
+                    timeouts.append(name)
+                    print(f"SKIP {name} (sampled): oracle timeout", flush=True)
+                else:
+                    failed.append(name)
+                    print(f"FAIL {name} (sampled): oracle error: {e}", flush=True)
+                spark.catalog.clearCache()
+                _flush(note)
+                continue
+            problems = compare(name, sdf, odf)
+            spark.catalog.clearCache()
+            if problems:
+                failed.append(name)
+                print(f"FAIL {name} (sampled): " + "; ".join(problems), flush=True)
+            else:
+                sampled_ok.add(name)
+                dt = time.monotonic() - t0
+                print(
+                    f"PASS {name} (sampled 1/{args.sample_mod}, "
+                    f"{len(sdf)} rows, {dt:.1f}s)",
+                    flush=True,
+                )
+            _flush(note)
+        _flush(note)
+        print(
+            f"\nsampled-verified {len(sampled_ok)}; failed={sorted(set(failed))};"
+            f" oracle_timeouts={sorted(set(timeouts))}"
+        )
+        spark.stop()
+        return 1 if failed else 0
+
     for name in todo:
         if time.monotonic() - t_start > args.budget:
             note += "; stopped on time budget"

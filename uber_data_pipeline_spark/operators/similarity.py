@@ -399,10 +399,15 @@ def semantic_dedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
     )
 
 
-def sql_semantic_dedup(tau: float = SEMDEDUP_TAU) -> str:
+def sql_semantic_dedup(
+    tau: float = SEMDEDUP_TAU, query_pred: str = "TRUE"
+) -> str:
     """DuckDB replay of :func:`semantic_dedup`: same decimal-exact
     centroids, same rounded assignment cosine and rank order, and the
-    greedy drop as one EXISTS over higher-priority cellmates."""
+    greedy drop as one EXISTS over higher-priority cellmates.
+    ``query_pred`` restricts the OUTER rows over ``a.vec_id`` for the
+    sampled big-SF replay (each row's kept flag only reads its own
+    cellmates, so sampled rows are exact)."""
     from uber_data_pipeline_spark.functions.vectors import cosine_duck
 
     return f"""
@@ -438,6 +443,7 @@ def sql_semantic_dedup(tau: float = SEMDEDUP_TAU) -> str:
                          >= {tau}
                ) AS kept
         FROM assign a
+        WHERE {query_pred}
     """
 
 
@@ -1028,10 +1034,14 @@ def ivfpq_recall(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
     return _recall_vs_exact(emb, approx, k)
 
 
-def sql_ivfpq_topk(k: int, nprobe: int = IVF_NPROBE) -> str:
+def sql_ivfpq_topk(
+    k: int, nprobe: int = IVF_NPROBE, query_pred: str = "TRUE"
+) -> str:
     """DuckDB replay of :func:`ivfpq_topk`: same centroid CTEs as the
     IVF oracle, same codebook CTEs as the PQ oracle, ADC as the same
-    fixed-order 4-term add over the (s, code)-ordered lookup list."""
+    fixed-order 4-term add over the (s, code)-ordered lookup list.
+    ``query_pred`` restricts the probe (query) side over ``vec_id``
+    for the sampled big-SF replay (per-query results unchanged)."""
     from uber_data_pipeline_spark.functions.vectors import cosine_duck
 
     lo = f"(s * {PQ_SUBDIM} + 1)"
@@ -1091,7 +1101,8 @@ def sql_ivfpq_topk(k: int, nprobe: int = IVF_NPROBE) -> str:
         ), adc AS (
             SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
                    round({adc_expr}, {PQ_DIST_ROUND}) AS adc
-            FROM (SELECT vec_id, cell FROM cranked WHERE crk <= {nprobe}) p
+            FROM (SELECT vec_id, cell FROM cranked
+                  WHERE crk <= {nprobe} AND {query_pred}) p
             JOIN (SELECT vec_id, cell FROM cranked WHERE crk = 1) a
               ON a.cell = p.cell AND a.vec_id != p.vec_id
             JOIN codes c ON c.vec_id = a.vec_id

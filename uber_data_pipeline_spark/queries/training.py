@@ -401,14 +401,20 @@ QUERIES = {
 # ---------------------------------------------------------------- oracles
 
 
-def _sql_ann_exact(k: int) -> str:
+def _sql_ann_exact(k: int, query_pred: str = "TRUE") -> str:
     """Exact brute-force top-k oracle, parameterized on k so the
-    recall evaluation can replay it at the LSH k."""
+    recall evaluation can replay it at the LSH k. ``query_pred`` is a
+    SQL boolean over ``a.vec_id`` restricting the QUERY side — the
+    sampled-key-range replay tools/sf_gate.py uses where the full n^2
+    oracle is out of DuckDB's budget at big SFs (results for the
+    sampled queries are exact and unchanged: per-query rankings are
+    independent)."""
     return f"""
         WITH scored AS (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                    {cosine_duck("a.embedding", "b.embedding")} AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+            WHERE {query_pred}
         ), ranked AS (
             SELECT query_id, neighbor_id, cosine,
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -419,9 +425,10 @@ def _sql_ann_exact(k: int) -> str:
     """
 
 
-def _sql_ann_lsh(k: int) -> str:
+def _sql_ann_lsh(k: int, query_pred: str = "TRUE") -> str:
     """SRP-bucketed top-k oracle, parameterized on k (same SRP
-    derivation as the engine: md5-parity hyperplanes)."""
+    derivation as the engine: md5-parity hyperplanes). ``query_pred``
+    restricts the query side over ``a.vec_id`` (sampled replay)."""
     return f"""
         WITH be AS (
             SELECT vec_id, embedding,
@@ -431,6 +438,7 @@ def _sql_ann_lsh(k: int) -> str:
             SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
                    {cosine_duck("a.embedding", "b.embedding")} AS cosine
             FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+            WHERE {query_pred}
         ), ranked AS (
             SELECT query_id, bucket, neighbor_id, cosine,
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -471,9 +479,11 @@ _MINHASH_CTE = f"""
     )
 """
 
-def _sql_ann_ivf(k: int) -> str:
+def _sql_ann_ivf(k: int, query_pred: str = "TRUE") -> str:
     """IVF top-k oracle (decimal-exact centroids, nprobe cells,
-    rerank), parameterized on k for the recall composition."""
+    rerank), parameterized on k for the recall composition.
+    ``query_pred`` restricts the probe (query) side over ``vec_id``
+    (sampled replay)."""
     return f"""
         WITH pos AS (
             -- constant dim (64 at every SF): DuckDB's range() can't
@@ -498,7 +508,8 @@ def _sql_ann_ivf(k: int) -> str:
             FROM scored
         ), cand AS (
             SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
-            FROM (SELECT vec_id, cell FROM ranked WHERE crk <= {similarity.IVF_NPROBE}) p
+            FROM (SELECT vec_id, cell FROM ranked
+                  WHERE crk <= {similarity.IVF_NPROBE} AND {query_pred}) p
             JOIN (SELECT vec_id, cell FROM ranked WHERE crk = 1) a
               ON a.cell = p.cell AND a.vec_id != p.vec_id
         ), rescored AS (
