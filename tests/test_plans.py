@@ -59,6 +59,14 @@ SCALAR_BROADCAST_OK = {
     "ann_ivf_topk",
     # same k-row centroid broadcast, via the embedded ivf_topk side
     "ann_ivf_recall",
+    # same coarse-quantizer centroid broadcast + the 32-row PQ
+    # codebook broadcast (both fixed model cardinality)
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
+    # the same centroid broadcast feeding the cell assignment
+    "dedup_semantic_cluster",
+    # 32-row PQ codebook broadcast onto the subvector scan
+    "embeddings_pq_encode",
     # one-row mean-value threshold broadcast onto the reduced per-part agg
     "tpch_q11_important_stock",
     # k-row centroid model broadcast onto the vector scan (same shape
