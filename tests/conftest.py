@@ -25,6 +25,7 @@ def spark():
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = os.path.join(SF_DIR, f"{t}.parquet")
         if os.path.exists(p):

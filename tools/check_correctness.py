@@ -30,6 +30,7 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
     con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):

@@ -58,6 +58,7 @@ def copies_sql(n: int) -> str:
 def gen(out_dir: str, n_copies: int = 10) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     off = "i * {k}".format(k=KEY_OFFSET)
 
     plans = {

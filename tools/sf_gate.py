@@ -200,12 +200,27 @@ def _sampled_specs(mod: int) -> dict:
 
 def _run_oracle(con, sql: str, timeout: float):
     """DuckDB execute with a wall cap: a Timer fires con.interrupt()
-    so one pathological recompute can't absorb the whole budget."""
-    timer = threading.Timer(timeout, con.interrupt)
+    so one pathological recompute can't absorb the whole budget.
+
+    The interrupt is guarded by a lock + in-flight flag: without it, a
+    query finishing at ~the timeout can race timer.cancel() and leave a
+    pending interrupt that aborts the NEXT oracle (mis-recorded as a
+    timeout for the wrong entry)."""
+    lock = threading.Lock()
+    state = {"in_flight": True}
+
+    def _maybe_interrupt():
+        with lock:
+            if state["in_flight"]:
+                con.interrupt()
+
+    timer = threading.Timer(timeout, _maybe_interrupt)
     timer.start()
     try:
         return con.execute(sql).df()
     finally:
+        with lock:
+            state["in_flight"] = False
         timer.cancel()
 
 
@@ -271,6 +286,9 @@ def main() -> int:
         os.replace(tmp, args.out)
 
     con = duckdb.connect()
+    # Spill outside the repo: DuckDB's default temp_directory is cwd-relative
+    # (".tmp"), which once swept 7.6 GB of spill files into a git snapshot.
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = os.path.join(args.sf_dir, f"{t}.parquet")
         if os.path.exists(p):

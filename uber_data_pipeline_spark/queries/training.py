@@ -284,7 +284,7 @@ QUERIES = {
         _emb(spark, sf), ANN_K
     ),
     # FAISS-style IVFADC: compressed (PQ-coded) cell members scored by
-    # asymmetric distance, 2k shortlist, exact rerank — the index
+    # asymmetric distance, IVFPQ_SHORTLIST_FACTOR*k shortlist, exact rerank — the index
     # shape a 100 TB embedding corpus serves from, plus its recall gate
     "ann_ivfpq_topk": lambda spark, sf: similarity.ivfpq_topk(
         _emb(spark, sf), ANN_K
