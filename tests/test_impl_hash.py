@@ -1,0 +1,61 @@
+"""Implementation-aware rotation (VERDICT r4 item 4)."""
+
+from uber_data_pipeline_spark.queries import (
+    _last_green_round,
+    _modules,
+    all_oracles,
+    all_queries,
+    impl_hash,
+)
+
+
+def _registry():
+    fns, sqls = {}, {}
+    for mod in _modules():
+        fns.update(mod.QUERIES)
+        sqls.update(mod.ORACLES)
+    return fns, sqls
+
+
+def test_entry_hash_deterministic_and_oracle_sensitive():
+    fns, sqls = _registry()
+    name = "dedup_exact"
+    h1 = impl_hash.entry_hash(fns[name], sqls[name])
+    h2 = impl_hash.entry_hash(fns[name], sqls[name])
+    assert h1 == h2
+    assert impl_hash.entry_hash(fns[name], sqls[name] + " -- changed") != h1
+
+
+def test_dep_functions_reach_operator_module():
+    fns, _ = _registry()
+    deps = impl_hash.dep_functions(fns["dedup_embedding_cosine"])
+    names = {f.__qualname__ for f in deps}
+    assert "cosine_pairs_banded" in names
+
+
+def test_hash_mismatch_refronts_entry():
+    """Every green-rowed entry whose recorded hash mismatches its
+    current implementation must sort before all hash-valid entries."""
+    fns, sqls = _registry()
+    greens = _last_green_round()
+    recorded = impl_hash.recorded_hashes()
+    order = list(all_queries())
+    invalid = [
+        n
+        for n in order
+        if n in greens
+        and recorded.get(n) != impl_hash.entry_hash(fns[n], sqls.get(n, ""))
+    ]
+    if invalid:
+        cutoff = max(order.index(n) for n in invalid)
+        valid_before = [
+            n for n in order[:cutoff] if n in recorded and n not in invalid
+        ]
+        assert not valid_before, valid_before
+
+
+def test_query_and_oracle_rotation_orders_agree():
+    q = list(all_queries())
+    o = list(all_oracles())
+    pos = {n: i for i, n in enumerate(q)}
+    assert o == sorted(o, key=lambda n: pos[n])

@@ -71,8 +71,45 @@ def _bench_seconds() -> dict[str, float]:
         return {}
 
 
-def _rotated(items: dict) -> dict:
+_EFFECTIVE_GREENS: dict[str, int] | None = None
+
+
+def _effective_greens() -> dict[str, int]:
+    """Last-green round per name, invalidated on implementation change.
+
+    A green row only counts if the entry's CURRENT implementation hash
+    matches the hash recorded (tools/impl_hashes.json) when the driver
+    verified it — an entry rewritten in place re-fronts even though its
+    name has an old green row (VERDICT r4 item 4).  Computed once per
+    process from the canonical module maps so all_queries() and
+    all_oracles() sort identically.
+    """
+    global _EFFECTIVE_GREENS
+    if _EFFECTIVE_GREENS is not None:
+        return _EFFECTIVE_GREENS
+    from uber_data_pipeline_spark.queries import impl_hash
+
     greens = _last_green_round()
+    recorded = impl_hash.recorded_hashes()
+    fns: dict = {}
+    sqls: dict[str, str] = {}
+    for mod in _modules():
+        fns.update(mod.QUERIES)
+        sqls.update(mod.ORACLES)
+    out: dict[str, int] = {}
+    for n, fn in fns.items():
+        if n in greens and recorded.get(n) == impl_hash.entry_hash(
+            fn, sqls.get(n, "")
+        ):
+            out[n] = greens[n]
+        else:
+            out[n] = -1
+    _EFFECTIVE_GREENS = out
+    return out
+
+
+def _rotated(items: dict) -> dict:
+    greens = _effective_greens()
     secs = _bench_seconds()
     names = list(items)
     order = {n: i for i, n in enumerate(names)}
