@@ -538,7 +538,17 @@ def cosine_pairs_banded(
     dedups pairs that collided in several bands. Candidate work is
     bucket-local — there is no n_blocks x n_blocks cell fan-out and
     no O(n^2) compute when srp_band_plan prunes; see srp_band_plan's
-    docstring for the τ-dependent honesty about when it can't."""
+    docstring for the τ-dependent honesty about when it can't.
+
+    The verify stage streams SORTED partitions through mapInPandas and
+    splits groups at (band, bucket) run boundaries, instead of
+    per-group applyInPandas: the τ=0.8 plan makes n_bands * 2^band_bits
+    = 26k groups of ~n/2^band_bits rows, and per-group harness overhead
+    (one pandas frame + one Python call per group) dominated the bench
+    at small SF (VERDICT r4 item 2). Memory stays bounded by one Arrow
+    batch + one carried group, never the whole partition; the gemm is
+    still invoked once per group on the same row data, so scores are
+    bit-identical to the per-group path."""
     if n_bands is None or band_bits is None:
         r, bands, prunes = srp_band_plan(threshold)
         if not prunes:
@@ -548,18 +558,66 @@ def cosine_pairs_banded(
         "vec_id", "embedding", F.posexplode("band_buckets").alias("band", "bucket")
     )
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
-        if len(pdf) < 2:
-            return empty
-        mat = _normalize(_stack(pdf["embedding"]))
-        sims = np.round(mat @ mat.T, COSINE_ROUND)
+    def _score_runs(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Emit qualifying pairs for every (band, bucket) run in a
+        frame whose rows are sorted by (band, bucket)."""
+        keys = pdf[["band", "bucket"]].to_numpy()
+        change = np.any(keys[1:] != keys[:-1], axis=1)
+        bounds = np.concatenate(([0], np.nonzero(change)[0] + 1, [len(pdf)]))
+        mats = _normalize(_stack(pdf["embedding"]))
         ids = pdf["vec_id"].to_numpy()
-        i, j = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame({"vec_a": ids[i], "vec_b": ids[j], "cosine": sims[i, j]})
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            mat = mats[s:e]
+            sims = np.round(mat @ mat.T, COSINE_ROUND)
+            gi = ids[s:e]
+            i, j = np.nonzero((sims >= threshold) & (gi[:, None] < gi[None, :]))
+            if len(i):
+                out_a.append(gi[i])
+                out_b.append(gi[j])
+                out_c.append(sims[i, j])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
 
-    candidates = bucketed.groupBy("band", "bucket").applyInPandas(
-        score, "vec_a long, vec_b long, cosine double"
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # the trailing (band, bucket) run may continue in the next
+            # batch — hold it back
+            tail = (
+                (pdf["band"] == pdf["band"].iat[-1])
+                & (pdf["bucket"] == pdf["bucket"].iat[-1])
+            ).to_numpy()[::-1].cumprod().sum()
+            carry = pdf.iloc[len(pdf) - int(tail) :]
+            body = pdf.iloc[: len(pdf) - int(tail)]
+            if len(body):
+                yield _score_runs(body)
+        if carry is not None and len(carry):
+            yield _score_runs(carry)
+
+    candidates = (
+        bucketed.repartition("band", "bucket")
+        .sortWithinPartitions("band", "bucket")
+        .mapInPandas(verify, "vec_a long, vec_b long, cosine double")
     )
     # a qualifying pair surfaces once per colliding band with an
     # IDENTICAL cosine (same float inputs, same gemm rounding), so
