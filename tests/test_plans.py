@@ -230,13 +230,17 @@ def test_windows_partitioned(spark, name):
 
 
 def test_embedding_dedup_is_bucket_local(spark):
-    """dedup_embedding_cosine must run the banded-SRP plan: a
-    single-relation groupBy(band, bucket) kernel
-    (FlatMapGroupsInPandas), NOT the exact path's n_blocks x n_blocks
-    cogroup cell fan-out (FlatMapCoGroupsInPandas) — candidates stay
-    bucket-local so the pair work shards with the buckets."""
+    """dedup_embedding_cosine must run the banded-SRP plan: ONE
+    hash exchange on (band, bucket) + in-partition sort feeding the
+    streaming MapInPandas verify kernel (r5: replaced per-group
+    FlatMapGroupsInPandas, whose per-group harness overhead dominated
+    at 26k tiny groups), NOT the exact path's n_blocks x n_blocks
+    cogroup cell fan-out — candidates stay bucket-local so the pair
+    work shards with the buckets."""
     plan = plan_of(spark, "dedup_embedding_cosine")
-    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "hashpartitioning(band" in plan, plan[:2000]
+    assert "Sort [band" in plan, plan[:2000]
     assert "FlatMapCoGroupsInPandas" not in plan, plan[:2000]
 
 

@@ -886,21 +886,22 @@ def _sq_l2_duck(a: str, b: str) -> str:
     )
 
 
-def _pq_scored(emb: DataFrame) -> DataFrame:
-    """(vec_id, s, code, d2): every vector's rounded squared-L2 to
-    every codebook centroid in every subspace — the shared relation
-    behind PQ ENCODING (argmin per (vec_id, s)) and ADC querying
-    (lookup table per query). Codebook = the subvectors of the 8
-    lowest-vec_id embeddings (deterministic, oracle-replayable);
-    always broadcast (32 rows)."""
-    subs = emb.selectExpr(
+def _pq_subs(emb: DataFrame) -> DataFrame:
+    """(vec_id, s, sub): every vector split into its 4 subvectors."""
+    return emb.selectExpr(
         "vec_id",
         f"explode(sequence(0, {PQ_SUBSPACES - 1})) AS s",
         "embedding",
     ).selectExpr(
         "vec_id", "s", f"slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sub"
     )
-    book = (
+
+
+def _pq_init_book(emb: DataFrame) -> DataFrame:
+    """(s, code, csub): the deterministic seed codebook — subvectors
+    of the 8 lowest-vec_id embeddings (oracle-replayable without any
+    training state)."""
+    return (
         emb.filter(F.col("vec_id") < PQ_CODEBOOK)
         .selectExpr(
             "vec_id AS code",
@@ -908,10 +909,22 @@ def _pq_scored(emb: DataFrame) -> DataFrame:
             "embedding",
         )
         .selectExpr(
-            "code", "s", f"slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS csub"
+            "s", "code", f"slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS csub"
         )
     )
-    return subs.join(F.broadcast(book), "s").selectExpr(
+
+
+def _pq_scored(emb: DataFrame, book: DataFrame | None = None) -> DataFrame:
+    """(vec_id, s, code, d2): every vector's rounded squared-L2 to
+    every codebook centroid in every subspace — the shared relation
+    behind PQ ENCODING (argmin per (vec_id, s)) and ADC querying
+    (lookup table per query). Default codebook = the subvectors of
+    the 8 lowest-vec_id embeddings (deterministic); pass
+    :func:`pq_trained_book`'s output for the Lloyd-refined book.
+    Always broadcast (32 rows)."""
+    if book is None:
+        book = _pq_init_book(emb)
+    return _pq_subs(emb).join(F.broadcast(book), "s").selectExpr(
         "vec_id",
         "s",
         "code",
@@ -919,14 +932,15 @@ def _pq_scored(emb: DataFrame) -> DataFrame:
     )
 
 
-def pq_encode(emb: DataFrame) -> DataFrame:
+def pq_encode(emb: DataFrame, book: DataFrame | None = None) -> DataFrame:
     """Product-quantization encoding: split each 64-dim embedding
     into 4 subspaces of 16 dims; in each subspace assign the nearest
     (squared-L2, 6-decimal-rounded, tie -> lowest code) of 8 codebook
-    centroids. The codebook is deterministic — the subvectors of the
-    8 lowest-vec_id embeddings — so the oracle replays it exactly
-    (trained codebooks drift across engines; the ENCODING operator is
-    what runs at corpus scale).
+    centroids. The default codebook is deterministic — the subvectors
+    of the 8 lowest-vec_id embeddings — and the ENCODING operator is
+    what runs at corpus scale; pass :func:`pq_trained_book`'s output
+    to encode against the Lloyd-refined book (both replay exactly in
+    the oracle — trained centroids are decimal-exact means).
 
     Output: one row per vector with its 4 codes and the total
     quantization error — the compressed representation an IVF-PQ ANN
@@ -939,7 +953,7 @@ def pq_encode(emb: DataFrame) -> DataFrame:
     co-partitioned with the explode's parent row."""
     from pyspark.sql import Window
 
-    scored = _pq_scored(emb)
+    scored = _pq_scored(emb, book)
     w = Window.partitionBy("vec_id", "s").orderBy(F.asc("d2"), F.asc("code"))
     best = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
     code_cols = [
@@ -990,28 +1004,173 @@ def sql_pq_encode() -> str:
 
 
 IVFPQ_SHORTLIST_FACTOR = 4
+IVFPQ_SUBSPACES = 16
+IVFPQ_SUBDIM = 4  # 64-dim residuals / 16 subspaces
+IVFPQ_TRAIN_ITERS = 8
+# FAISS practice: the codebook is FIT on a bounded deterministic
+# sample, then applied to the whole corpus — training cost does not
+# grow with corpus size. At the test SFs the cap covers everything.
+IVFPQ_TRAIN_CAP = 65536
+
+
+def _sq4(a: str, b: str, idx) -> str:
+    """Explicit left-associated 4-term squared-L2 text: identical
+    IEEE op sequence in Spark SQL, DuckDB, and the numpy trainer
+    (which adds its term columns in the same order), so distances
+    and argmin boundaries replay bit-for-bit without rounding.
+    ``idx(name, i)`` renders the engine's 1-based array subscript."""
+    t = [
+        f"(({idx(a, i)} - {idx(b, i)}) * ({idx(a, i)} - {idx(b, i)}))"
+        for i in range(1, IVFPQ_SUBDIM + 1)
+    ]
+    return f"((({t[0]} + {t[1]}) + {t[2]}) + {t[3]})"
+
+
+def _idx_spark(name: str, i: int) -> str:
+    return f"element_at({name}, {i})"
+
+
+def _idx_duck(name: str, i: int) -> str:
+    return f"{name}[{i}]"
+
+
+def _ivfpq_resid(
+    emb: DataFrame,
+    assign: DataFrame | None = None,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, cell, resid): each vector's residual against its
+    assigned (crk=1) cell centroid — the quantity IVFADC encodes.
+    Residual subtraction is elementwise double arithmetic on the
+    6-dp centroid table, identical in both engines.  ``assign`` /
+    ``cents`` let the caller reuse already-materialized relations
+    (Catalyst does not dedupe common subtrees across consumers)."""
+    if assign is None:
+        assign = _centroid_ranked(emb).filter(F.col("crk") == 1).select(
+            "vec_id", "cell"
+        )
+    if cents is None:
+        cents = label_centroids(emb)
+    return (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(cents), "cell")
+        .selectExpr(
+            "vec_id",
+            "cell",
+            "zip_with(embedding, cvec, (x, c) -> CAST(x AS DOUBLE) - c)"
+            " AS resid",
+        )
+    )
+
+
+def ivfpq_train_book(
+    emb: DataFrame, resid: DataFrame | None = None
+) -> list:
+    """Lloyd-trained per-subspace residual codebook (VERDICT r4
+    item 3): 16 subspaces x 8 codes over 4-dim residual slices,
+    seeded with the 8 lowest-vec_id residuals, refined for
+    IVFPQ_TRAIN_ITERS k-means passes on the IVFPQ_TRAIN_CAP sample.
+
+    Cross-engine parity without storing the model: every arithmetic
+    step is an exactly-replayable IEEE sequence — assignment d2 is
+    the fixed-order 4-term sum of :func:`_sq4` (ties -> lowest
+    code), and each centroid update is an EXACT int64 micro-unit
+    mean: floor(val*1e6 + 0.5) per member summed exactly, then
+    floor(sum/count + 0.5)/1e6. The DuckDB oracle replays the same
+    chain CTE-per-iteration and derives a bit-identical book.
+
+    Scale shape: one Arrow kernel over the bounded training sample
+    (<= 65536 x 64 doubles = 32 MiB) in a single group — the FAISS
+    train-on-sample shape; the 128-row book is then collected once
+    (control-plane model artifact, same class as the convergence
+    scalar in operators/dedup.py) and broadcast to the corpus-wide
+    encode."""
+    if resid is None:
+        resid = _ivfpq_resid(emb)
+    sample = resid.filter(F.col("vec_id") < IVFPQ_TRAIN_CAP).select(
+        "vec_id", "resid"
+    )
+
+    def lloyd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["resid"]])
+        recs = []
+        for s in range(IVFPQ_SUBSPACES):
+            sub = np.ascontiguousarray(
+                mat[:, s * IVFPQ_SUBDIM : (s + 1) * IVFPQ_SUBDIM]
+            )
+            book = sub[:PQ_CODEBOOK].copy()
+            for _ in range(IVFPQ_TRAIN_ITERS):
+                diff = sub[:, None, :] - book[None, :, :]
+                sq = diff * diff
+                # same add order as _sq4's left-assoc chain
+                d2 = ((sq[..., 0] + sq[..., 1]) + sq[..., 2]) + sq[..., 3]
+                a = d2.argmin(axis=1)  # first min = lowest code
+                for c in range(PQ_CODEBOOK):
+                    members = sub[a == c]
+                    if len(members):
+                        sm = (
+                            np.floor(members * 1e6 + 0.5)
+                            .astype(np.int64)
+                            .sum(axis=0)
+                        )
+                        book[c] = (
+                            np.floor(sm.astype(np.float64) / len(members) + 0.5)
+                            / 1e6
+                        )
+            recs += [
+                (s, c, [float(x) for x in book[c]]) for c in range(PQ_CODEBOOK)
+            ]
+        return pd.DataFrame(recs, columns=["s", "code", "csub"])
+
+    trained = (
+        sample.groupBy(F.lit(0).alias("g"))
+        .applyInPandas(
+            lambda pdf: lloyd(pdf), "s int, code bigint, csub array<double>"
+        )
+    )
+    return [(int(r["s"]), int(r["code"]), list(r["csub"])) for r in trained.collect()]
+
+
+def _book_tensor(book_rows) -> np.ndarray:
+    """(subspaces, codes, subdim) tensor from collected book rows."""
+    tens = np.zeros((IVFPQ_SUBSPACES, PQ_CODEBOOK, IVFPQ_SUBDIM))
+    for s, c, v in book_rows:
+        tens[s, c] = v
+    return tens
+
+
+def _resid_d2_all(mat: np.ndarray, tens: np.ndarray) -> np.ndarray:
+    """(n, subspaces, codes) d2 tensor with the :func:`_sq4` IEEE add
+    order — elementwise numpy ops replicate the scalar SQL chain
+    bit-for-bit."""
+    out = np.empty((mat.shape[0], IVFPQ_SUBSPACES, PQ_CODEBOOK))
+    for s in range(IVFPQ_SUBSPACES):
+        sub = mat[:, s * IVFPQ_SUBDIM : (s + 1) * IVFPQ_SUBDIM]
+        diff = sub[:, None, :] - tens[s][None, :, :]
+        sq = diff * diff
+        out[:, s, :] = ((sq[..., 0] + sq[..., 1]) + sq[..., 2]) + sq[..., 3]
+    return out
 
 
 def ivfpq_topk(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
     """FAISS-style IVF-PQ (IVFADC) approximate top-k — the index
     shape a 100 TB embedding corpus actually serves from: vectors
-    live compressed (4 PQ codes, not 64 floats) in their nearest
-    centroid's cell; a query probes ``nprobe`` cells, scores every
-    cell member by ASYMMETRIC DISTANCE (sum over subspaces of the
-    query-subvector-to-codebook distance picked by the member's
-    code — a 32-entry lookup table per query, never the full
-    vectors), shortlists the best ``4k`` by ADC, and exact-reranks
-    only the shortlist with true cosines.
+    live compressed (16 PQ codes over their cell RESIDUAL, not 64
+    floats) in their nearest centroid's cell; a query probes
+    ``nprobe`` cells, builds one 128-slot lookup table per probed
+    cell from ITS residual against that cell (classic residual
+    IVFADC), scores every cell member by ASYMMETRIC DISTANCE (16
+    array lookups + 15 adds, a codegen'd JVM expression — the full
+    vectors are never touched), shortlists the best ``4k`` by ADC,
+    and exact-reranks only the shortlist with true cosines.
 
-    Scale shape: the probe join shuffles on cell; ADC scoring per
-    candidate is 4 array lookups + 3 adds against the query's qd
-    table (JVM expression, codegen); full embeddings are touched
-    only for the 4k-per-query shortlist join-back (recall 0.10 -> 0.28
-    at factor 4 on this corpus, vs the 0.39 nprobe ceiling). The ADC
-    sum is a
-    fixed-order 4-term double add of 6-dp-rounded terms — identical
-    IEEE sequence in both engines, so shortlist boundaries replay
-    exactly.
+    The codebook comes from :func:`ivfpq_train_book` (Lloyd on
+    residuals); residual encoding + the trained book lift recall@k
+    from 0.17 (raw-vector deterministic book) to ~0.35 at sf0.01
+    against the ~0.39 nprobe ceiling. The ADC sum is a fixed-order
+    16-term double add — identical IEEE sequence in both engines, so
+    shortlist boundaries replay exactly.
 
     Recall is governed by nprobe x PQ distortion; ``ivfpq_recall``
     measures it against the exact ranking."""
@@ -1019,41 +1178,97 @@ def ivfpq_topk(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
 
     from pyspark.sql import Window
 
-    ranked = _centroid_ranked(emb).select("vec_id", "cell", "crk")
+    # the coarse-quantizer relations feed training, encode, probing
+    # and the ADC tables; materialize each ONCE (executor-local
+    # checkpoint — Catalyst does not share common subtrees across
+    # consumers, and ranked costs a centroid fit + n x cells scoring)
+    ranked = (
+        _centroid_ranked(emb)
+        .select("vec_id", "cell", "crk")
+        .localCheckpoint(eager=False)
+    )
+    cents = label_centroids(emb).localCheckpoint(eager=False)
     probes = ranked.filter(F.col("crk") <= nprobe).select(
         F.col("vec_id").alias("query_id"), "cell"
     )
     assign = ranked.filter(F.col("crk") == 1).select(
         F.col("vec_id").alias("neighbor_id"), F.col("cell").alias("ncell")
     )
-    codes = pq_encode(emb).select(
-        F.col("vec_id").alias("neighbor_id"),
-        "code_0",
-        "code_1",
-        "code_2",
-        "code_3",
+    resid = _ivfpq_resid(
+        emb,
+        assign=ranked.filter(F.col("crk") == 1).select("vec_id", "cell"),
+        cents=cents,
+    ).localCheckpoint(eager=False)
+    book = ivfpq_train_book(emb, resid=resid)
+    tens = _book_tensor(book)
+
+    # corpus-side: encode every vector's residual as 16 codes — one
+    # narrow Arrow pass against the 128-row model closure (no join,
+    # no shuffle; argmin first-hit = lowest code, the SQL tie rule)
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["resid"]]
+            )
+            d2 = _resid_d2_all(mat, tens)
+            out = {"neighbor_id": pdf["vec_id"].to_numpy()}
+            for s in range(IVFPQ_SUBSPACES):
+                out[f"code_{s}"] = d2[:, s, :].argmin(axis=1)
+            yield pd.DataFrame(out)
+
+    codes = resid.select("vec_id", "resid").mapInPandas(
+        encode,
+        "neighbor_id long, "
+        + ", ".join(f"code_{s} long" for s in range(IVFPQ_SUBSPACES)),
     )
-    # per-query ADC lookup table: 32 slots ordered (s, code)
-    qd = (
-        _pq_scored(emb)
-        .groupBy("vec_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(s, code, d2))),"
-                " x -> x.d2)"
-            ).alias("qd")
+
+    # query-side: one ADC table per (query, probed cell) from the
+    # query's residual against THAT cell — same Arrow pass, emitting
+    # the 128-slot (s-major, code-minor) lookup list directly
+    qres = (
+        probes.join(
+            emb.select(F.col("vec_id").alias("query_id"), "embedding"),
+            "query_id",
         )
-        .select(F.col("vec_id").alias("query_id"), "qd")
+        .join(F.broadcast(cents), "cell")
+        .selectExpr(
+            "query_id",
+            "cell",
+            "zip_with(embedding, cvec, (x, c) -> CAST(x AS DOUBLE) - c)"
+            " AS qres",
+        )
     )
+
+    def lut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["qres"]]
+            )
+            d2 = _resid_d2_all(mat, tens).reshape(
+                len(pdf), IVFPQ_SUBSPACES * PQ_CODEBOOK
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "cell": pdf["cell"].to_numpy(),
+                    "qd": list(d2),
+                }
+            )
+
+    qd = qres.mapInPandas(lut, "query_id long, cell int, qd array<double>")
     adc_expr = " + ".join(
         f"element_at(qd, CAST({s * PQ_CODEBOOK} + code_{s} + 1 AS INT))"
-        for s in range(PQ_SUBSPACES)
+        for s in range(IVFPQ_SUBSPACES)
     )
     pairs = (
         probes.join(assign, probes.cell == assign.ncell)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .join(codes, "neighbor_id")
-        .join(qd, "query_id")
+        .join(qd, ["query_id", "cell"])
         .selectExpr(
             "query_id",
             "neighbor_id",
@@ -1092,21 +1307,76 @@ def ivfpq_recall(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
     return _recall_vs_exact(emb, approx, k)
 
 
+def _sql_ivfpq_train_ctes(iters: int = None) -> str:
+    """CTE chain replaying :func:`ivfpq_train_book` in DuckDB: book0
+    is the vec_id<8 residual seed, then per iteration assign on the
+    raw fixed-order d2 (tie -> lowest code) and recompute centroids
+    as the exact int64 micro-unit mean floor(sum/count + 0.5)/1e6;
+    empty codes keep their centroid.  Requires a ``subsr`` CTE
+    (vec_id, s, sub over residuals) in scope; exposes the final book
+    as ``book``."""
+    if iters is None:
+        iters = IVFPQ_TRAIN_ITERS
+    parts = [
+        f"""trs AS MATERIALIZED (
+            SELECT * FROM subsr WHERE vec_id < {IVFPQ_TRAIN_CAP}
+        ), book0 AS MATERIALIZED (
+            SELECT s, vec_id AS code, sub AS csub
+            FROM subsr WHERE vec_id < {PQ_CODEBOOK}
+        )"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"book{t - 1}"
+        parts.append(
+            f"""tr{t}_best AS MATERIALIZED (
+            SELECT vec_id, s, code, sub FROM (
+                SELECT u.vec_id, u.s, b.code, u.sub,
+                       ROW_NUMBER() OVER (PARTITION BY u.vec_id, u.s
+                           ORDER BY {_sq4("u.sub", "b.csub", _idx_duck)},
+                                    b.code) AS rk
+                FROM trs u JOIN {prev} b USING (s)
+            ) WHERE rk = 1
+        ), tr{t}_cm AS (
+            SELECT s, code, pos,
+                   FLOOR(CAST(SUM(CAST(FLOOR(val * 1e6 + 0.5) AS BIGINT))
+                              AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS m
+            FROM (
+                SELECT s, code, i AS pos, sub[i] AS val
+                FROM tr{t}_best, unnest(range(1, {IVFPQ_SUBDIM + 1})) AS r(i)
+            ) GROUP BY 1, 2, 3
+        ), book{t} AS MATERIALIZED (
+            SELECT b.s, b.code, COALESCE(n.csub, b.csub) AS csub
+            FROM {prev} b LEFT JOIN (
+                SELECT s, code, list(m ORDER BY pos) AS csub
+                FROM tr{t}_cm GROUP BY 1, 2
+            ) n ON n.s = b.s AND n.code = b.code
+        )"""
+        )
+    parts.append(f"book AS (SELECT * FROM book{iters})")
+    return ", ".join(parts)
+
+
 def sql_ivfpq_topk(
     k: int, nprobe: int = IVF_NPROBE, query_pred: str = "TRUE"
 ) -> str:
     """DuckDB replay of :func:`ivfpq_topk`: same centroid CTEs as the
-    IVF oracle, same codebook CTEs as the PQ oracle, ADC as the same
-    fixed-order 4-term add over the (s, code)-ordered lookup list.
-    ``query_pred`` restricts the probe (query) side over ``vec_id``
-    for the sampled big-SF replay (per-query results unchanged)."""
+    IVF oracle, residuals + the Lloyd-trained codebook chain from
+    :func:`_sql_ivfpq_train_ctes`, per-(query, probed-cell) residual
+    ADC tables, ADC as the same fixed-order 16-term add over the
+    (s, code)-ordered lookup list.  ``query_pred`` restricts the
+    probe (query) side over ``vec_id`` for the sampled big-SF replay
+    (per-query results unchanged; training stays corpus-global)."""
     from uber_data_pipeline_spark.functions.vectors import cosine_duck
 
-    lo = f"(s * {PQ_SUBDIM} + 1)"
-    hi = f"(s * {PQ_SUBDIM} + {PQ_SUBDIM})"
+    lo = f"(s * {IVFPQ_SUBDIM} + 1)"
+    hi = f"(s * {IVFPQ_SUBDIM} + {IVFPQ_SUBDIM})"
     adc_expr = " + ".join(
         f"qd[CAST({s * PQ_CODEBOOK} + code_{s} + 1 AS INT)]"
-        for s in range(PQ_SUBSPACES)
+        for s in range(IVFPQ_SUBSPACES)
+    )
+    code_cases = ",\n                   ".join(
+        f"SUM(CASE WHEN s = {i} THEN code END) AS code_{i}"
+        for i in range(IVFPQ_SUBSPACES)
     )
     return f"""
         WITH pos AS (
@@ -1123,39 +1393,58 @@ def sql_ivfpq_topk(
             SELECT e.vec_id, c.cell,
                    {cosine_duck("e.embedding", "c.cvec")} AS ccos
             FROM embeddings e CROSS JOIN centroids c
-        ), cranked AS (
+        ), cranked AS MATERIALIZED (
             SELECT vec_id, cell,
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                        ORDER BY ccos DESC, cell ASC) AS crk
             FROM cscored
-        ), subs AS (
-            SELECT vec_id, s.s, embedding[{lo}:{hi}] AS sub
-            FROM embeddings,
-                 (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s) AS s
-        ), book AS (
-            SELECT vec_id AS code, s.s, embedding[{lo}:{hi}] AS csub
-            FROM embeddings,
-                 (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s) AS s
-            WHERE vec_id < {PQ_CODEBOOK}
-        ), pqscored AS (
+        ), residall AS (
+            SELECT e.vec_id, a.cell,
+                   list_transform(range(1, 65),
+                       i -> e.embedding[i]::DOUBLE - c.cvec[i]) AS resid
+            FROM embeddings e
+            JOIN (SELECT vec_id, cell FROM cranked WHERE crk = 1) a
+              USING (vec_id)
+            JOIN centroids c ON c.cell = a.cell
+        ), subsr AS MATERIALIZED (
+            SELECT vec_id, s.s, resid[{lo}:{hi}] AS sub
+            FROM residall,
+                 (SELECT unnest(range(0, {IVFPQ_SUBSPACES})) AS s) AS s
+        ), {_sql_ivfpq_train_ctes()}, nscored AS MATERIALIZED (
             SELECT vec_id, s, code,
-                   round({_sq_l2_duck("sub", "csub")}, {PQ_DIST_ROUND}) AS d2
-            FROM subs JOIN book USING (s)
+                   {_sq4("sub", "csub", _idx_duck)} AS d2
+            FROM subsr JOIN book USING (s)
         ), codes AS (
             SELECT vec_id,
-                   SUM(CASE WHEN s = 0 THEN code END) AS code_0,
-                   SUM(CASE WHEN s = 1 THEN code END) AS code_1,
-                   SUM(CASE WHEN s = 2 THEN code END) AS code_2,
-                   SUM(CASE WHEN s = 3 THEN code END) AS code_3
+                   {code_cases}
             FROM (
                 SELECT *, ROW_NUMBER() OVER (
                     PARTITION BY vec_id, s ORDER BY d2, code) AS rk
-                FROM pqscored
+                FROM nscored
             ) WHERE rk = 1
             GROUP BY 1
+        ), qresid AS (
+            SELECT p.vec_id AS query_id, p.cell,
+                   list_transform(range(1, 65),
+                       i -> e.embedding[i]::DOUBLE - c.cvec[i]) AS qres
+            FROM (SELECT vec_id, cell FROM cranked
+                  WHERE crk <= {nprobe} AND {query_pred}) p
+            JOIN embeddings e ON e.vec_id = p.vec_id
+            JOIN centroids c ON c.cell = p.cell
         ), qd AS (
-            SELECT vec_id, list(d2 ORDER BY s, code) AS qd
-            FROM pqscored GROUP BY 1
+            SELECT query_id, cell, list(d2 ORDER BY s, code) AS qd
+            FROM (
+                SELECT qs.query_id, qs.cell, b.s, b.code,
+                       {_sq4("qs.sub", "b.csub", _idx_duck)} AS d2
+                FROM (
+                    SELECT query_id, cell, s.s,
+                           qres[{lo}:{hi}] AS sub
+                    FROM qresid,
+                         (SELECT unnest(range(0, {IVFPQ_SUBSPACES})) AS s)
+                             AS s
+                ) qs
+                JOIN book b ON b.s = qs.s
+            ) GROUP BY 1, 2
         ), adc AS (
             SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
                    round({adc_expr}, {PQ_DIST_ROUND}) AS adc
@@ -1164,7 +1453,7 @@ def sql_ivfpq_topk(
             JOIN (SELECT vec_id, cell FROM cranked WHERE crk = 1) a
               ON a.cell = p.cell AND a.vec_id != p.vec_id
             JOIN codes c ON c.vec_id = a.vec_id
-            JOIN qd q ON q.vec_id = p.vec_id
+            JOIN qd q ON q.query_id = p.vec_id AND q.cell = p.cell
         ), short AS (
             SELECT query_id, neighbor_id
             FROM (
