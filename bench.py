@@ -217,9 +217,17 @@ def main() -> int:
             "spark.sql.streaming.statefulOperator.allowMultiple",
         )
         snapshot = {k: spark.conf.get(k, None) for k in conf_keys}
+        # longest-processing-time-first: the makespan of an 8-slot
+        # pool is set by whatever long job lands last; submit the
+        # heavy entries (per the sequential timings just measured)
+        # first so the tail is short jobs, not a 6 s straggler
+        ordered = sorted(
+            entrymod.queries().items(),
+            key=lambda kv: -timings.get(kv[0], 0.0),
+        )
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=8) as pool:
-            errs = [r for r in pool.map(_run_one, entrymod.queries().items()) if r]
+            errs = [r for r in pool.map(_run_one, ordered) if r]
         concurrent_wall = round(time.perf_counter() - t0, 3)
         concurrent_errors = len(errs)
         concurrent_error_msgs = [e[:300] for e in errs[:5]]

@@ -94,3 +94,50 @@ def test_encode_codes_in_range(spark):
     # every (query, rank) pair unique, ranks within k
     bad = out.filter((F.col("rank") < 1) | (F.col("rank") > 5)).count()
     assert bad == 0
+
+
+def test_chunk_windows_boundary_math(spark):
+    """Short doc -> one chunk; long doc -> overlapping full coverage
+    with the final chunk allowed short."""
+    from uber_data_pipeline_spark.operators.textops import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_windows,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(f"w{i}" for i in range(80)))],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_windows(docs).collect()
+    }
+    assert rows[(1, 0)]["n_tokens"] == 3
+    assert len([k for k in rows if k[0] == 1]) == 1
+    # 80 tokens, size 32, stride 24 -> ceil(48/24)+1 = 3 chunks
+    n2 = [rows[k] for k in sorted(rows) if k[0] == 2]
+    assert len(n2) == 3
+    assert [r["start_pos"] for r in n2] == [1, 1 + CHUNK_STRIDE, 1 + 2 * CHUNK_STRIDE]
+    assert n2[-1]["start_pos"] + n2[-1]["n_tokens"] - 1 == 80
+    assert n2[0]["n_tokens"] == CHUNK_TOKENS
+
+
+def test_cdc_chunks_detect_shifted_passage(spark):
+    """The same passage at DIFFERENT positions in two docs must land
+    in the census (the failure mode fixed-window dedup has)."""
+    from uber_data_pipeline_spark.operators.dedup import cdc_chunk_census
+
+    shared = " ".join(f"s{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared),
+            (2, shared + " totally different tail"),
+            (3, "unrelated content entirely " + " ".join(f"u{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    out = cdc_chunk_census(docs).collect()
+    assert len(out) >= 1
+    assert all(r["n_docs"] >= 2 for r in out)
+    assert {r["min_doc"] for r in out} == {1}

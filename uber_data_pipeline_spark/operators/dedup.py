@@ -1042,3 +1042,114 @@ def lsh_pairs_incremental(
         )
         .filter(F.col("est_jaccard") >= min_est_jaccard)
     )
+
+
+# ---- content-defined chunking dedup ----------------------------------
+#
+# Fixed-size chunk dedup misses shared content the moment an edit
+# shifts it by one token; content-defined chunking (the
+# LBFS/rsync/backup-dedup family) picks chunk BOUNDARIES from the
+# content itself — a token starts a new chunk iff its hash lands in a
+# boundary residue class — so identical passages chunk identically no
+# matter where they sit in a document.
+
+CDC_DIV = 8  # boundary residue divisor -> expected chunk of 8 words
+
+
+def _word_hash_spark(col: str) -> str:
+    return (
+        f"CAST(conv(substring(md5({col}), 1, 12), 16, 10) AS bigint)"
+        " % 1000000007"
+    )
+
+
+def _word_hash_duck(col: str) -> str:
+    return (
+        "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 13), "
+        f"i -> (instr('0123456789abcdef', substring(md5({col}), i, 1)) - 1)"
+        "::BIGINT)), (h, c) -> h * 16 + c) % 1000000007"
+    )
+
+
+def cdc_chunk_census(docs: DataFrame, div: int = CDC_DIV) -> DataFrame:
+    """Shift-robust shared-passage census via content-defined
+    chunking: token i starts a chunk iff i is the first token or
+    md5-hash(token) % div == 0; chunks shared by >= 2 distinct
+    documents are reported with their spread.
+
+    Plan shape: posexplode -> row-local boundary flag (codegen md5 +
+    conv) -> per-document running chunk number (window PARTITIONED BY
+    doc — bounded by document length, never global) -> one groupBy
+    (doc, chunk) rebuilding chunk text -> one groupBy on chunk_hash
+    for the census. Two key shuffles, both on bounded or
+    uniformly-hashed keys; no pairwise comparison anywhere — the
+    cross-document matching IS the hash groupBy, so the operator is
+    linear in corpus tokens at any scale.
+
+    Returns: chunk_hash, n_docs (distinct), n_occ, min_doc."""
+    tok = docs.selectExpr(
+        "doc_id", "posexplode(split(text, ' ')) AS (pos, w)"
+    ).selectExpr(
+        "doc_id",
+        "pos",
+        "w",
+        f"CASE WHEN pos = 0 OR {_word_hash_spark('w')} % {div} = 0"
+        " THEN 1 ELSE 0 END AS flag",
+    )
+    numbered = tok.selectExpr(
+        "doc_id",
+        "pos",
+        "w",
+        "SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_no",
+    )
+    chunks = numbered.groupBy("doc_id", "chunk_no").agg(
+        F.expr(
+            "md5(concat_ws(' ', transform(array_sort(collect_list("
+            "struct(pos, w))), x -> x.w)))"
+        ).alias("chunk_hash")
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def sql_cdc_chunk_census(table: str = "documents", div: int = CDC_DIV) -> str:
+    """DuckDB twin of :func:`cdc_chunk_census` (same md5-residue
+    boundaries, same census)."""
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, g.i - 1 AS pos, toks[g.i] AS w
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM {table}),
+                 unnest(range(1, len(toks) + 1)) AS g(i)
+        ), flagged AS (
+            SELECT doc_id, pos, w,
+                   CASE WHEN pos = 0 OR ({_word_hash_duck("w")}) % {div} = 0
+                        THEN 1 ELSE 0 END AS flag
+            FROM tok
+        ), numbered AS (
+            SELECT doc_id, pos, w,
+                   SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS chunk_no
+            FROM flagged
+        ), chunks AS (
+            SELECT doc_id, chunk_no,
+                   md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+            FROM numbered GROUP BY 1, 2
+        )
+        SELECT chunk_hash,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occ,
+               MIN(doc_id) AS min_doc
+        FROM chunks
+        GROUP BY 1
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    """

@@ -292,3 +292,71 @@ def sql_token_packing(
         FROM packed
         GROUP BY lang, bucket, shard
     """
+
+
+# ---- temperature-scaled mixture weights ------------------------------
+
+
+def mixture_temperature(df: DataFrame, domain_col: str) -> DataFrame:
+    """Temperature-scaled sampling weights over ``domain_col`` — the
+    multilingual-pretraining mixture rule (alpha-sampling, Conneau &
+    Lample 2019): weight_d proportional to n_d^alpha with alpha = 0.5,
+    which up-samples rare domains relative to their natural share
+    without flattening to uniform (``domain_mixture`` is the
+    alpha -> 0 cap-at-uniform end of the same family).
+
+    alpha is FIXED at 0.5 because sqrt is a correctly-rounded IEEE
+    primitive — bit-identical in the JVM and DuckDB — while pow(x,
+    alpha) for general alpha is not; the cross-engine value-hash gate
+    is built on that guarantee. Weight normalization runs in exact
+    decimal sums (order-free) and one final deterministic 6-dp round.
+
+    Scale shape: one bounded-cardinality count aggregate (partial,
+    map-side combined), then per-domain arithmetic on the tiny report
+    relation and a 1-row broadcast total. Nothing rescans the corpus.
+
+    Returns: domain, n_docs, weight (6 dp), target_docs (the
+    corpus-sized integer allocation round(weight * total))."""
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs")
+    )
+    sq = counts.withColumn(
+        "sq", F.sqrt(F.col("n_docs").cast("double")).cast("decimal(28,10)")
+    )
+    totals = sq.agg(
+        F.sum("sq").alias("sq_total"), F.sum("n_docs").alias("total")
+    )
+    return (
+        sq.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "domain",
+            "n_docs",
+            "round(CAST(sq AS DOUBLE) / CAST(sq_total AS DOUBLE), 6)"
+            " AS weight",
+            "CAST(floor(round(CAST(sq AS DOUBLE) / CAST(sq_total AS DOUBLE),"
+            " 6) * total + 0.5) AS BIGINT) AS target_docs",
+        )
+    )
+
+
+def sql_mixture_temperature(table: str, domain_col: str) -> str:
+    """DuckDB twin of :func:`mixture_temperature` (same sqrt / exact
+    decimal normalization / 6-dp round / floor+0.5 allocation)."""
+    return f"""
+        WITH counts AS (
+            SELECT {domain_col} AS domain, COUNT(*) AS n_docs
+            FROM {table} GROUP BY 1
+        ), sq AS (
+            SELECT domain, n_docs,
+                   CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(28,10)) AS sq
+            FROM counts
+        ), totals AS (
+            SELECT SUM(sq) AS sq_total, SUM(n_docs) AS total FROM sq
+        )
+        SELECT domain, n_docs,
+               ROUND(CAST(sq AS DOUBLE) / CAST(sq_total AS DOUBLE), 6)
+                   AS weight,
+               CAST(FLOOR(ROUND(CAST(sq AS DOUBLE) / CAST(sq_total AS
+                   DOUBLE), 6) * total + 0.5) AS BIGINT) AS target_docs
+        FROM sq CROSS JOIN totals
+    """

@@ -1193,3 +1193,87 @@ def sql_udtf_top_bigrams(
         ORDER BY n DESC, gram ASC
         LIMIT {top_k}
     """
+
+
+# ---- fixed-size overlapping chunk windows ----------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def chunk_windows(
+    docs: DataFrame, size: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Split every document into fixed-size overlapping token windows
+    — the retrieval/context-packing chunker every RAG and long-context
+    training pipeline runs before embedding: chunk i covers tokens
+    [1 + i*stride, 1 + i*stride + size), the final chunk may run
+    short, and a document shorter than one window yields exactly one
+    chunk. n_chunks = ceil((len - size) / stride) + 1 (len > size).
+
+    Plan shape: row-local explode of a per-document chunk-index
+    sequence + slice — no shuffle at all; the operator is a pure
+    map at any corpus size, and chunk counts are bounded by
+    len/stride per document.
+
+    Returns: doc_id, chunk_idx, start_pos (1-based), n_tokens,
+    chunk_hash (md5 of the space-joined window)."""
+    return (
+        docs.selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr(
+            "doc_id",
+            "toks",
+            f"CASE WHEN size(toks) <= {size} THEN 1 ELSE "
+            f"CAST(ceil((size(toks) - {size}) / CAST({stride} AS DOUBLE))"
+            f" AS INT) + 1 END AS n_chunks",
+        )
+        .selectExpr(
+            "doc_id",
+            "toks",
+            "explode(sequence(0, n_chunks - 1)) AS chunk_idx",
+        )
+        .selectExpr(
+            "doc_id",
+            "chunk_idx",
+            f"chunk_idx * {stride} + 1 AS start_pos",
+            f"slice(toks, chunk_idx * {stride} + 1, {size}) AS chunk",
+        )
+        .selectExpr(
+            "doc_id",
+            "chunk_idx",
+            "CAST(start_pos AS BIGINT) AS start_pos",
+            "CAST(size(chunk) AS BIGINT) AS n_tokens",
+            "md5(concat_ws(' ', chunk)) AS chunk_hash",
+        )
+    )
+
+
+def sql_chunk_windows(
+    table: str = "documents",
+    size: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> str:
+    """DuckDB twin of :func:`chunk_windows`."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM {table}
+        ), counted AS (
+            SELECT doc_id, toks,
+                   CASE WHEN len(toks) <= {size} THEN 1 ELSE
+                        CAST(ceil((len(toks) - {size})
+                                  / CAST({stride} AS DOUBLE)) AS INT) + 1
+                   END AS n_chunks
+            FROM toks
+        ), chunks AS (
+            SELECT doc_id, g.i AS chunk_idx,
+                   list_slice(toks, g.i * {stride} + 1,
+                              g.i * {stride} + {size}) AS chunk
+            FROM counted, unnest(range(0, n_chunks)) AS g(i)
+        )
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(chunk_idx * {stride} + 1 AS BIGINT) AS start_pos,
+               CAST(len(chunk) AS BIGINT) AS n_tokens,
+               md5(array_to_string(chunk, ' ')) AS chunk_hash
+        FROM chunks
+    """

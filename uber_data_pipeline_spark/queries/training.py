@@ -36,6 +36,8 @@ from uber_data_pipeline_spark.operators.sampling import (
     bucket_duck,
     domain_mixture,
     domain_mixture_oracle,
+    mixture_temperature,
+    sql_mixture_temperature,
     sql_stratum_target_sample,
     sql_token_packing,
     stratified_sample,
@@ -54,6 +56,17 @@ COSINE_NEAR_DUP = 0.4
 # tail — there are no true high-cosine near-dups planted), so the
 # strict entry's result set is legitimately empty at every SF; the
 # tau=0.4 demo lives on as the labeled quadratic baseline entry.
+#
+# ORACLE CONTRACT (ADVICE r4): the engine runs the banded-SRP plan,
+# whose documented guarantee is probabilistic — an at-threshold pair
+# may be missed with p <= srp_band_plan's target_miss (1e-3); the
+# DuckDB oracle is the EXACT all-pairs scan. On this corpus the two
+# agree exactly (no pairs above ~0.60 exist, and tools/gen_sf.py's
+# perturbation preserves that), so the hash gate is strict. If a
+# future datagen plants true >= 0.8 pairs, a hash mismatch of up to
+# target_miss * |true pairs| missing rows is WITHIN the engine's
+# contract, not a correctness bug — re-read srp_band_plan's recall
+# math before treating such a red as a failure.
 COSINE_NEAR_DUP_STRICT = 0.8
 ANN_K = 5
 LSH_ANN_K = 3
@@ -394,6 +407,19 @@ QUERIES = {
         multimodal.attach_media(_docs(spark, sf))
     ),
     "text_sentiment": lambda spark, sf: textops.sentiment_scores(_docs(spark, sf)),
+    # shift-robust shared-passage census: content-defined chunk
+    # boundaries (md5 residue), linear in corpus tokens — the
+    # backup-dedup trick applied to training text
+    "dedup_cdc_chunks": lambda spark, sf: dedup.cdc_chunk_census(_docs(spark, sf)),
+    # RAG/context-packing chunker: fixed 32-token windows, 8-token
+    # overlap; pure row-local map, no shuffle
+    "text_chunk_windows": lambda spark, sf: textops.chunk_windows(_docs(spark, sf)),
+    # alpha=0.5 temperature mixture over lang (up-samples rare
+    # languages vs their natural share; sqrt is the one IEEE-exact
+    # cross-engine power)
+    "documents_mixture_alpha": lambda spark, sf: mixture_temperature(
+        _docs(spark, sf), "lang"
+    ),
     "dedup_containment": lambda spark, sf: dedup.containment_pairs(_docs(spark, sf)),
 }
 
@@ -970,6 +996,9 @@ ORACLES = {
     "multimodal_frame_sample": multimodal.sql_frame_sample(),
     "multimodal_metadata_pushdown": multimodal.sql_metadata_stats(),
     "text_sentiment": textops.sql_sentiment_scores(),
+    "dedup_cdc_chunks": dedup.sql_cdc_chunk_census(),
+    "text_chunk_windows": textops.sql_chunk_windows(),
+    "documents_mixture_alpha": sql_mixture_temperature("documents", "lang"),
     "dedup_containment": f"""
         WITH {_SHINGLES_CTE},
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),

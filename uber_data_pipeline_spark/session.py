@@ -87,5 +87,12 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
+        # FAIR job scheduling: a multi-tenant engine serves many
+        # queries at once; under FIFO a long multi-stage job's stages
+        # head-of-line block every later submitter, which is exactly
+        # the 8-thread concurrent-bench regression r4 measured. FAIR
+        # round-robins task slots across concurrent jobs (sequential
+        # single-job timing is unaffected — one job owns the pool).
+        .config("spark.scheduler.mode", "FAIR")
     )
     return builder.getOrCreate()
