@@ -164,7 +164,22 @@ def _sampled_specs(mod: int) -> dict:
     def by_vec_a(pdf):
         return pdf[pdf.vec_a % mod == 0]
 
+    def knn_sampled_spark(spark, sf_dir):
+        # per-LABEL aggregate: rows are not per-query, so the Spark
+        # side re-runs the operator with the SAME query restriction
+        # the oracle uses (the documented sampled-eval hook)
+        from uber_data_pipeline_spark.queries.training import _emb
+
+        return S.knn_classify(
+            _emb(spark, sf_dir), T.ANN_K, query_pred=f"query_id % {mod} = 0"
+        )
+
     return {
+        "ann_knn_classify": (
+            S.sql_knn_classify(T._sql_ann_exact(T.ANN_K, qp_a)),
+            lambda pdf: pdf,
+            knn_sampled_spark,
+        ),
         "ann_bruteforce_topk": (T._sql_ann_exact(T.ANN_K, qp_a), by_query),
         "ann_ivf_topk": (T._sql_ann_ivf(T.ANN_K, qp), by_query),
         "ann_ivfpq_topk": (
@@ -328,11 +343,16 @@ def main() -> int:
                 note += "; sampled pass stopped on time budget"
                 break
             t0 = time.monotonic()
-            o_sql, row_filter = specs[name]
+            spec = specs[name]
+            o_sql, row_filter = spec[0], spec[1]
+            spark_fn = spec[2] if len(spec) > 2 else None
             try:
-                sdf = row_filter(
-                    qs[name](spark, args.sf_dir).toPandas()
-                ).reset_index(drop=True)
+                src = (
+                    spark_fn(spark, args.sf_dir)
+                    if spark_fn is not None
+                    else qs[name](spark, args.sf_dir)
+                )
+                sdf = row_filter(src.toPandas()).reset_index(drop=True)
             except Exception as e:  # noqa: BLE001
                 failed.append(name)
                 print(f"FAIL {name} (sampled): spark error: {e}", flush=True)

@@ -1557,7 +1557,9 @@ def sql_gram_matrix(table: str = "embeddings") -> str:
 # --------------------------------------------------------- kNN classify
 
 
-def knn_classify(emb: DataFrame, k: int) -> DataFrame:
+def knn_classify(
+    emb: DataFrame, k: int, query_pred: str = "TRUE"
+) -> DataFrame:
     """k-NN label vote: each vector's label is predicted by majority
     vote of its exact top-k cosine neighbors (ties: larger vote count
     first, then smaller label), scored against the vector's own label
@@ -1571,10 +1573,16 @@ def knn_classify(emb: DataFrame, k: int) -> DataFrame:
     (query, voted-label), one rank window over vote counts — nothing
     touches the raw vectors after the top-k.
 
-    Returns per-class report: label, n, n_correct, accuracy."""
+    Returns per-class report: label, n, n_correct, accuracy.
+
+    ``query_pred`` (a SQL predicate over ``query_id``) restricts the
+    evaluated QUERY set on both engines — the sampled big-SF replay
+    hook (at 100 TB this probe runs on a deterministic query sample
+    anyway; per-query predictions are independent, so the sampled
+    report is exact over its slice)."""
     from pyspark.sql import Window
 
-    nn = brute_force_topk(emb, k)
+    nn = brute_force_topk(emb, k).filter(F.expr(query_pred))
     labels = emb.select("vec_id", "label")
     votes = (
         nn.join(
