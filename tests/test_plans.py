@@ -113,6 +113,9 @@ SCALAR_BROADCAST_OK = {
     # 1-row date-bounds aggregate crossJoined onto the 1-row
     # footer-audit frame
     "orders_range_layout",
+    # 1-row totals aggregate (sum of alpha-weighted domain masses)
+    # crossJoined onto the per-domain relation to normalize weights
+    "documents_mixture_alpha",
 }
 
 
