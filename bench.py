@@ -166,15 +166,35 @@ def main() -> int:
             pass
         spark.catalog.clearCache()
 
+    # single-shot timings on this harness swing 2-5x run-to-run (r6
+    # verdict measured a disjoint regression tail on byte-identical
+    # code), so non-trivial entries get median-of-3. The FIRST rep
+    # decides: > REP_THRESHOLD_S triggers two more reps — a noise
+    # spike on a normally-fast entry triggers reps, and the median
+    # then discards the spike. Sub-threshold entries stay 1 rep.
+    REP_THRESHOLD_S = 0.3
+    # (write-heavy entries — quarantine/compaction sinks — stay noisy
+    # even at 3 reps: their reps are consistently fast or slow WITHIN
+    # a run because they measure the filesystem, not the plan. The
+    # reps list in bench_detail.json makes that visible per entry.)
     timings: dict[str, float] = {}
+    n_reps: dict[str, int] = {}
+    all_reps: dict[str, list[float]] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # operators cache intermediates (shingle sets, edge lists) for
-        # their own multi-pass plans; drop them so no query's timing
-        # rides on or pays for another query's leftovers
-        spark.catalog.clearCache()
+        reps: list[float] = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            reps.append(round(time.perf_counter() - t0, 3))
+            # operators cache intermediates (shingle sets, edge lists)
+            # for their own multi-pass plans; drop them so no query's
+            # timing rides on or pays for another query's leftovers
+            spark.catalog.clearCache()
+            if reps[0] <= REP_THRESHOLD_S:
+                break
+        timings[name] = sorted(reps)[len(reps) // 2]
+        n_reps[name] = len(reps)
+        all_reps[name] = reps
 
     total = round(sum(timings.values()), 3)
 
@@ -193,9 +213,20 @@ def main() -> int:
 
         spark.catalog.clearCache()
 
+        import threading
+
         def _run_one(item):
             name, fn = item
             try:
+                # per-thread scheduler pool: the root FAIR scheduler
+                # shares task slots ACROSS pools, so giving each bench
+                # thread its own pool stops one thread's long
+                # multi-stage job from head-of-line blocking the other
+                # seven (local properties are per-Python-thread under
+                # pinned-thread mode, the PySpark default)
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", f"bench-{threading.get_ident()}"
+                )
                 fn(spark, sf_dir).count()
                 return None
             except Exception as e:  # noqa: BLE001
@@ -257,6 +288,8 @@ def main() -> int:
                 "queries": top10,
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "timing": "median of up to 3 reps (first rep > 0.75s triggers reps)",
+                "scheduler": os.environ.get("SPARK_GRAFT_SCHEDULER", "FAIR").upper(),
                 "concurrent_wall_s": concurrent_wall,
                 "concurrent_workers": 8,
                 "concurrent_errors": concurrent_errors,
@@ -264,8 +297,9 @@ def main() -> int:
             }
         )
     )
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_detail.json")
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
     with open(detail_path, "w") as f:
         json.dump(
             {
@@ -273,7 +307,10 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_reps": n_reps,
+                "reps": all_reps,
                 "sf": sf_val,
+                "scheduler": os.environ.get("SPARK_GRAFT_SCHEDULER", "FAIR").upper(),
                 "concurrent_wall_s": concurrent_wall,
                 "concurrent_workers": 8,
                 "concurrent_errors": concurrent_errors,

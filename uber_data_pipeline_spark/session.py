@@ -59,6 +59,9 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    scheduler_mode = os.environ.get("SPARK_GRAFT_SCHEDULER", "FIFO").upper()
+    if scheduler_mode not in ("FAIR", "FIFO"):
+        scheduler_mode = "FIFO"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
 
@@ -87,12 +90,28 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
-        # FAIR job scheduling: a multi-tenant engine serves many
-        # queries at once; under FIFO a long multi-stage job's stages
-        # head-of-line block every later submitter, which is exactly
-        # the 8-thread concurrent-bench regression r4 measured. FAIR
-        # round-robins task slots across concurrent jobs (sequential
-        # single-job timing is unaffected — one job owns the pool).
-        .config("spark.scheduler.mode", "FAIR")
+        # Job scheduling: FIFO by default, MEASURED not assumed — the
+        # r7 four-cell A/B (SCHED_AB.md; identical snapshot, median-of-3)
+        # read FIFO 156.0 s sequential / 30.0 s concurrent-8 vs
+        # properly-wired FAIR (allocation file declaring the default
+        # pool FAIR + one scheduler pool per submitter thread) at
+        # 162.5 s / 70.7 s. FAIR round-robins task slots across all
+        # concurrent jobs, which trades MAKESPAN for per-job latency
+        # fairness — the right call for interactive multi-tenant
+        # serving, the wrong default for throughput. Opt in with
+        # SPARK_GRAFT_SCHEDULER=FAIR (the allocation file below then
+        # makes same-pool jobs genuinely share, unlike the bare
+        # scheduler.mode=FAIR no-op r5/r6 flagged).
+        .config("spark.scheduler.mode", scheduler_mode)
     )
+    if scheduler_mode == "FAIR":
+        # the mode alone is not enough: with no allocation file the
+        # implicit default pool schedules its OWN jobs FIFO. Ship a
+        # declared default pool with FAIR internal mode so same-pool
+        # concurrent jobs actually share task slots.
+        builder = builder.config(
+            "spark.scheduler.allocation.file",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "fairscheduler.xml"),
+        )
     return builder.getOrCreate()
