@@ -34,25 +34,7 @@ def test_trained_book_bit_identical_to_oracle(spark):
     lo = f"(s * {S.IVFPQ_SUBDIM} + 1)"
     hi = f"(s * {S.IVFPQ_SUBDIM} + {S.IVFPQ_SUBDIM})"
     sql = f"""
-        WITH pos AS (
-            SELECT label AS cell, i AS pos, embedding[i]::DOUBLE AS val
-            FROM embeddings, unnest(range(1, 65)) AS r(i)
-        ), cmean AS (
-            SELECT cell, pos,
-                   ROUND(CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
-                         / COUNT(*), 6) AS m
-            FROM pos GROUP BY 1, 2
-        ), centroids AS (
-            SELECT cell, list(m ORDER BY pos) AS cvec FROM cmean GROUP BY 1
-        ), cscored AS (
-            SELECT e.vec_id, c.cell,
-                   {cosine_duck("e.embedding", "c.cvec")} AS ccos
-            FROM embeddings e CROSS JOIN centroids c
-        ), cranked AS (
-            SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
-                ORDER BY ccos DESC, cell ASC) AS crk
-            FROM cscored
-        ), residall AS (
+        WITH {S._sql_coarse_ctes()}, residall AS (
             SELECT e.vec_id,
                    list_transform(range(1, 65),
                        i -> e.embedding[i]::DOUBLE - c.cvec[i]) AS resid
@@ -73,16 +55,17 @@ def test_trained_book_bit_identical_to_oracle(spark):
 
 
 def test_trained_book_beats_deterministic_recall(spark):
-    """Residual encoding + the trained book must clear the r4 target:
-    mean recall@k >= 0.35 (vs ~0.39 nprobe ceiling, ~0.17 for the
-    raw-vector deterministic book)."""
+    """Residual encoding + the trained book over the sqrt(n)-cell
+    coarse quantizer must clear the r6-verdict target: mean
+    recall@k >= 0.37 (the nprobe=3 ceiling of the trained cells is
+    ~0.47 at sf0.001; measured 0.427 when this gate was raised)."""
     emb = _emb(spark, SF)
     r = (
         S.ivfpq_recall(emb, 5)
         .agg(F.avg("recall_at_k").alias("r"))
         .first()["r"]
     )
-    assert r >= 0.35, r
+    assert r >= 0.37, r
 
 
 def test_encode_codes_in_range(spark):

@@ -275,23 +275,27 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def _centroid_ranked(emb: DataFrame) -> DataFrame:
+def _centroid_ranked(emb: DataFrame, cents: DataFrame | None = None) -> DataFrame:
     """(vec_id, embedding, cell, ccos, crk): every vector's rounded
-    cosine to EVERY label centroid, ranked per vector (crk=1 is the
+    cosine to EVERY centroid, ranked per vector (crk=1 is the
     nearest-cell assignment). The assignment cosine runs as the JVM
     fold expression (identical to the oracle's), NOT the gemm kernel
     — assignment rank boundaries must match the oracle bit-for-bit —
-    and the centroid table is tiny (label cardinality, broadcast).
+    and the centroid table is tiny (model cardinality, broadcast).
     The squared norms are folded ONCE per vector and once per
     centroid; sqrt of the same fold result is the same double, so
-    ranks equal the naive three-fold cosine the oracle runs."""
+    ranks equal the naive three-fold cosine the oracle runs.
+
+    ``cents``: (cell, cvec) quantizer table; defaults to the
+    label-centroid table (the IVF/SemDeDup quantizer). The IVF-PQ
+    path passes the trained sqrt(n)-cell table instead."""
     from uber_data_pipeline_spark.functions.vectors import dot_spark
 
     from pyspark.sql import Window
 
-    cents = label_centroids(emb).withColumn(
-        "cnorm2", F.expr(dot_spark("cvec", "cvec"))
-    )
+    if cents is None:
+        cents = label_centroids(emb)
+    cents = cents.withColumn("cnorm2", F.expr(dot_spark("cvec", "cvec")))
     scored = (
         emb.withColumn("qnorm2", F.expr(dot_spark("embedding", "embedding")))
         .crossJoin(F.broadcast(cents))
@@ -1012,6 +1016,213 @@ IVFPQ_TRAIN_ITERS = 8
 # grow with corpus size. At the test SFs the cap covers everything.
 IVFPQ_TRAIN_CAP = 65536
 
+# ---- IVF-PQ coarse quantizer (r6 verdict item 5: the fixed 10-cell
+# per-label table made cell population grow linearly with the corpus —
+# BENCH_sf1 measured 10.5x wall at 10x rows. Cells now scale with
+# sqrt(n), so per-query ADC candidate volume is nprobe * sqrt(n).)
+IVFPQ_NPROBE = 3
+COARSE_TRAIN_ITERS = 4
+COARSE_TRAIN_CAP = 4096
+
+
+def auto_cells(n_rows: int) -> int:
+    """FAISS-style coarse cell count k = floor(sqrt(n) + 0.5), clamped
+    to [4, 4096]: cell population then grows as sqrt(n) instead of n,
+    keeping the probe-join candidate volume per query at
+    nprobe * sqrt(n)."""
+    return min(4096, max(4, int(math.floor(math.sqrt(max(n_rows, 0)) + 0.5))))
+
+
+def coarse_train_cells(
+    emb: DataFrame,
+    n_cells: int,
+    iters: int = COARSE_TRAIN_ITERS,
+    cap: int = COARSE_TRAIN_CAP,
+) -> list:
+    """Data-derived coarse quantizer: Lloyd k-means over MICRO-UNIT
+    int64-quantized vectors (q_j = floor(v_j * 1e6 + 0.5)) on the
+    vec_id < cap training sample — seeded with the ``n_cells`` lowest
+    vec_ids, assignment by EXACT integer squared-L2 (ties -> lowest
+    cell), centroid update the exact int mean floor(sum/count + 0.5).
+
+    Cross-engine parity without storing the model: every step is
+    either exact int64 (ORDER-FREE — no IEEE fold-order pinning
+    needed, unlike the float d2 chains elsewhere in this module) or a
+    single double op (the quantize multiply, the mean divide), so the
+    DuckDB oracle replays the trainer bit-for-bit with plain
+    SUM/list_sum aggregates (:func:`_sql_coarse_ctes`); pinned by
+    tests/test_r5_operators.py.
+
+    Scale shape: one Arrow kernel over the bounded sample (the FAISS
+    train-on-sample shape, same class as :func:`ivfpq_train_book`);
+    the k x 64 int table is collected once (control-plane model
+    artifact) and returned as rows [(cell, [int64 x 64])]."""
+    sample = emb.filter(F.col("vec_id") < cap).select("vec_id", "embedding")
+
+    def lloyd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        k = min(n_cells, len(q))
+        book = q[:k].copy()
+        for _ in range(iters):
+            # exact integer d2 via the expansion q.q - 2 q.c + c.c
+            # (argmin-equal to sum((q-c)^2), no (n, k, 64) tensor)
+            qq = (q * q).sum(axis=1)
+            cc = (book * book).sum(axis=1)
+            d2 = qq[:, None] - 2 * (q @ book.T) + cc[None, :]
+            a = d2.argmin(axis=1)  # first min = lowest cell
+            for c in range(k):
+                m = q[a == c]
+                if len(m):
+                    s = m.sum(axis=0)
+                    book[c] = np.floor(
+                        s.astype(np.float64) / len(m) + 0.5
+                    ).astype(np.int64)
+        return pd.DataFrame(
+            {"cell": list(range(k)), "qv": [book[c].tolist() for c in range(k)]}
+        )
+
+    trained = sample.groupBy(F.lit(0).alias("g")).applyInPandas(
+        lambda pdf: lloyd(pdf), "cell int, qv array<long>"
+    )
+    return [(int(r["cell"]), list(r["qv"])) for r in trained.collect()]
+
+
+def _coarse_ranked_int(emb: DataFrame, rows: list, nmax: int) -> DataFrame:
+    """(vec_id, cell, crk) for crk <= nmax: every vector's ``nmax``
+    nearest trained cells by EXACT integer micro-unit squared-L2
+    (ties -> lowest cell). The corpus vectors are unit-norm, so
+    L2-nearest tracks cosine-nearest; integer distances are order-free
+    and engine-exact, which lets this run as ONE vectorized Arrow
+    kernel (int64 gemm expansion) instead of n x k interpreted
+    64-term fold expressions — the n x k assignment scoring was the
+    new bottleneck after cells began scaling with sqrt(n) (measured
+    7.0x wall at 10x rows via the fold path, 2.8M fold evals).
+    The DuckDB twin is the ``cranked`` CTE in :func:`sql_ivfpq_topk`
+    (same ints, same tie rule)."""
+    book = np.array([qv for _, qv in sorted(rows)], dtype=np.int64)
+    nmax = min(nmax, len(book))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cc = (book * book).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+            qq = (q * q).sum(axis=1)
+            d2 = qq[:, None] - 2 * (q @ book.T) + cc[None, :]
+            # stable argsort on equal d2 keeps index (= cell id) order:
+            # the SQL "ORDER BY d2 ASC, cell ASC" tie rule
+            top = np.argsort(d2, axis=1, kind="stable")[:, :nmax]
+            n_rows = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nmax),
+                    "cell": top.ravel().astype(np.int32),
+                    "crk": np.tile(np.arange(1, nmax + 1), n_rows),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, "vec_id long, cell int, crk int"
+    )
+
+
+def coarse_cells_df(spark, rows: list) -> DataFrame:
+    """(cell, cvec double) quantizer table from trained int rows —
+    cvec_j = q_j / 1e6, one IEEE divide, identical in numpy / Python /
+    DuckDB (``x::DOUBLE / 1000000.0``)."""
+    return spark.createDataFrame(
+        [(c, [x / 1e6 for x in qv]) for c, qv in rows],
+        "cell int, cvec array<double>",
+    )
+
+
+def _sql_coarse_ctes(
+    iters: int = COARSE_TRAIN_ITERS, cap: int = COARSE_TRAIN_CAP
+) -> str:
+    """DuckDB CTE chain replaying :func:`coarse_train_cells` exactly:
+    qsample quantizes to int64 micro-units, cbook0 seeds from the k
+    lowest vec_ids (k = floor(sqrt(corpus n) + 0.5)), then per
+    iteration an integer-exact assignment (list_sum of int squares is
+    order-free) and the exact int mean update; empty cells keep their
+    centroid. Exposes ``centroids`` (cell, cvec double) for the
+    assignment CTEs downstream."""
+    parts = [
+        f"""qsample AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(range(1, 65),
+                       j -> CAST(FLOOR(embedding[j]::DOUBLE * 1000000.0 + 0.5)
+                                 AS BIGINT)) AS qv
+            FROM embeddings WHERE vec_id < {cap}
+        ), nc AS (
+            SELECT CAST(LEAST(4096, GREATEST(4,
+                       FLOOR(sqrt(COUNT(*)) + 0.5))) AS BIGINT) AS k
+            FROM embeddings
+        ), cbook0 AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                   qv
+            FROM (SELECT vec_id, qv FROM qsample
+                  ORDER BY vec_id LIMIT (SELECT k FROM nc))
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""assign{i} AS (
+            SELECT vec_id, cell FROM (
+                SELECT s.vec_id, c.cell, ROW_NUMBER() OVER (
+                    PARTITION BY s.vec_id
+                    ORDER BY list_sum(list_transform(range(1, 65),
+                        j -> (s.qv[j] - c.qv[j]) * (s.qv[j] - c.qv[j]))) ASC,
+                        c.cell ASC) AS rk
+                FROM qsample s CROSS JOIN cbook{i - 1} c
+            ) WHERE rk = 1
+        ), cm{i} AS (
+            SELECT a.cell, r.j,
+                   CAST(FLOOR(CAST(SUM(s.qv[r.j]) AS DOUBLE) / COUNT(*) + 0.5)
+                        AS BIGINT) AS qj
+            FROM assign{i} a JOIN qsample s USING (vec_id),
+                 unnest(range(1, 65)) AS r(j)
+            GROUP BY 1, 2
+        ), cbook{i} AS (
+            SELECT p.cell, COALESCE(m.qv, p.qv) AS qv
+            FROM cbook{i - 1} p LEFT JOIN (
+                SELECT cell, list(qj ORDER BY j) AS qv
+                FROM cm{i} GROUP BY 1) m USING (cell)
+        )"""
+        )
+    parts.append(
+        f"""centroids AS MATERIALIZED (
+            SELECT cell,
+                   list_transform(qv, x -> x::DOUBLE / 1000000.0) AS cvec
+            FROM cbook{iters}
+        ), qall AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(range(1, 65),
+                       j -> CAST(FLOOR(embedding[j]::DOUBLE * 1000000.0 + 0.5)
+                                 AS BIGINT)) AS qv
+            FROM embeddings
+        ), cranked AS MATERIALIZED (
+            -- integer-L2 nearest-cell ranking, the engine's
+            -- _coarse_ranked_int twin (exact ints, ties -> lowest cell)
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY d2 ASC, cell ASC) AS crk
+            FROM (
+                SELECT e.vec_id, c.cell,
+                       list_sum(list_transform(range(1, 65),
+                           j -> (e.qv[j] - c.qv[j]) * (e.qv[j] - c.qv[j])))
+                           AS d2
+                FROM qall e CROSS JOIN cbook{iters} c
+            )
+        )"""
+    )
+    return ",\n        ".join(parts)
+
 
 def _sq4(a: str, b: str, idx) -> str:
     """Explicit left-associated 4-term squared-L2 text: identical
@@ -1045,12 +1256,17 @@ def _ivfpq_resid(
     6-dp centroid table, identical in both engines.  ``assign`` /
     ``cents`` let the caller reuse already-materialized relations
     (Catalyst does not dedupe common subtrees across consumers)."""
-    if assign is None:
-        assign = _centroid_ranked(emb).filter(F.col("crk") == 1).select(
-            "vec_id", "cell"
-        )
-    if cents is None:
-        cents = label_centroids(emb)
+    if cents is None or assign is None:
+        # default to the trained sqrt(n)-cell coarse quantizer — the
+        # table ivfpq_topk residuals are encoded against — with the
+        # integer-L2 crk=1 assignment ivfpq_topk uses
+        trained = coarse_train_cells(emb, auto_cells(emb.count()))
+        if cents is None:
+            cents = coarse_cells_df(emb.sparkSession, trained)
+        if assign is None:
+            assign = _coarse_ranked_int(emb, trained, 1).select(
+                "vec_id", "cell"
+            )
     return (
         emb.join(assign, "vec_id")
         .join(F.broadcast(cents), "cell")
@@ -1153,7 +1369,7 @@ def _resid_d2_all(mat: np.ndarray, tens: np.ndarray) -> np.ndarray:
     return out
 
 
-def ivfpq_topk(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
+def ivfpq_topk(emb: DataFrame, k: int, nprobe: int = IVFPQ_NPROBE) -> DataFrame:
     """FAISS-style IVF-PQ (IVFADC) approximate top-k — the index
     shape a 100 TB embedding corpus actually serves from: vectors
     live compressed (16 PQ codes over their cell RESIDUAL, not 64
@@ -1165,15 +1381,19 @@ def ivfpq_topk(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
     vectors are never touched), shortlists the best ``4k`` by ADC,
     and exact-reranks only the shortlist with true cosines.
 
-    The codebook comes from :func:`ivfpq_train_book` (Lloyd on
-    residuals); residual encoding + the trained book lift recall@k
-    from 0.17 (raw-vector deterministic book) to ~0.35 at sf0.01
-    against the ~0.39 nprobe ceiling. The ADC sum is a fixed-order
-    16-term double add — identical IEEE sequence in both engines, so
-    shortlist boundaries replay exactly.
+    The coarse quantizer is the DATA-DERIVED sqrt(n)-cell table from
+    :func:`coarse_train_cells` (r6 verdict item 5 — the former
+    10-cell per-label table made cell population, and so ADC volume
+    per query, grow linearly with the corpus: BENCH_sf1 measured
+    10.5x wall at 10x rows). The PQ codebook comes from
+    :func:`ivfpq_train_book` (Lloyd on residuals against the trained
+    cells). The ADC sum is a fixed-order 16-term double add —
+    identical IEEE sequence in both engines, so shortlist boundaries
+    replay exactly.
 
     Recall is governed by nprobe x PQ distortion; ``ivfpq_recall``
-    measures it against the exact ranking."""
+    measures it against the exact ranking (gated >= 0.37 at sf0.001
+    by tests/test_r5_operators.py)."""
     from uber_data_pipeline_spark.functions.vectors import cosine_spark
 
     from pyspark.sql import Window
@@ -1182,12 +1402,12 @@ def ivfpq_topk(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
     # and the ADC tables; materialize each ONCE (executor-local
     # checkpoint — Catalyst does not share common subtrees across
     # consumers, and ranked costs a centroid fit + n x cells scoring)
+    trained = coarse_train_cells(emb, auto_cells(emb.count()))
+    cents = coarse_cells_df(emb.sparkSession, trained)
     ranked = (
-        _centroid_ranked(emb)
-        .select("vec_id", "cell", "crk")
+        _coarse_ranked_int(emb, trained, nmax=max(nprobe, 1))
         .localCheckpoint(eager=False)
     )
-    cents = label_centroids(emb).localCheckpoint(eager=False)
     probes = ranked.filter(F.col("crk") <= nprobe).select(
         F.col("vec_id").alias("query_id"), "cell"
     )
@@ -1299,7 +1519,7 @@ def ivfpq_topk(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
     return rank_topk(rescored, k, partition_cols=("query_id",))
 
 
-def ivfpq_recall(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
+def ivfpq_recall(emb: DataFrame, k: int, nprobe: int = IVFPQ_NPROBE) -> DataFrame:
     """Recall@k of the IVF-PQ index vs the exact ranking — the gate
     that prices PQ distortion (4 bytes/vector) + cell probing against
     the exact baseline before an index ships."""
@@ -1357,13 +1577,14 @@ def _sql_ivfpq_train_ctes(iters: int = None) -> str:
 
 
 def sql_ivfpq_topk(
-    k: int, nprobe: int = IVF_NPROBE, query_pred: str = "TRUE"
+    k: int, nprobe: int = IVFPQ_NPROBE, query_pred: str = "TRUE"
 ) -> str:
-    """DuckDB replay of :func:`ivfpq_topk`: same centroid CTEs as the
-    IVF oracle, residuals + the Lloyd-trained codebook chain from
-    :func:`_sql_ivfpq_train_ctes`, per-(query, probed-cell) residual
-    ADC tables, ADC as the same fixed-order 16-term add over the
-    (s, code)-ordered lookup list.  ``query_pred`` restricts the
+    """DuckDB replay of :func:`ivfpq_topk`: the integer-exact coarse
+    trainer chain from :func:`_sql_coarse_ctes` (bit-identical
+    sqrt(n)-cell quantizer), residuals + the Lloyd-trained codebook
+    chain from :func:`_sql_ivfpq_train_ctes`, per-(query, probed-cell)
+    residual ADC tables, ADC as the same fixed-order 16-term add over
+    the (s, code)-ordered lookup list.  ``query_pred`` restricts the
     probe (query) side over ``vec_id`` for the sampled big-SF replay
     (per-query results unchanged; training stays corpus-global)."""
     from uber_data_pipeline_spark.functions.vectors import cosine_duck
@@ -1379,26 +1600,7 @@ def sql_ivfpq_topk(
         for i in range(IVFPQ_SUBSPACES)
     )
     return f"""
-        WITH pos AS (
-            SELECT label AS cell, i AS pos, embedding[i]::DOUBLE AS val
-            FROM embeddings, unnest(range(1, 65)) AS r(i)
-        ), cmean AS (
-            SELECT cell, pos,
-                   ROUND(CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
-                         / COUNT(*), 6) AS m
-            FROM pos GROUP BY 1, 2
-        ), centroids AS (
-            SELECT cell, list(m ORDER BY pos) AS cvec FROM cmean GROUP BY 1
-        ), cscored AS (
-            SELECT e.vec_id, c.cell,
-                   {cosine_duck("e.embedding", "c.cvec")} AS ccos
-            FROM embeddings e CROSS JOIN centroids c
-        ), cranked AS MATERIALIZED (
-            SELECT vec_id, cell,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id
-                       ORDER BY ccos DESC, cell ASC) AS crk
-            FROM cscored
-        ), residall AS (
+        WITH {_sql_coarse_ctes()}, residall AS (
             SELECT e.vec_id, a.cell,
                    list_transform(range(1, 65),
                        i -> e.embedding[i]::DOUBLE - c.cvec[i]) AS resid
