@@ -84,6 +84,26 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _emb_with_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings plus one planted near-dup: vec_id -1 carries vec_id
+    0's embedding (cosine exactly 1.0), so threshold entries always
+    emit at least one pair at any SF. The oracle twin is
+    ``_EMBX_CTE``."""
+    emb = _emb(spark, sf_dir)
+    sentinel = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(-1).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    return emb.select("vec_id", "embedding", "label").unionByName(sentinel)
+
+
+_EMBX_CTE = """embx AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), embedding, label
+        FROM embeddings WHERE vec_id = 0
+    )"""
+
+
 
 
 def _media_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,8 +285,13 @@ QUERIES = {
     # replication shuffle — linear). VERDICT r3 item 2: this is the
     # scale-honest registered entry; the tau=0.4 non-prunable demo is
     # dedup_embedding_cosine_baseline below.
+    # the organic fixtures have no tau>=0.8 pair at small SF, so the
+    # driver row matched empty-vs-empty (r6 verdict evidential note);
+    # a SENTINEL near-dup (vec_id -1 = copy of vec_id 0) is appended
+    # identically in BOTH engines, making the row discriminating at
+    # every SF while leaving organic pairs untouched
     "dedup_embedding_cosine": lambda spark, sf: similarity.cosine_pairs_banded(
-        _emb(spark, sf), COSINE_NEAR_DUP_STRICT
+        _emb_with_sentinel(spark, sf), COSINE_NEAR_DUP_STRICT
     ),
     # tau=0.4 EXACT-RECALL BASELINE (the ann_bruteforce pattern): the
     # threshold sits in the Gaussian-noise tail where NO capped LSH
@@ -753,9 +778,10 @@ ORACLES = {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHASH_MAX_HAMMING}
     """,
     "dedup_embedding_cosine": f"""
+        WITH {_EMBX_CTE}
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                {cosine_duck("a.embedding", "b.embedding")} AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM embx a JOIN embx b ON a.vec_id < b.vec_id
         WHERE {cosine_duck("a.embedding", "b.embedding")}
               >= {COSINE_NEAR_DUP_STRICT}
     """,
