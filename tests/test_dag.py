@@ -60,3 +60,54 @@ def test_dag_models_match_reference_queries(spark):
         query_df = queries[query_key](spark, SF_DIR).toPandas()
         problems = compare(model_name, model_df, query_df)
         assert not problems, f"{model_name}: " + "; ".join(problems)
+
+
+def test_cron_next_fire_semantics():
+    """5-field cron evaluator: strictly-after boundary, steps, ranges,
+    Vixie dom-OR-dow, leap-day termination."""
+    import datetime as dt
+
+    from uber_data_pipeline_spark.plans.cron import next_fire
+
+    as_of = dt.datetime(1995, 6, 15, 7, 30)
+    assert next_fire("0 0 * * *", as_of) == dt.datetime(1995, 6, 16, 0, 0)
+    # strictly after: a fire exactly AT as_of picks the next one
+    assert next_fire("30 7 * * *", as_of) == dt.datetime(1995, 6, 16, 7, 30)
+    assert next_fire("31 7 * * *", as_of) == dt.datetime(1995, 6, 15, 7, 31)
+    assert next_fire("*/15 * * * *", as_of) == dt.datetime(1995, 6, 15, 7, 45)
+    # next Monday (1995-06-19)
+    assert next_fire("30 6 * * 1", as_of) == dt.datetime(1995, 6, 19, 6, 30)
+    assert next_fire("0 12 1 * *", as_of) == dt.datetime(1995, 7, 1, 12, 0)
+    # Vixie: dom OR dow when both restricted (1995-06-16 is a Friday)
+    assert next_fire("0 0 15 * 5", as_of) == dt.datetime(1995, 6, 16, 0, 0)
+    # leap-day spec crosses a year boundary without hanging
+    assert next_fire("0 0 29 2 *", dt.datetime(1995, 1, 1)) == dt.datetime(
+        1996, 2, 29
+    )
+    # range + list fields
+    assert next_fire("0,30 9-11 * * *", as_of) == dt.datetime(1995, 6, 15, 9, 0)
+    with pytest.raises(ValueError):
+        next_fire("0 0 * *", as_of)  # 4 fields
+    with pytest.raises(ValueError):
+        next_fire("61 0 * * *", as_of)  # out of range
+
+
+def test_due_run_kahn_order():
+    """due_run ranks by (registry-internal Kahn level, name): the two
+    roots first, the six stg_pickups dependents after."""
+    import datetime as dt
+
+    from uber_data_pipeline_spark.plans.dag import due_run
+
+    rows = due_run(build_registry(), dt.datetime(1995, 6, 15, 7, 30))
+    assert [r[0] for r in rows] == list(range(1, 9))
+    by_name = {r[1]: r for r in rows}
+    assert by_name["stg_pickups"][2] == 0
+    assert by_name["monthly_status_rollup"][2] == 0
+    for m in (
+        "pickup_count_vs_average_per_base",
+        "unter_grun_pickups_in_bronx",
+        "total_pickups_in_may_by_base",
+    ):
+        assert by_name[m][2] == 1
+    assert all(r[3] == dt.datetime(1995, 6, 16, 0, 0) for r in rows)

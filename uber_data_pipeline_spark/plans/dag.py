@@ -128,6 +128,41 @@ def refresh_incremental(
     return spark.read.parquet(merged_path)
 
 
+def due_run(registry: ModelRegistry, as_of) -> list[tuple]:
+    """Schedule EXECUTION: which models are due after ``as_of``, in
+    what order — the half of ``ScheduleDefinition`` that
+    :func:`schedule_report` (pure metadata) doesn't cover (reference:
+    Dagster_Files/definitions.py:17-20, a @daily cron trigger over the
+    asset graph).
+
+    Returns [(run_order, model, level, next_fire)]: ``next_fire`` is
+    the first cron fire STRICTLY AFTER ``as_of``
+    (:func:`uber_data_pipeline_spark.plans.cron.next_fire`); ``level``
+    is the model's Kahn depth over REGISTRY-INTERNAL dependency edges
+    (deps naming raw tables don't order models against each other);
+    ``run_order`` ranks by (level, model) — the deterministic
+    materialization order a tick at ``next_fire`` would run. Control
+    plane: registry-sized metadata, no data rows touched."""
+    from uber_data_pipeline_spark.plans.cron import next_fire
+
+    names = set(registry.models)
+    level: dict[str, int] = {}
+
+    def depth(name: str) -> int:
+        if name not in level:
+            internal = [d for d in registry.models[name].deps if d in names]
+            level[name] = (
+                0 if not internal else 1 + max(depth(d) for d in internal)
+            )
+        return level[name]
+
+    ordered = sorted(registry.models.values(), key=lambda m: (depth(m.name), m.name))
+    return [
+        (i + 1, m.name, level[m.name], next_fire(m.schedule, as_of))
+        for i, m in enumerate(ordered)
+    ]
+
+
 def schedule_report(registry: ModelRegistry) -> list[tuple[str, str, int, bool]]:
     """(model, schedule cron, n_deps, is_incremental) rows — the
     Dagster ScheduleDefinition surface ("what runs when"), exposed as

@@ -409,6 +409,63 @@ def dag_schedules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dag_due_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schedule EXECUTION over the model DAG: for three pinned AS_OF
+    instants, the Kahn-ordered due list with each model's next cron
+    fire (plans/dag.due_run + plans/cron.next_fire) — the runtime half
+    of the reference's ScheduleDefinition (@daily cron over the asset
+    graph, Dagster_Files/definitions.py:17-20). The instants exercise
+    the strictly-after boundary: mid-day, exactly-at-midnight (fires
+    NEXT midnight, not itself), and 23:59 (fires one minute later).
+    Closed-form oracle: 8 models x 3 instants, hand-derivable."""
+    import datetime as dt
+
+    from uber_data_pipeline_spark.plans.dag import due_run
+    from uber_data_pipeline_spark.plans.uber_models import build_registry
+
+    instants = (
+        dt.datetime(1995, 6, 15, 7, 30),
+        dt.datetime(1995, 6, 15, 0, 0),
+        dt.datetime(1995, 6, 14, 23, 59),
+    )
+    registry = build_registry()
+    rows = [
+        (as_of, order, model, level, fire)
+        for as_of in instants
+        for order, model, level, fire in due_run(registry, as_of)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "as_of timestamp, run_order int, model string, level int, "
+        "next_fire timestamp",
+    )
+
+
+_DUE_RUN_ORACLE = """
+    WITH ranked AS (
+        SELECT * FROM (VALUES
+            ('monthly_status_rollup', 1, 0),
+            ('stg_pickups', 2, 0),
+            ('pickup_count_vs_average_per_base', 3, 1),
+            ('pickup_percentile_by_base_per_month', 4, 1),
+            ('top_3_bases_by_total_pickups', 5, 1),
+            ('top_3_pickup_dates_per_base', 6, 1),
+            ('total_pickups_in_may_by_base', 7, 1),
+            ('unter_grun_pickups_in_bronx', 8, 1)
+        ) AS t(model, run_order, level)
+    ), instants AS (
+        -- '0 0 * * *' strictly after each instant, by hand
+        SELECT * FROM (VALUES
+            (TIMESTAMP '1995-06-15 07:30:00', TIMESTAMP '1995-06-16 00:00:00'),
+            (TIMESTAMP '1995-06-15 00:00:00', TIMESTAMP '1995-06-16 00:00:00'),
+            (TIMESTAMP '1995-06-14 23:59:00', TIMESTAMP '1995-06-15 00:00:00')
+        ) AS t(as_of, next_fire)
+    )
+    SELECT i.as_of, r.run_order, r.model, r.level, i.next_fire
+    FROM instants i CROSS JOIN ranked r
+"""
+
+
 MERGE_SINK_PARTS = 16
 
 
@@ -1070,6 +1127,7 @@ QUERIES = {
     "streaming_sessionization_rocksdb": sessionization_stream_rocksdb,
     "pipeline_dag_incremental": pipeline_dag_incremental,
     "dag_schedules": dag_schedules,
+    "dag_due_run": dag_due_run,
     "scd2_order_history": scd2_order_history,
     "data_quality_checks": data_quality_checks,
     "pipeline_dag_run": pipeline_dag_run,
@@ -1414,6 +1472,7 @@ ORACLES = {
     "streaming_merge_sink": _CDC_ORACLE,
     "pipeline_dag_incremental": _DAG_INCR_ORACLE,
     "dag_schedules": _SCHEDULES_ORACLE,
+    "dag_due_run": _DUE_RUN_ORACLE,
     "scd2_order_history": _SCD2_ORACLE,
     "data_quality_checks": _DQ_ORACLE,
     "pipeline_dag_run": _DAG_ORACLE,
