@@ -113,3 +113,24 @@ def test_token_packing_fill_micro_non_divisor_budget(spark, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_scheduler_default_is_fifo_and_fair_wiring_exists(spark):
+    """Pins the r7 SCHED_AB.md decision: FIFO default (it beat
+    properly-wired FAIR on BOTH sequential and 8-way concurrent
+    makespan), with the FAIR allocation file packaged so the opt-in
+    path stays functional (a bare scheduler.mode=FAIR leaves the
+    default pool internally FIFO - the r5/r6 no-op)."""
+    import os
+
+    import uber_data_pipeline_spark
+
+    assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FIFO"
+    alloc = os.path.join(
+        os.path.dirname(uber_data_pipeline_spark.__file__), "fairscheduler.xml"
+    )
+    assert os.path.exists(alloc)
+    with open(alloc) as fh:
+        body = fh.read()
+    assert '<pool name="default">' in body
+    assert "<schedulingMode>FAIR</schedulingMode>" in body

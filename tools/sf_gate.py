@@ -280,17 +280,26 @@ def main() -> int:
         pass
     failed = list(state.get("failed", []))
     timeouts = list(state.get("oracle_timeouts", []))
+    if args.only:
+        # a forced re-run owns the entry's whole row: stale
+        # failed/timeout records from earlier attempts (e.g. an
+        # infrastructure error like a full spill disk) don't carry
+        failed = [n for n in failed if n not in set(args.only)]
+        timeouts = [n for n in timeouts if n not in set(args.only)]
     sampled_ok = set(state.get("verified_sampled", []))
 
     def _flush(note: str) -> None:
         sf_name = os.path.basename(args.sf_dir.rstrip("/"))
+        # a name that verified (full or sampled) in ANY run supersedes
+        # its stale timeout/failed rows carried from earlier state
+        resolved = verified | sampled_ok
         out = {
             "metric": "sf_oracle_gate",
             "sf": sf_name,
             "n_verified": len(verified),
             "n_registry": len(qs),
-            "failed": sorted(set(failed)),
-            "oracle_timeouts": sorted(set(timeouts)),
+            "failed": sorted(set(failed) - resolved),
+            "oracle_timeouts": sorted(set(timeouts) - resolved),
             "note": note,
             "verified": sorted(verified),
             "verified_sampled": sorted(sampled_ok),
@@ -379,6 +388,10 @@ def main() -> int:
                 print(f"FAIL {name} (sampled): " + "; ".join(problems), flush=True)
             else:
                 sampled_ok.add(name)
+                # the timeout was the FULL oracle's DuckDB cost; the
+                # sampled row is the entry's sf1 evidence now — don't
+                # also report it as an open timeout
+                timeouts = [t for t in timeouts if t != name]
                 dt = time.monotonic() - t0
                 print(
                     f"PASS {name} (sampled 1/{args.sample_mod}, "
