@@ -288,8 +288,8 @@ def main() -> int:
                 "queries": top10,
                 "sf": sf_val,
                 "n_queries": len(timings),
-                "timing": "median of up to 3 reps (first rep > 0.75s triggers reps)",
-                "scheduler": os.environ.get("SPARK_GRAFT_SCHEDULER", "FAIR").upper(),
+                "timing": f"median of up to 3 reps (first rep > {REP_THRESHOLD_S}s triggers reps)",
+                "scheduler": os.environ.get("SPARK_GRAFT_SCHEDULER", "FIFO").upper(),
                 "concurrent_wall_s": concurrent_wall,
                 "concurrent_workers": 8,
                 "concurrent_errors": concurrent_errors,
@@ -310,7 +310,7 @@ def main() -> int:
                 "n_reps": n_reps,
                 "reps": all_reps,
                 "sf": sf_val,
-                "scheduler": os.environ.get("SPARK_GRAFT_SCHEDULER", "FAIR").upper(),
+                "scheduler": os.environ.get("SPARK_GRAFT_SCHEDULER", "FIFO").upper(),
                 "concurrent_wall_s": concurrent_wall,
                 "concurrent_workers": 8,
                 "concurrent_errors": concurrent_errors,
