@@ -845,14 +845,17 @@ def parts_pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank_iterated_oracle(iters: int = PAGERANK_ITERS) -> str:
     ctes = [
-        """pairs AS (
+        # MATERIALIZED: deg feeds all `iters` recurrence joins — left
+        # inlined, DuckDB recomputed the quadratic pair-distinct once
+        # per iteration (spilled past 240 s at sf1; 14 s materialized)
+        """pairs AS MATERIALIZED (
             SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
             FROM lineitem a JOIN lineitem b
               ON a.l_orderkey = b.l_orderkey
              AND a.l_partkey != b.l_partkey
         )""",
         "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM pairs GROUP BY 1)",
-        """deg AS (
+        """deg AS MATERIALIZED (
             SELECT src, dst, CAST(1.0 / outdeg AS DECIMAL(13,12)) AS recip
             FROM pairs JOIN outdeg USING (src)
         )""",
