@@ -334,3 +334,75 @@ def test_events_landing_dir_relinks_on_source_change(tmp_path, monkeypatch):
     src.write_bytes(b"gen-2-longer")
     d2 = SE.events_landing_dir(str(sfdir))
     assert open(os.path.join(d2, "events.parquet"), "rb").read() == b"gen-2-longer"
+
+
+def test_expire_snapshots_gc_and_safety(spark):
+    """Retention GC: expired manifests + orphaned files go; every file
+    a surviving manifest references stays; keep-all is a no-op;
+    keep_last < 1 refuses."""
+    import shutil
+
+    import pytest as _pytest
+
+    from uber_data_pipeline_spark.sources.snapshots import (
+        _manifest_path,
+        commit_snapshot,
+        expire_snapshots,
+        read_snapshot,
+    )
+
+    root = os.path.join(ART, "vacuum_unit")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    for v, mode in ((0, "overwrite"), (1, "append"), (2, "overwrite")):
+        commit_snapshot(
+            orders.filter(F.col("o_orderkey") % 3 == v).repartition(2),
+            root, v, mode=mode,
+        )
+    with _pytest.raises(ValueError, match="keep_last"):
+        expire_snapshots(root, keep_last=0)
+
+    # keep-all: nothing removed
+    rep = expire_snapshots(root, keep_last=3)
+    assert rep["expired"] == [] and rep["n_deleted_files"] == 0
+
+    before_v2 = sorted(read_snapshot(spark, root, 2).collect())
+    rep = expire_snapshots(root, keep_last=1)  # keep only v2
+    assert rep["expired"] == [0, 1]
+    # v2 overwrote, so commit-0/commit-1 files were orphaned: all gone
+    assert rep["n_deleted_files"] == 4
+    assert not os.path.exists(os.path.join(root, "data", "commit-0"))
+    assert not os.path.exists(_manifest_path(root, 1))
+    # the surviving snapshot reads exactly what it read before
+    assert sorted(read_snapshot(spark, root, 2).collect()) == before_v2
+
+
+def test_expire_snapshots_keeps_inherited_files(spark):
+    """An append chain keeps its PARENT's files live: expiring the
+    parent version must not delete files the child still references."""
+    import shutil
+
+    from uber_data_pipeline_spark.sources.snapshots import (
+        commit_snapshot,
+        expire_snapshots,
+        read_snapshot,
+    )
+
+    root = os.path.join(ART, "vacuum_unit2")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey")
+    commit_snapshot(
+        orders.filter(F.col("o_orderkey") % 2 == 0).repartition(2),
+        root, 0, mode="overwrite",
+    )
+    commit_snapshot(
+        orders.filter(F.col("o_orderkey") % 2 == 1).repartition(2),
+        root, 1, mode="append",
+    )
+    full = read_snapshot(spark, root, 1).count()
+    rep = expire_snapshots(root, keep_last=1)  # expire v0
+    # v1 inherited v0's files: NOTHING is orphaned
+    assert rep["expired"] == [0] and rep["n_deleted_files"] == 0
+    assert read_snapshot(spark, root, 1).count() == full

@@ -409,6 +409,76 @@ def dag_schedules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention + orphan GC (sources/snapshots.py
+    expire_snapshots — the Delta VACUUM / Iceberg expireSnapshots
+    role; the reference's warehouse gets this from BigQuery table
+    snapshot expiry). A fresh 4-commit lake is built each run
+    (vacuum MUTATES, so unlike the immutable time-travel lake there
+    is nothing to stage): v0 overwrite / v1 append / v2 OVERWRITE
+    (orphaning v0-v1's files) / v3 append, over the o_orderkey%4
+    cohorts of orders, 2 files per commit. expire_snapshots(keep=2)
+    must then remove v0/v1's manifests AND their now-unreferenced
+    data files while both kept versions still read exactly their
+    relational expectation — which is what the returned report pins:
+    (version, status, n_rows, n_files) with post-vacuum reads for
+    kept versions (NULL rows / 0 files for expired, their commit
+    dirs physically gone)."""
+    from uber_data_pipeline_spark.sources.snapshots import (
+        _manifest_path,
+        commit_snapshot,
+        expire_snapshots,
+        read_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = os.path.join(
+        _ARTIFACT_DIR, "vacuum", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    for v, mode in ((0, "overwrite"), (1, "append"), (2, "overwrite"), (3, "append")):
+        commit_snapshot(
+            orders.filter(F.col("o_orderkey") % 4 == v).repartition(2),
+            root,
+            v,
+            mode=mode,
+        )
+    report = expire_snapshots(root, keep_last=2)
+    rows = []
+    for v in (0, 1, 2, 3):
+        if v in report["expired"]:
+            data_dir = os.path.join(root, "data", f"commit-{v}")
+            assert not os.path.exists(_manifest_path(root, v))
+            assert not os.path.exists(data_dir), f"orphans survived in {data_dir}"
+            rows.append((v, "expired", None, 0))
+        else:
+            import json as _json
+
+            with open(_manifest_path(root, v)) as fh:
+                n_files = len(_json.load(fh)["files"])
+            rows.append(
+                (v, "kept", read_snapshot(spark, root, v).count(), n_files)
+            )
+    return spark.createDataFrame(
+        rows, "version int, status string, n_rows bigint, n_files int"
+    )
+
+
+_VACUUM_ORACLE = """
+    SELECT 0 AS version, 'expired' AS status,
+           CAST(NULL AS BIGINT) AS n_rows, 0 AS n_files
+    UNION ALL SELECT 1, 'expired', NULL, 0
+    UNION ALL
+    SELECT 2, 'kept',
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 2), 2
+    UNION ALL
+    SELECT 3, 'kept',
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 IN (2, 3)), 4
+"""
+
+
 def dag_due_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schedule EXECUTION over the model DAG: for three pinned AS_OF
     instants, the Kahn-ordered due list with each model's next cron
@@ -1128,6 +1198,7 @@ QUERIES = {
     "pipeline_dag_incremental": pipeline_dag_incremental,
     "dag_schedules": dag_schedules,
     "dag_due_run": dag_due_run,
+    "snapshot_vacuum": snapshot_vacuum,
     "scd2_order_history": scd2_order_history,
     "data_quality_checks": data_quality_checks,
     "pipeline_dag_run": pipeline_dag_run,
@@ -1473,6 +1544,7 @@ ORACLES = {
     "pipeline_dag_incremental": _DAG_INCR_ORACLE,
     "dag_schedules": _SCHEDULES_ORACLE,
     "dag_due_run": _DUE_RUN_ORACLE,
+    "snapshot_vacuum": _VACUUM_ORACLE,
     "scd2_order_history": _SCD2_ORACLE,
     "data_quality_checks": _DQ_ORACLE,
     "pipeline_dag_run": _DAG_ORACLE,

@@ -137,6 +137,64 @@ def read_snapshot(
     return df.filter(F.col(col).between(lo, hi))
 
 
+def expire_snapshots(root: str, keep_last: int = 2) -> dict:
+    """Snapshot retention + orphan-file GC — the Delta ``VACUUM`` /
+    Iceberg ``expireSnapshots`` role the module docstring promised as
+    the hardening layer. Keeps the ``keep_last`` highest versions,
+    removes the older manifests, then deletes every data file under
+    ``root/data`` that no SURVIVING manifest references (an append
+    chain keeps its inherited files live — only files orphaned by
+    overwrites or expiry are touched). Empty ``commit-*`` dirs are
+    pruned after their files go.
+
+    Safety order matters on an object store: expired MANIFESTS are
+    removed first, so a reader that races the vacuum either resolves a
+    surviving manifest (whose files are never deleted) or fails fast
+    on the missing manifest — it can never resolve a file list whose
+    members are mid-delete. Driver-side metadata work is
+    O(files) — the same class as commit itself.
+
+    Returns {"kept", "expired", "n_live_files", "n_deleted_files"}."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    mdir = os.path.join(root, "manifests")
+    versions = sorted(
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    kept, expired = versions[-keep_last:], versions[:-keep_last]
+    live: set[str] = set()
+    for v in kept:
+        with open(_manifest_path(root, v)) as fh:
+            live.update(json.load(fh)["files"])
+    for v in expired:
+        os.remove(_manifest_path(root, v))
+    n_deleted = 0
+    data_dir = os.path.join(root, "data")
+    for commit_dir in sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) else []:
+        cdir = os.path.join(data_dir, commit_dir)
+        for f in os.listdir(cdir):
+            p = os.path.join(cdir, f)
+            # non-parquet write artifacts (_SUCCESS, .crc) go with
+            # their directory once no live file keeps it alive
+            if p not in live and (
+                f.endswith(".parquet") or not any(
+                    q.startswith(cdir + os.sep) for q in live
+                )
+            ):
+                os.remove(p)
+                n_deleted += f.endswith(".parquet")
+        if not os.listdir(cdir):
+            os.rmdir(cdir)
+    return {
+        "kept": kept,
+        "expired": expired,
+        "n_live_files": len(live),
+        "n_deleted_files": n_deleted,
+    }
+
+
 def latest_version(root: str, default: int | None = None) -> int:
     """Highest committed manifest version. With ``default`` set, a
     missing/empty manifests dir returns it instead of raising — the
