@@ -111,3 +111,34 @@ def test_due_run_kahn_order():
     ):
         assert by_name[m][2] == 1
     assert all(r[3] == dt.datetime(1995, 6, 16, 0, 0) for r in rows)
+
+
+def test_downstream_closure_transitive_order():
+    """Generic closure on a synthetic graph: transitive dependents in
+    (level, name) order; raw-table deps never pull models in."""
+    from uber_data_pipeline_spark.plans.dag import downstream_closure
+    from uber_data_pipeline_spark.plans.model import Model, ModelRegistry
+
+    r = ModelRegistry()
+    r.register(Model(name="base", deps=("raw",), sql="SELECT 1"))
+    r.register(Model(name="mid", deps=("base",), sql="SELECT 1"))
+    r.register(Model(name="leaf_a", deps=("mid", "raw"), sql="SELECT 1"))
+    r.register(Model(name="leaf_b", deps=("mid",), sql="SELECT 1"))
+    r.register(Model(name="island", deps=("raw",), sql="SELECT 1"))
+    assert downstream_closure(r, "base") == ["mid", "leaf_a", "leaf_b"]
+    assert downstream_closure(r, "mid") == ["leaf_a", "leaf_b"]
+    assert downstream_closure(r, "leaf_a") == []
+    assert downstream_closure(r, "island") == []
+
+
+def test_backfill_plan_pushdown(spark):
+    """The backfill month-discovery scan must push the window filter
+    to the parquet scan and read only the event column."""
+    from uber_data_pipeline_spark.queries.pipeline import dag_backfill_plan
+
+    from tests.conftest import SF_DIR
+
+    plan = dag_backfill_plan(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderdate" in plan.split("PushedFilters: [", 1)[1][:120], plan[:3000]
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "o_totalprice" not in read_schema, read_schema

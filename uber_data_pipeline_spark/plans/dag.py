@@ -163,6 +163,29 @@ def due_run(registry: ModelRegistry, as_of) -> list[tuple]:
     ]
 
 
+def downstream_closure(registry: ModelRegistry, name: str) -> list[str]:
+    """Registry models that (transitively) depend on ``name``, sorted
+    by (Kahn level, name) — the set a partition backfill must refresh
+    after rebuilding ``name``'s partitions (the Dagster
+    backfill-with-downstream shape)."""
+    names = set(registry.models)
+    out = {name}
+    changed = True
+    while changed:
+        changed = False
+        for m in registry.models.values():
+            if m.name not in out and any(d in out for d in m.deps if d in names):
+                out.add(m.name)
+                changed = True
+    out.discard(name)
+
+    def depth(n: str, seen=()) -> int:
+        internal = [d for d in registry.models[n].deps if d in names]
+        return 0 if not internal else 1 + max(depth(d) for d in internal)
+
+    return sorted(out, key=lambda n: (depth(n), n))
+
+
 def schedule_report(registry: ModelRegistry) -> list[tuple[str, str, int, bool]]:
     """(model, schedule cron, n_deps, is_incremental) rows — the
     Dagster ScheduleDefinition surface ("what runs when"), exposed as

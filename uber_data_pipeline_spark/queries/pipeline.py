@@ -466,6 +466,58 @@ def snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BACKFILL_START, BACKFILL_END = "1995-01-01", "1995-07-01"
+
+
+def dag_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition backfill planning for the incremental model — the
+    Dagster backfill role (pick a partition range of a partitioned
+    asset, rebuild it plus the downstream closure). For the pinned
+    window [BACKFILL_START, BACKFILL_END) the due partitions are the
+    DISTINCT order months ACTUALLY PRESENT in the window (data-driven,
+    one pushdown-filtered scan + month-distinct — months with no rows
+    need no rebuild), one 'rebuild_partition' row each; downstream
+    registry models (plans/dag.downstream_closure — empty for this
+    registry, the generic path is unit-tested on a synthetic graph)
+    follow as partition-less 'refresh_downstream' rows."""
+    from uber_data_pipeline_spark.plans.dag import downstream_closure
+    from uber_data_pipeline_spark.plans.uber_models import build_registry
+
+    registry = build_registry()
+    target = "monthly_status_rollup"
+    spec = registry.models[target].incremental
+    orders = load_table(spark, sf_dir, "orders")
+    lo = F.lit(BACKFILL_START).cast("timestamp_ntz")
+    hi = F.lit(BACKFILL_END).cast("timestamp_ntz")
+    parts = (
+        orders.filter((F.col(spec.event_col) >= lo) & (F.col(spec.event_col) < hi))
+        .select(
+            F.lit(target).alias("model"),
+            F.date_format(spec.event_col, "yyyy-MM").alias("partition"),
+            F.lit("rebuild_partition").alias("action"),
+        )
+        .distinct()
+    )
+    down = [
+        (m, None, "refresh_downstream") for m in downstream_closure(registry, target)
+    ]
+    if not down:
+        return parts
+    return parts.unionByName(
+        spark.createDataFrame(down, "model string, partition string, action string")
+    )
+
+
+_BACKFILL_ORACLE = f"""
+    SELECT DISTINCT 'monthly_status_rollup' AS model,
+           strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS partition,
+           'rebuild_partition' AS action
+    FROM orders
+    WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '{BACKFILL_START}'
+      AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '{BACKFILL_END}'
+"""
+
+
 _VACUUM_ORACLE = """
     SELECT 0 AS version, 'expired' AS status,
            CAST(NULL AS BIGINT) AS n_rows, 0 AS n_files
@@ -1199,6 +1251,7 @@ QUERIES = {
     "dag_schedules": dag_schedules,
     "dag_due_run": dag_due_run,
     "snapshot_vacuum": snapshot_vacuum,
+    "dag_backfill_plan": dag_backfill_plan,
     "scd2_order_history": scd2_order_history,
     "data_quality_checks": data_quality_checks,
     "pipeline_dag_run": pipeline_dag_run,
@@ -1545,6 +1598,7 @@ ORACLES = {
     "dag_schedules": _SCHEDULES_ORACLE,
     "dag_due_run": _DUE_RUN_ORACLE,
     "snapshot_vacuum": _VACUUM_ORACLE,
+    "dag_backfill_plan": _BACKFILL_ORACLE,
     "scd2_order_history": _SCD2_ORACLE,
     "data_quality_checks": _DQ_ORACLE,
     "pipeline_dag_run": _DAG_ORACLE,
