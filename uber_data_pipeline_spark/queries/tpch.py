@@ -182,10 +182,38 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cust_with_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer plus one planted ORDERLESS row (c_custkey -1 — order
+    keys are non-negative, so no order can ever reference it): the
+    organic fixtures have no customer without orders at sf>=0.01, so
+    the anti-join entries' driver rows compared empty-vs-empty (the
+    r6-verdict evidential weakness class). The oracle twin is
+    ``_CUSTX_CTE``; both engines append the identical row."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, "sentinel-idle", 0, 999999.0, "BUILDING")],
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    return cust.unionByName(sentinel)
+
+
+_CUSTX_CTE = """custx AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), 'sentinel-idle', 0, 999999.0, 'BUILDING'
+    )"""
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS anti-join: customers that never placed an order,
-    per nation. left_anti + broadcast nation dim."""
-    cust = load_table(spark, sf_dir, "customer")
+    per nation. left_anti + broadcast nation dim. Input includes the
+    planted orderless sentinel (:func:`_cust_with_sentinel`) so the
+    result is non-empty — discriminating — at every SF."""
+    cust = _cust_with_sentinel(spark, sf_dir)
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     nation = load_table(spark, sf_dir, "nation")
     return (
@@ -446,10 +474,11 @@ ORACLES = {
         GROUP BY 1
         ORDER BY 1
     """,
-    "customers_without_orders": """
+    "customers_without_orders": f"""
+        WITH {_CUSTX_CTE}
         SELECT n.n_name AS nation_name,
                COUNT(*) AS n_idle_customers
-        FROM customer c
+        FROM custx c
         JOIN nation n ON n.n_nationkey = c.c_nationkey
         WHERE NOT EXISTS (
             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey

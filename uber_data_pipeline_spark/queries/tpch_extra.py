@@ -22,6 +22,7 @@ from uber_data_pipeline_spark.operators.shares import (
     sql_corr_matrix as _sql_corr,
 )
 from uber_data_pipeline_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from uber_data_pipeline_spark.queries import tpch as _tpch
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"
 
@@ -274,11 +275,15 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22: rich-but-idle customers by country code (code =
-    c_custkey % 7 stands in for the absent phone prefix). The scalar
-    AVG subquery is a one-row broadcast cross join; NOT EXISTS is a
-    left_anti against orders."""
-    cust = load_table(spark, sf_dir, "customer").withColumn(
-        "cntrycode", (F.col("c_custkey") % 7).cast("int")
+    abs(c_custkey % 7) stands in for the absent phone prefix; abs so
+    the planted orderless sentinel's key -1 lands in code 1 and the
+    result is non-empty at every SF — organic keys are non-negative,
+    where abs is the identity). The scalar AVG subquery is a one-row
+    broadcast cross join; NOT EXISTS is a left_anti against orders."""
+    from uber_data_pipeline_spark.queries.tpch import _cust_with_sentinel
+
+    cust = _cust_with_sentinel(spark, sf_dir).withColumn(
+        "cntrycode", F.abs(F.col("c_custkey") % 7).cast("int")
     ).filter(F.col("cntrycode").isin(1, 3, 5))
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     avg_bal = (
@@ -1500,11 +1505,11 @@ ORACLES = {
                AND l.l_quantity BETWEEN 20 AND 30)
     """,
     "tpch_q22_global_sales_opportunity": f"""
-        WITH cust AS (
+        WITH {_tpch._CUSTX_CTE}, cust AS (
             SELECT c_custkey, c_acctbal,
-                   CAST(c_custkey % 7 AS INT) AS cntrycode
-            FROM customer
-            WHERE CAST(c_custkey % 7 AS INT) IN (1, 3, 5)
+                   CAST(ABS(c_custkey % 7) AS INT) AS cntrycode
+            FROM custx
+            WHERE CAST(ABS(c_custkey % 7) AS INT) IN (1, 3, 5)
         )
         SELECT cntrycode,
                COUNT(*) AS numcust,
