@@ -191,6 +191,33 @@ def test_auto_sizing_functions():
     assert 20 <= auto_lsh_bits(1_000_000_000) <= 24
 
 
+def test_coarse_quantizer_sample_contract():
+    """The IVF-PQ coarse trainer's sample must dominate its cell count
+    at EVERY corpus size (r7 verdict: a fixed 4096-row sample met the
+    4096 cell clamp at n > 16.8M, degenerating Lloyd to
+    one-point-per-cell). Contract: cells * 16 <= sample rows, with the
+    per-cell budget actually targeting COARSE_SAMPLE_PER_CELL (= 64)
+    whenever the corpus can supply it."""
+    from uber_data_pipeline_spark.operators.similarity import (
+        COARSE_CELL_CLAMP,
+        COARSE_SAMPLE_PER_CELL,
+        COARSE_TRAIN_BUDGET,
+        auto_cells,
+        coarse_sample_cap,
+    )
+
+    assert COARSE_CELL_CLAMP == COARSE_TRAIN_BUDGET // COARSE_SAMPLE_PER_CELL
+    for n in (1_000, 1_000_000, 16_800_000, 1_000_000_000):
+        k = auto_cells(n)
+        cap = coarse_sample_cap(k)
+        sample = min(n, cap)  # vec_id < cap over a dense-id corpus
+        assert k * 16 <= sample, (n, k, sample)
+        # at clamp scale the full 64/cell budget must be available
+        if n >= COARSE_TRAIN_BUDGET:
+            assert sample >= COARSE_SAMPLE_PER_CELL * k, (n, k, sample)
+        assert cap <= COARSE_TRAIN_BUDGET
+
+
 def test_bloom_m_sizing_is_next_pow2(spark):
     """The filter's m = next_pow2(16 * n_build) must be exact integer
     math in BOTH engines (no float log2 boundary flips)."""

@@ -1022,22 +1022,46 @@ IVFPQ_TRAIN_CAP = 65536
 # sqrt(n), so per-query ADC candidate volume is nprobe * sqrt(n).)
 IVFPQ_NPROBE = 3
 COARSE_TRAIN_ITERS = 4
-COARSE_TRAIN_CAP = 4096
+# FAISS train-on-sample guidance: Lloyd needs a healthy multiple of
+# points per centroid (FAISS warns below ~39/cell; we budget 64).  The
+# cell clamp is DERIVED from the sample budget so k can never approach
+# the sample size — the r7 verdict's latent contract break was a fixed
+# 4096-row sample meeting a 4096 cell clamp at n > 16.8M vectors, where
+# every training point became its own cell (zero effective Lloyd
+# iterations) and cell population grew linearly again.
+COARSE_SAMPLE_PER_CELL = 64
+COARSE_TRAIN_BUDGET = 262144  # max sample rows: 256k x 64 int64 = 128 MiB
+COARSE_CELL_CLAMP = COARSE_TRAIN_BUDGET // COARSE_SAMPLE_PER_CELL  # 4096
 
 
 def auto_cells(n_rows: int) -> int:
     """FAISS-style coarse cell count k = floor(sqrt(n) + 0.5), clamped
-    to [4, 4096]: cell population then grows as sqrt(n) instead of n,
-    keeping the probe-join candidate volume per query at
-    nprobe * sqrt(n)."""
-    return min(4096, max(4, int(math.floor(math.sqrt(max(n_rows, 0)) + 0.5))))
+    to [4, COARSE_TRAIN_BUDGET // COARSE_SAMPLE_PER_CELL]: cell
+    population then grows as sqrt(n) instead of n, keeping the
+    probe-join candidate volume per query at nprobe * sqrt(n), while
+    the clamp guarantees the Lloyd sample always holds >=
+    COARSE_SAMPLE_PER_CELL points per cell."""
+    return min(
+        COARSE_CELL_CLAMP,
+        max(4, int(math.floor(math.sqrt(max(n_rows, 0)) + 0.5))),
+    )
+
+
+def coarse_sample_cap(n_cells: int) -> int:
+    """Training-sample row bound for a k-cell coarse quantizer:
+    COARSE_SAMPLE_PER_CELL * k, never above COARSE_TRAIN_BUDGET.
+    Because auto_cells' clamp is derived as budget // per_cell, the
+    invariant sample >= per_cell * k holds at EVERY corpus size (the
+    filter ``vec_id < cap`` simply takes the whole corpus when
+    n < cap)."""
+    return min(COARSE_TRAIN_BUDGET, COARSE_SAMPLE_PER_CELL * n_cells)
 
 
 def coarse_train_cells(
     emb: DataFrame,
     n_cells: int,
     iters: int = COARSE_TRAIN_ITERS,
-    cap: int = COARSE_TRAIN_CAP,
+    cap: int | None = None,
 ) -> list:
     """Data-derived coarse quantizer: Lloyd k-means over MICRO-UNIT
     int64-quantized vectors (q_j = floor(v_j * 1e6 + 0.5)) on the
@@ -1057,6 +1081,8 @@ def coarse_train_cells(
     train-on-sample shape, same class as :func:`ivfpq_train_book`);
     the k x 64 int table is collected once (control-plane model
     artifact) and returned as rows [(cell, [int64 x 64])]."""
+    if cap is None:
+        cap = coarse_sample_cap(n_cells)
     sample = emb.filter(F.col("vec_id") < cap).select("vec_id", "embedding")
 
     def lloyd(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1142,27 +1168,31 @@ def coarse_cells_df(spark, rows: list) -> DataFrame:
     )
 
 
-def _sql_coarse_ctes(
-    iters: int = COARSE_TRAIN_ITERS, cap: int = COARSE_TRAIN_CAP
-) -> str:
+def _sql_coarse_ctes(iters: int = COARSE_TRAIN_ITERS) -> str:
     """DuckDB CTE chain replaying :func:`coarse_train_cells` exactly:
-    qsample quantizes to int64 micro-units, cbook0 seeds from the k
-    lowest vec_ids (k = floor(sqrt(corpus n) + 0.5)), then per
-    iteration an integer-exact assignment (list_sum of int squares is
-    order-free) and the exact int mean update; empty cells keep their
-    centroid. Exposes ``centroids`` (cell, cvec double) for the
-    assignment CTEs downstream."""
+    nc derives k = floor(sqrt(corpus n) + 0.5) clamped by the
+    sample-budget contract, qsample quantizes the
+    vec_id < COARSE_SAMPLE_PER_CELL * k training rows (the
+    :func:`coarse_sample_cap` twin) to int64 micro-units, cbook0 seeds
+    from the k lowest vec_ids, then per iteration an integer-exact
+    assignment (list_sum of int squares is order-free) and the exact
+    int mean update; empty cells keep their centroid. Exposes
+    ``centroids`` (cell, cvec double) for the assignment CTEs
+    downstream."""
     parts = [
-        f"""qsample AS MATERIALIZED (
+        f"""nc AS (
+            SELECT CAST(LEAST({COARSE_CELL_CLAMP}, GREATEST(4,
+                       FLOOR(sqrt(COUNT(*)) + 0.5))) AS BIGINT) AS k
+            FROM embeddings
+        ), qsample AS MATERIALIZED (
             SELECT vec_id,
                    list_transform(range(1, 65),
                        j -> CAST(FLOOR(embedding[j]::DOUBLE * 1000000.0 + 0.5)
                                  AS BIGINT)) AS qv
-            FROM embeddings WHERE vec_id < {cap}
-        ), nc AS (
-            SELECT CAST(LEAST(4096, GREATEST(4,
-                       FLOOR(sqrt(COUNT(*)) + 0.5))) AS BIGINT) AS k
             FROM embeddings
+            WHERE vec_id < (SELECT LEAST({COARSE_TRAIN_BUDGET},
+                                         {COARSE_SAMPLE_PER_CELL} * k)
+                            FROM nc)
         ), cbook0 AS (
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
                    qv
