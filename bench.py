@@ -17,7 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from uber_data_pipeline_spark.session import get_spark  # noqa: E402
+from uber_data_pipeline_spark.session import get_spark, scheduler_mode  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 
@@ -180,11 +180,17 @@ def main() -> int:
     timings: dict[str, float] = {}
     n_reps: dict[str, int] = {}
     all_reps: dict[str, list[float]] = {}
+    # result cardinality per entry (r7 verdict item 5): a zero-row
+    # result would make the driver's value-hash compare vacuous
+    # (empty-vs-empty always matches), so the row count is recorded
+    # for the audit in tests/test_gen_sf.py-style tooling and the
+    # judge. The count() is the same action the timing already runs.
+    row_counts: dict[str, int] = {}
     for name, fn in entrymod.queries().items():
         reps: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            row_counts[name] = fn(spark, sf_dir).count()
             reps.append(round(time.perf_counter() - t0, 3))
             # operators cache intermediates (shingle sets, edge lists)
             # for their own multi-pass plans; drop them so no query's
@@ -289,7 +295,7 @@ def main() -> int:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "timing": f"median of up to 3 reps (first rep > {REP_THRESHOLD_S}s triggers reps)",
-                "scheduler": os.environ.get("SPARK_GRAFT_SCHEDULER", "FIFO").upper(),
+                "scheduler": scheduler_mode(),
                 "concurrent_wall_s": concurrent_wall,
                 "concurrent_workers": 8,
                 "concurrent_errors": concurrent_errors,
@@ -307,10 +313,11 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "rows": row_counts,
                 "n_reps": n_reps,
                 "reps": all_reps,
                 "sf": sf_val,
-                "scheduler": os.environ.get("SPARK_GRAFT_SCHEDULER", "FIFO").upper(),
+                "scheduler": scheduler_mode(),
                 "concurrent_wall_s": concurrent_wall,
                 "concurrent_workers": 8,
                 "concurrent_errors": concurrent_errors,

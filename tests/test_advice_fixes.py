@@ -134,3 +134,23 @@ def test_scheduler_default_is_fifo_and_fair_wiring_exists(spark):
         body = fh.read()
     assert '<pool name="default">' in body
     assert "<schedulingMode>FAIR</schedulingMode>" in body
+
+
+def test_scheduler_mode_stamp_matches_session_sanitization(monkeypatch):
+    """ADVICE r7: bench.py stamps its output via session.scheduler_mode,
+    the SAME normalization get_spark applies — an invalid env value
+    must record FIFO (what actually ran), not the raw garbage."""
+    from uber_data_pipeline_spark.session import scheduler_mode
+
+    monkeypatch.setenv("SPARK_GRAFT_SCHEDULER", "fair")
+    assert scheduler_mode() == "FAIR"
+    monkeypatch.setenv("SPARK_GRAFT_SCHEDULER", "yes-please")
+    assert scheduler_mode() == "FIFO"
+    monkeypatch.delenv("SPARK_GRAFT_SCHEDULER")
+    assert scheduler_mode() == "FIFO"
+    # bench.py must stamp through this function, not the raw env
+    import inspect
+
+    import bench
+
+    assert "scheduler_mode()" in inspect.getsource(bench.main)

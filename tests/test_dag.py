@@ -92,6 +92,127 @@ def test_cron_next_fire_semantics():
         next_fire("61 0 * * *", as_of)  # out of range
 
 
+def test_cron_century_leap_gap_and_dow7_alias():
+    """ADVICE r7: the Feb-29 spec must survive the century non-leap
+    boundary (2096-03-01 -> 2104-02-29 is EIGHT years out, 2100 not a
+    leap year), and dow 7 must alias to Sunday like every real cron."""
+    import datetime as dt
+
+    from uber_data_pipeline_spark.plans.cron import next_fire, parse_cron
+
+    assert next_fire("0 0 29 2 *", dt.datetime(2096, 3, 1)) == dt.datetime(
+        2104, 2, 29
+    )
+    assert parse_cron("0 0 * * 7")[4] == parse_cron("0 0 * * 0")[4]
+    # 1995-06-18 is a Sunday
+    as_of = dt.datetime(1995, 6, 15, 7, 30)
+    assert next_fire("0 9 * * 7", as_of) == dt.datetime(1995, 6, 18, 9, 0)
+
+
+def test_cron_next_fire_matches_minute_scan_oracle():
+    """Property test (VERDICT r7 item 7): next_fire's day-skip +
+    hour/minute floor fast-forward must agree with a dumb minute-by-
+    minute scan under Vixie dom-OR-dow semantics, over random 5-field
+    specs and random instants."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from uber_data_pipeline_spark.plans.cron import next_fire, parse_cron
+
+    def field(lo, hi, star_ok=True):
+        explicit = st.sets(
+            st.integers(lo, hi), min_size=1, max_size=4
+        ).map(lambda s: ",".join(str(v) for v in sorted(s)))
+        step = st.tuples(
+            st.integers(lo, max(lo, hi - 2)), st.integers(2, 9)
+        ).map(lambda t: f"{t[0]}-{hi}/{t[1]}")
+        opts = [explicit, step] + ([st.just("*")] if star_ok else [])
+        return st.one_of(*opts)
+
+    spec = st.tuples(
+        field(0, 59),
+        field(0, 23),
+        field(1, 28),  # dom <= 28: a fire always exists within a year
+        field(1, 12),
+        field(0, 6),
+    ).map(" ".join)
+    instant = st.datetimes(
+        min_value=dt.datetime(1994, 1, 1),
+        max_value=dt.datetime(1997, 12, 31),
+    ).map(lambda t: t.replace(second=0, microsecond=0))
+
+    @settings(max_examples=25, deadline=None)
+    @given(spec=spec, after=instant)
+    def check(spec, after):
+        minutes, hours, doms, months, dows = parse_cron(spec)
+        dom_star = doms == frozenset(range(1, 32))
+        dow_star = dows == frozenset(range(0, 7))
+        t = after + dt.timedelta(minutes=1)
+        for _ in range(527040):  # 366 days of minutes
+            cron_dow = (t.weekday() + 1) % 7
+            day_ok = (
+                (t.day in doms)
+                if dow_star
+                else (cron_dow in dows)
+                if dom_star
+                else (t.day in doms or cron_dow in dows)
+            )
+            if (
+                day_ok
+                and t.month in months
+                and t.hour in hours
+                and t.minute in minutes
+            ):
+                assert next_fire(spec, after) == t
+                return
+            t += dt.timedelta(minutes=1)
+        raise AssertionError(f"oracle found no fire in a year: {spec}")
+
+    check()
+
+
+def test_due_run_skips_unscheduled_models():
+    """ADVICE r7: Model.schedule=None is documented as 'unscheduled' —
+    due_run must skip those, not crash on next_fire(None), while the
+    Kahn level of scheduled models still counts unscheduled upstreams."""
+    import datetime as dt
+
+    from uber_data_pipeline_spark.plans.dag import due_run
+    from uber_data_pipeline_spark.plans.model import Model, ModelRegistry
+
+    r = ModelRegistry()
+    r.register(Model(name="stg", deps=("raw",), sql="SELECT 1"))  # unscheduled
+    r.register(
+        Model(name="mart", deps=("stg",), sql="SELECT 1", schedule="0 0 * * *")
+    )
+    rows = due_run(r, dt.datetime(1995, 6, 15))
+    assert [r[1] for r in rows] == ["mart"]
+    assert rows[0][2] == 1  # level still counts the unscheduled upstream
+    assert rows[0][3] == dt.datetime(1995, 6, 16, 0, 0)
+
+
+def test_due_run_and_closure_raise_on_cycle():
+    """ADVICE r7: a cyclic registry must raise the clean 'dependency
+    cycle' ValueError (topo_order's contract), not RecursionError."""
+    import datetime as dt
+
+    from uber_data_pipeline_spark.plans.dag import (
+        downstream_closure,
+        due_run,
+    )
+    from uber_data_pipeline_spark.plans.model import Model, ModelRegistry
+
+    r = ModelRegistry()
+    r.register(Model(name="a", deps=("b",), sql="SELECT 1", schedule="0 0 * * *"))
+    r.register(Model(name="b", deps=("a",), sql="SELECT 1", schedule="0 0 * * *"))
+    with pytest.raises(ValueError, match="cycle"):
+        due_run(r, dt.datetime(1995, 6, 15))
+    with pytest.raises(ValueError, match="cycle"):
+        downstream_closure(r, "a")
+
+
 def test_due_run_kahn_order():
     """due_run ranks by (registry-internal Kahn level, name): the two
     roots first, the six stg_pickups dependents after."""

@@ -379,6 +379,45 @@ def test_expire_snapshots_gc_and_safety(spark):
     assert sorted(read_snapshot(spark, root, 2).collect()) == before_v2
 
 
+def test_expire_snapshots_root_spelling_safe(spark):
+    """ADVICE r7: a vacuum invoked with a DIFFERENT spelling of root
+    than commit_snapshot used (trailing slash, relative path) must
+    still recognize live files — never mass-delete them — and a
+    manifest entry resolving outside the root must refuse to vacuum."""
+    import json
+    import shutil
+
+    import pytest as _pytest
+
+    from uber_data_pipeline_spark.sources.snapshots import (
+        _manifest_path,
+        commit_snapshot,
+        expire_snapshots,
+        read_snapshot,
+    )
+
+    root = os.path.join(ART, "vacuum_spelling")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey")
+    commit_snapshot(orders.limit(10).repartition(2), root, 0, mode="overwrite")
+    commit_snapshot(orders.limit(20).repartition(2), root, 1, mode="overwrite")
+
+    # trailing slash + a redundant '.' segment: same lake, odd spelling
+    odd = root + os.sep + "." + os.sep
+    before = sorted(read_snapshot(spark, root, 1).collect())
+    rep = expire_snapshots(odd, keep_last=1)
+    assert rep["n_live_files"] == 2 and rep["n_deleted_files"] == 2
+    assert sorted(read_snapshot(spark, root, 1).collect()) == before
+
+    # a manifest pointing outside the root is a refuse-to-vacuum error
+    mpath = _manifest_path(root, 1)
+    man = json.load(open(mpath))
+    man["files"] = ["/tmp/elsewhere/part-0.parquet"]
+    json.dump(man, open(mpath, "w"))
+    with _pytest.raises(ValueError, match="outside"):
+        expire_snapshots(root, keep_last=1)
+
+
 def test_expire_snapshots_keeps_inherited_files(spark):
     """An append chain keeps its PARENT's files live: expiring the
     parent version must not delete files the child still references."""

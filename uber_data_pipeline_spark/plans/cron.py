@@ -46,10 +46,13 @@ def _parse_field(spec: str, lo: int, hi: int) -> frozenset:
         else:
             rng = range(int(part), int(part) + 1)
         for v in rng:
+            if (v - rng.start) % step != 0:
+                continue
+            if lo == 0 and hi == 6 and v == 7:
+                v = 0  # common cron alias: dow 7 = Sunday = 0
             if not (lo <= v <= hi):
                 raise ValueError(f"cron value {v} outside [{lo},{hi}]")
-            if (v - rng.start) % step == 0:
-                out.add(v)
+            out.add(v)
     if not out:
         raise ValueError(f"empty cron field {spec!r}")
     return frozenset(out)
@@ -69,15 +72,17 @@ def next_fire(expr: str, after: dt.datetime) -> dt.datetime:
     """First fire time STRICTLY AFTER ``after``, minute resolution.
 
     Day-granular scan (minute/hour picked from the parsed sets, not
-    enumerated), bounded by one full leap cycle so even a
-    ``0 0 29 2 *`` spec terminates."""
+    enumerated), bounded by 8 years + 1 day so even a ``0 0 29 2 *``
+    spec terminates across the century non-leap boundary (the next
+    Feb 29 after 2096-03-01 is 2104-02-29, eight years out — 2100 is
+    not a leap year)."""
     minutes, hours, doms, months, dows = parse_cron(expr)
     dom_star = doms == frozenset(range(1, 32))
     dow_star = dows == frozenset(range(0, 7))
     t = (after + dt.timedelta(minutes=1)).replace(second=0, microsecond=0)
     day = t.date()
     first = True
-    for _ in range(366 * 4 + 1):
+    for _ in range(366 * 8 + 1):
         cron_dow = (day.weekday() + 1) % 7  # Monday=0 -> cron Sunday=0
         day_ok = (
             (day.day in doms)
@@ -97,4 +102,4 @@ def next_fire(expr: str, after: dt.datetime) -> dt.datetime:
                     return dt.datetime(day.year, day.month, day.day, h, min(ms))
         day += dt.timedelta(days=1)
         first = False
-    raise ValueError(f"no fire within the leap cycle for {expr!r}")
+    raise ValueError(f"no fire within 8 years for {expr!r}")

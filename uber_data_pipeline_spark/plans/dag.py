@@ -141,26 +141,48 @@ def due_run(registry: ModelRegistry, as_of) -> list[tuple]:
     is the model's Kahn depth over REGISTRY-INTERNAL dependency edges
     (deps naming raw tables don't order models against each other);
     ``run_order`` ranks by (level, model) — the deterministic
-    materialization order a tick at ``next_fire`` would run. Control
-    plane: registry-sized metadata, no data rows touched."""
+    materialization order a tick at ``next_fire`` would run.
+    Unscheduled models (``schedule is None``, model.py's documented
+    "None = unscheduled") are not due and are skipped; their levels
+    still count, so a scheduled model downstream of an unscheduled
+    one keeps its Kahn depth. Control plane: registry-sized metadata,
+    no data rows touched."""
     from uber_data_pipeline_spark.plans.cron import next_fire
 
-    names = set(registry.models)
-    level: dict[str, int] = {}
-
-    def depth(name: str) -> int:
-        if name not in level:
-            internal = [d for d in registry.models[name].deps if d in names]
-            level[name] = (
-                0 if not internal else 1 + max(depth(d) for d in internal)
-            )
-        return level[name]
-
-    ordered = sorted(registry.models.values(), key=lambda m: (depth(m.name), m.name))
+    level = _kahn_levels(registry)
+    ordered = sorted(
+        (m for m in registry.models.values() if m.schedule is not None),
+        key=lambda m: (level[m.name], m.name),
+    )
     return [
         (i + 1, m.name, level[m.name], next_fire(m.schedule, as_of))
         for i, m in enumerate(ordered)
     ]
+
+
+def _kahn_levels(registry: ModelRegistry) -> dict[str, int]:
+    """Kahn depth per model over registry-internal dependency edges,
+    with a cycle guard: a dependency cycle raises ValueError naming
+    the revisited model (matching topo_order's contract) instead of
+    recursing unboundedly."""
+    names = set(registry.models)
+    level: dict[str, int] = {}
+
+    def depth(name: str, seen: frozenset = frozenset()) -> int:
+        if name in seen:
+            raise ValueError(f"dependency cycle through model {name!r}")
+        if name not in level:
+            internal = [d for d in registry.models[name].deps if d in names]
+            level[name] = (
+                0
+                if not internal
+                else 1 + max(depth(d, seen | {name}) for d in internal)
+            )
+        return level[name]
+
+    for n in registry.models:
+        depth(n)
+    return level
 
 
 def downstream_closure(registry: ModelRegistry, name: str) -> list[str]:
@@ -178,12 +200,8 @@ def downstream_closure(registry: ModelRegistry, name: str) -> list[str]:
                 out.add(m.name)
                 changed = True
     out.discard(name)
-
-    def depth(n: str, seen=()) -> int:
-        internal = [d for d in registry.models[n].deps if d in names]
-        return 0 if not internal else 1 + max(depth(d) for d in internal)
-
-    return sorted(out, key=lambda n: (depth(n), n))
+    level = _kahn_levels(registry)
+    return sorted(out, key=lambda n: (level[n], n))
 
 
 def schedule_report(registry: ModelRegistry) -> list[tuple[str, str, int, bool]]:

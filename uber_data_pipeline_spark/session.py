@@ -52,6 +52,15 @@ def _default_driver_mem() -> str:
     return f"{max(2, min(24, int(total_gib // 2)))}g"
 
 
+def scheduler_mode() -> str:
+    """The scheduler actually used: SPARK_GRAFT_SCHEDULER sanitized to
+    FAIR/FIFO (anything else means FIFO). bench.py stamps its output
+    with this same function so recorded metadata can't disagree with
+    the session config."""
+    mode = os.environ.get("SPARK_GRAFT_SCHEDULER", "FIFO").upper()
+    return mode if mode in ("FAIR", "FIFO") else "FIFO"
+
+
 def get_spark(
     app_name: str = "uber-data-pipeline-spark",
     master: str | None = None,
@@ -59,9 +68,7 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    scheduler_mode = os.environ.get("SPARK_GRAFT_SCHEDULER", "FIFO").upper()
-    if scheduler_mode not in ("FAIR", "FIFO"):
-        scheduler_mode = "FIFO"
+    scheduler = scheduler_mode()
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
 
@@ -102,9 +109,9 @@ def get_spark(
         # SPARK_GRAFT_SCHEDULER=FAIR (the allocation file below then
         # makes same-pool jobs genuinely share, unlike the bare
         # scheduler.mode=FAIR no-op r5/r6 flagged).
-        .config("spark.scheduler.mode", scheduler_mode)
+        .config("spark.scheduler.mode", scheduler)
     )
-    if scheduler_mode == "FAIR":
+    if scheduler == "FAIR":
         # the mode alone is not enough: with no allocation file the
         # implicit default pool schedules its OWN jobs FIFO. Ship a
         # declared default pool with FAIR internal mode so same-pool

@@ -157,6 +157,13 @@ def expire_snapshots(root: str, keep_last: int = 2) -> dict:
     Returns {"kept", "expired", "n_live_files", "n_deleted_files"}."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    # Normalize both sides of the live-set membership test: a caller
+    # spelling ``root`` differently than commit_snapshot did (trailing
+    # slash, relative vs absolute) must not classify every live file
+    # as an orphan — this is a DELETING api, so the comparison is on
+    # abspath-normalized strings, and every live entry must resolve
+    # under the normalized root.
+    root = os.path.normpath(os.path.abspath(root))
     mdir = os.path.join(root, "manifests")
     versions = sorted(
         int(f[1:-5])
@@ -167,7 +174,14 @@ def expire_snapshots(root: str, keep_last: int = 2) -> dict:
     live: set[str] = set()
     for v in kept:
         with open(_manifest_path(root, v)) as fh:
-            live.update(json.load(fh)["files"])
+            for entry in json.load(fh)["files"]:
+                p = os.path.normpath(os.path.abspath(entry))
+                if not p.startswith(root + os.sep):
+                    raise ValueError(
+                        f"manifest v{v} file {entry!r} resolves outside "
+                        f"the snapshot root {root!r}; refusing to vacuum"
+                    )
+                live.add(p)
     for v in expired:
         os.remove(_manifest_path(root, v))
     n_deleted = 0
