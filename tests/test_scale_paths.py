@@ -75,6 +75,34 @@ def test_connected_components_paths_agree(spark):
     assert {(0, 0, 41), (100, 100, 3), (200, 200, 2)} <= fast
 
 
+def test_cc_rounds_logarithmic_in_diameter(spark):
+    """VERDICT r7 item 4: the distributed min-label loop's round count
+    must be O(log diameter), not linear — the fused pointer-doubling
+    claim, proven on a planted WORST-CASE graph (a single long chain,
+    diameter = n-1). A 255-edge chain must converge in <= ~2*log2(n)
+    rounds, and per-round label sums must strictly decrease (the
+    convergence telemetry)."""
+    from uber_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 256  # chain 0-1-2-...-255, diameter 255
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    telemetry: dict = {}
+    rows = connected_components(
+        df, local_edge_limit=0, telemetry=telemetry
+    ).collect()
+    assert {(r.doc_id, r.cluster_id, r.cluster_size) for r in rows} == {
+        (i, 0, n) for i in range(n)
+    }
+    # log2(256) = 8; allow the fixpoint-detection round plus slack,
+    # but far below the ~n/2 a non-doubling propagation would need
+    assert telemetry["n_rounds"] <= 2 * 8 + 2, telemetry
+    sums = telemetry["round_sums"]
+    assert all(sums[i] > sums[i + 1] for i in range(len(sums) - 2))
+
+
 def test_prefix_filter_jaccard_is_lossless(spark):
     """The PPJoin prefix-filtered exact Jaccard must equal the naive
     all-pairs inverted-index join on the real documents table."""
@@ -102,11 +130,28 @@ def test_banded_cosine_pairs_is_lossless_here(spark):
         cosine_pairs_banded,
     )
 
+    from uber_data_pipeline_spark.operators.similarity import (
+        SRP_BAND_BITS,
+        SRP_BANDS,
+    )
+
     emb = load_table(spark, SF_DIR, "embeddings")
-    banded = {tuple(r) for r in cosine_pairs_banded(emb, 0.4).collect()}
+    # explicit band args: pin the banded KERNEL itself lossless at 0.4
+    banded = {
+        tuple(r)
+        for r in cosine_pairs_banded(
+            emb, 0.4, n_bands=SRP_BANDS, band_bits=SRP_BAND_BITS
+        ).collect()
+    }
     exact = {tuple(r) for r in cosine_pairs(emb, 0.4).collect()}
     assert banded == exact
     assert banded  # non-trivial on this corpus
+    # the DEFAULT 0.4 path must delegate to the exact tiled engine
+    # (banding would score 8x the exact candidate volume — r8): the
+    # delegated plan carries the cogroup FlatMapCoGroupsInPandas node,
+    # not the banded posexplode+repartition shape
+    auto_plan = cosine_pairs_banded(emb, 0.4)._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapCoGroupsInPandas" in auto_plan
 
 
 def test_banded_cosine_pairs_pruned_plan_recall(spark):

@@ -37,6 +37,13 @@ QUADRATIC_DOCUMENTED = {
     # tau=0.8 plan (linear allowance) and the tau=0.4 demo moved here
     "dedup_embedding_cosine_baseline",
     "dedup_jaccard_exact",
+    # CC over the tau=0.4 pair graph: the PAIR GENERATION is the
+    # non-pruning tau=0.4 class above (cosine_pairs_banded delegates
+    # to the exact tiled gemm there — r8); the CC half itself is
+    # edge-linear (single-task union-find under CC_LOCAL_EDGE_LIMIT,
+    # O(log diameter) min-label rounds above it, pinned by
+    # tests/test_r4_operators.py's planted-chain diameter test)
+    "dedup_clusters",
     # cell-local pairwise under the FIXED 10-cell label quantizer
     # (n^2/K at fixed K); production SemDeDup scales K with n so cell
     # populations stay bounded — see operators/similarity.py docstring

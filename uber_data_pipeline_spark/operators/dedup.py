@@ -522,6 +522,7 @@ def connected_components(
     a: str = "doc_a",
     b: str = "doc_b",
     local_edge_limit: int = CC_LOCAL_EDGE_LIMIT,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id, cluster_size) over the undirected graph of
     near-duplicate pairs — the step that turns pairwise matches into
@@ -575,7 +576,7 @@ def connected_components(
     # on a cluster scale this with edge count
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        labels = _propagate_min_labels(edges, labels)
+        labels = _propagate_min_labels(edges, labels, telemetry)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
@@ -616,7 +617,11 @@ def _unionfind_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
     )
 
 
-def _propagate_min_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def _propagate_min_labels(
+    edges: DataFrame,
+    labels: DataFrame,
+    telemetry: dict | None = None,
+) -> DataFrame:
     """Min-label fixpoint in ONE join + ONE aggregate per round.
 
     Neighbor propagation and pointer doubling are fused: the round's
@@ -627,8 +632,14 @@ def _propagate_min_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
     Labels are node ids with the invariant label(x) <= x, so the
     synthetic hop is exactly pointer doubling (O(log diameter)
     rounds) — at 2 shuffles per round instead of the 4 the textbook
-    propagate-then-double pair of joins costs."""
+    propagate-then-double pair of joins costs.
+
+    ``telemetry`` (optional dict) receives ``n_rounds`` and the
+    per-round label sums (``round_sums``) — the convergence evidence
+    the planted-chain diameter test pins (rounds grow as
+    O(log diameter), not linearly)."""
     prev_sum = None
+    round_sums: list = []
     while True:
         aug = edges.unionByName(
             labels.select(F.col("node").alias("src"), F.col("label").alias("dst"))
@@ -651,7 +662,11 @@ def _propagate_min_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
         cur_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).collect()[0][0]
+        round_sums.append(cur_sum)
         labels = new_labels
+        if telemetry is not None:
+            telemetry["n_rounds"] = len(round_sums)
+            telemetry["round_sums"] = round_sums
         if cur_sum == prev_sum:
             return labels
         prev_sum = cur_sum

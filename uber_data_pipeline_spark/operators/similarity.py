@@ -556,7 +556,17 @@ def cosine_pairs_banded(
     if n_bands is None or band_bits is None:
         r, bands, prunes = srp_band_plan(threshold)
         if not prunes:
-            r, bands = SRP_BAND_BITS, SRP_BANDS
+            # At thresholds where no capped (r, B) plan prunes (the
+            # tau=0.4 class — see srp_band_plan's docstring), the
+            # "lossless" (2, 32) fallback SCORES B/2^r = 8x the
+            # exact all-pairs candidate volume: banding would cost 8x
+            # MORE than the blocked exact gemm. Delegate to the exact
+            # tiled engine instead — identical output contract (same
+            # pairs, same rounded cosines, no dedup needed), ~8x less
+            # compute, and honestly labeled quadratic either way
+            # (r8; measured 23.5 s -> exact-path seconds at the 10x
+            # soak for dedup_clusters, which composes this path).
+            return cosine_pairs(emb, threshold, None)
         band_bits, n_bands = r, bands
     bucketed = with_srp_band_buckets(emb, n_bands, band_bits).select(
         "vec_id", "embedding", F.posexplode("band_buckets").alias("band", "bucket")

@@ -505,6 +505,20 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BURST_TRAIL_HOURS = 6
 BURST_MIN_RATIO = 2.0
+# Engine-symmetric planted burst (r8, the r7 sentinel technique): the
+# denser the SF, the SMOOTHER per-hour counts get — at sf0.1 and the
+# 10x soak NO real hour clears 2x its trailing average, which made the
+# value-hash compare empty-vs-empty (vacuous) at exactly the scales
+# the soak exists for. Both engines append the same synthetic hourly
+# series at epoch hours 1-7 (1970 — disjoint from the generated 1995
+# data): six 10-event hours then a 100-event spike, yielding exactly
+# one always-present burst row with exact-int ratio 10.0.
+_BURST_SENTINEL_ROWS = [("__burst_sentinel__", h, 10) for h in range(1, 7)] + [
+    ("__burst_sentinel__", 7, 100)
+]
+_BURST_SENTINEL_SQL = ", ".join(
+    f"('{t}', {h}, {n})" for t, h, n in _BURST_SENTINEL_ROWS
+)
 
 
 def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,6 +545,12 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "epoch_hour")
         .agg(F.count("*").alias("n_events"))
+        .unionByName(
+            spark.createDataFrame(
+                _BURST_SENTINEL_ROWS,
+                "event_type string, epoch_hour bigint, n_events bigint",
+            )
+        )
     )
     w = (
         Window.partitionBy("event_type")
@@ -772,6 +792,9 @@ ORACLES = {
                        AS epoch_hour,
                    COUNT(*) AS n_events
             FROM events GROUP BY 1, 2
+            UNION ALL
+            SELECT t, CAST(h AS BIGINT), CAST(n AS BIGINT)
+            FROM (VALUES {_BURST_SENTINEL_SQL}) AS s(t, h, n)
         ), trail AS (
             SELECT *, CAST(SUM(n_events) OVER w AS BIGINT) AS trail_n,
                    COUNT(*) OVER w AS trail_hours
