@@ -302,7 +302,8 @@ def main() -> int:
             "oracle_timeouts": sorted(set(timeouts) - resolved),
             "note": note,
             "verified": sorted(verified),
-            "verified_sampled": sorted(sampled_ok),
+            # a full-oracle pass supersedes the weaker sampled row
+            "verified_sampled": sorted(sampled_ok - verified),
         }
         tmp = args.out + ".tmp"
         with open(tmp, "w") as fh:

@@ -104,6 +104,25 @@ _EMBX_CTE = """embx AS (
     )"""
 
 
+def _embd_cte(src: str = "embeddings") -> str:
+    """``embd``: vectors widened with the fixed-width DOUBLE[64] array
+    and its norm, feeding DuckDB's vectorized ``array_inner_product``
+    — the NATIVE prefilter that shortlists candidates before the
+    EXACT lambda-fold cosine re-scores them (the ``_sql_cc_clusters``
+    pattern). The shortlist margin covers native-vs-fold summation
+    error (~1e-13) plus the fold's 6-dp rounding slack (5e-7), so the
+    final result is bit-identical to the plain all-pairs fold — this
+    is what keeps the quadratic embedding oracles inside the sf1
+    (10x-row) gate budget."""
+    return f"""embd AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               CAST(embedding AS DOUBLE[64]) AS earr,
+               sqrt(array_inner_product(CAST(embedding AS DOUBLE[64]),
+                    CAST(embedding AS DOUBLE[64]))) AS nrm
+        FROM {src}
+    )"""
+
+
 
 
 def _media_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,10 +314,12 @@ QUERIES = {
     ),
     # tau=0.4 EXACT-RECALL BASELINE (the ann_bruteforce pattern): the
     # threshold sits in the Gaussian-noise tail where NO capped LSH
-    # plan prunes (srp_band_plan docstring), so the validated-lossless
-    # (2, 32) fallback runs ~8n^2 bucket-local pair-scores — documented
-    # quadratic (tools/scale_report.py QUADRATIC_DOCUMENTED); pinned
-    # equal to the exact cosine_pairs engine by tests/test_scale_paths.py
+    # plan prunes (srp_band_plan docstring), so cosine_pairs_banded
+    # delegates to the exact tiled gemm engine (r8 — the (2, 32)
+    # "lossless" fallback scored 8x the exact candidate volume) —
+    # documented quadratic (tools/scale_report.py QUADRATIC_DOCUMENTED);
+    # pinned equal to the exact cosine_pairs engine by
+    # tests/test_scale_paths.py
     "dedup_embedding_cosine_baseline": lambda spark, sf: (
         similarity.cosine_pairs_banded(_emb(spark, sf), COSINE_NEAR_DUP)
     ),
@@ -459,18 +480,48 @@ def _sql_ann_exact(k: int, query_pred: str = "TRUE") -> str:
     sampled-key-range replay tools/sf_gate.py uses where the full n^2
     oracle is out of DuckDB's budget at big SFs (results for the
     sampled queries are exact and unchanged: per-query rankings are
-    independent)."""
+    independent).
+
+    Shortlist-then-exact-rerank (r8, the ``_sql_cc_clusters``
+    prefilter upgraded to top-k): pass 1 computes every pairwise
+    cosine with DuckDB's vectorized ``array_inner_product`` and takes
+    each query's k-th largest NATIVE value ``kv``; pass 2 keeps only
+    candidates with native cosine >= kv - 5e-6, which the EXACT
+    lambda-fold cosine re-scores and ranks. The margin is lossless
+    for the (round(cosine, 6) DESC, neighbor_id ASC) ordering: a
+    candidate below kv - 5e-6 trails every native-top-k member by
+    > 4e-6 in fold value (fold-vs-native error ~1e-13), hence by
+    >= 1e-6 AFTER 6-dp rounding — strictly worse than k others, so it
+    can never enter the top-k, ties-by-id included. This upgrades the
+    sf1 gate's sampled replay to the FULL oracle (verdict r7 item 6)."""
     return f"""
-        WITH scored AS (
+        WITH {_embd_cte()}, kth AS (
+            SELECT query_id, MIN(ncos) AS kv FROM (
+                SELECT query_id, ncos,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY ncos DESC) AS nrk
+                FROM (
+                    SELECT a.vec_id AS query_id,
+                           array_inner_product(a.earr, b.earr)
+                               / (a.nrm * b.nrm) AS ncos
+                    FROM embd a JOIN embd b ON a.vec_id != b.vec_id
+                    WHERE {query_pred}
+                )
+            ) WHERE nrk <= {k} GROUP BY query_id
+        ), shortlist AS (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                    {cosine_duck("a.embedding", "b.embedding")} AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+            FROM embd a
+            JOIN kth ON kth.query_id = a.vec_id
+            JOIN embd b ON a.vec_id != b.vec_id
             WHERE {query_pred}
+              AND array_inner_product(a.earr, b.earr) / (a.nrm * b.nrm)
+                  >= kth.kv - 5e-6
         ), ranked AS (
             SELECT query_id, neighbor_id, cosine,
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                        ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
-            FROM scored
+            FROM shortlist
         )
         SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
     """
@@ -777,19 +828,32 @@ ORACLES = {
         FROM sv a JOIN sv b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHASH_MAX_HAMMING}
     """,
+    # native array_inner_product prefilter at tau - 2e-6, exact fold
+    # re-score (the _sql_cc_clusters pattern; margin docstring at
+    # _embd_cte) — keeps these quadratic oracles inside the sf1 budget
     "dedup_embedding_cosine": f"""
-        WITH {_EMBX_CTE}
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {cosine_duck("a.embedding", "b.embedding")} AS cosine
-        FROM embx a JOIN embx b ON a.vec_id < b.vec_id
-        WHERE {cosine_duck("a.embedding", "b.embedding")}
-              >= {COSINE_NEAR_DUP_STRICT}
+        WITH {_EMBX_CTE}, {_embd_cte("embx")}, cand AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.embedding AS ea, b.embedding AS eb
+            FROM embd a JOIN embd b ON a.vec_id < b.vec_id
+            WHERE array_inner_product(a.earr, b.earr) / (a.nrm * b.nrm)
+                  >= {COSINE_NEAR_DUP_STRICT} - 2e-6
+        )
+        SELECT vec_a, vec_b, {cosine_duck("ea", "eb")} AS cosine
+        FROM cand
+        WHERE {cosine_duck("ea", "eb")} >= {COSINE_NEAR_DUP_STRICT}
     """,
     "dedup_embedding_cosine_baseline": f"""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {cosine_duck("a.embedding", "b.embedding")} AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {cosine_duck("a.embedding", "b.embedding")} >= {COSINE_NEAR_DUP}
+        WITH {_embd_cte()}, cand AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.embedding AS ea, b.embedding AS eb
+            FROM embd a JOIN embd b ON a.vec_id < b.vec_id
+            WHERE array_inner_product(a.earr, b.earr) / (a.nrm * b.nrm)
+                  >= {COSINE_NEAR_DUP} - 2e-6
+        )
+        SELECT vec_a, vec_b, {cosine_duck("ea", "eb")} AS cosine
+        FROM cand
+        WHERE {cosine_duck("ea", "eb")} >= {COSINE_NEAR_DUP}
     """,
     "dedup_semantic_cluster": similarity.sql_semantic_dedup(),
     "ann_bruteforce_topk": _sql_ann_exact(ANN_K),
