@@ -1,0 +1,139 @@
+"""Round-8 operators: CC-Net LM-fit tiers and the epoch-seeded
+data-loader shuffle (registry growth beyond the r7 verdict queue)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from uber_data_pipeline_spark.catalog import load_table
+from uber_data_pipeline_spark.operators.sampling import (
+    EPOCH_SHARDS,
+    epoch_shuffle,
+)
+from uber_data_pipeline_spark.operators.textops import lm_fit_tiers
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from uber_data_pipeline_spark.session import get_spark
+
+    return get_spark()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+def test_lm_fit_tiers_are_balanced_and_ordered(docs):
+    """NTILE(3) per (lang, source) stratum: tier sizes within a
+    stratum differ by at most 1, and the head tier's mean LM fit
+    dominates the tail's (the CC-Net keep-the-head property)."""
+    rows = lm_fit_tiers(docs).collect()
+    by_stratum: dict = {}
+    for r in rows:
+        by_stratum.setdefault((r.lang, r.source), []).append(r)
+    assert len(by_stratum) > 1
+    for (lang, source), grp in by_stratum.items():
+        sizes = {
+            t: sum(1 for r in grp if r.tier == t)
+            for t in ("head", "middle", "tail")
+        }
+        present = [s for s in sizes.values() if s]
+        assert max(present) - min(present) <= 1, (lang, source, sizes)
+        head = [r.lm_fit for r in grp if r.tier == "head"]
+        tail = [r.lm_fit for r in grp if r.tier == "tail"]
+        if head and tail:
+            # every head fit >= every tail fit (tiers cut a total order)
+            assert min(head) >= max(tail), (lang, source)
+
+
+def test_lm_fit_is_in_language_probability_mean(docs):
+    """A doc's lm_fit must equal the mean per-token in-LANGUAGE
+    unigram probability — recomputed naively for one document."""
+    out = {r.doc_id: r for r in lm_fit_tiers(docs).collect()}
+    sample = docs.limit(1).collect()[0]
+    toks = sample.text.split(" ")
+    same_lang = docs.filter(F.col("lang") == sample.lang)
+    corpus = [
+        t
+        for row in same_lang.select("text").collect()
+        for t in row.text.split(" ")
+    ]
+    total = len(corpus)
+    from collections import Counter
+
+    cnt = Counter(corpus)
+    expect = sum(cnt[t] for t in toks) / (len(toks) * total)
+    got = out[sample.doc_id]
+    assert got.n_tokens == len(toks)
+    assert abs(got.lm_fit - expect) < 1e-9
+
+
+def test_epoch_shuffle_is_a_permutation_per_shard(docs):
+    """positions within a shard are exactly 1..shard_size and every
+    doc appears exactly once across the manifest."""
+    rows = epoch_shuffle(docs, epoch=1).collect()
+    n_docs = docs.count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_shard: dict = {}
+    for r in rows:
+        assert 0 <= r.shard < EPOCH_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.position)
+    for shard, pos in by_shard.items():
+        assert sorted(pos) == list(range(1, len(pos) + 1)), shard
+
+
+def test_epoch_shuffle_reorders_between_epochs(docs):
+    """Different epochs must produce genuinely different orders (the
+    whole point of reshuffling) while staying individually
+    deterministic across reruns."""
+    e1 = {
+        (r.shard, r.position): r.doc_id
+        for r in epoch_shuffle(docs, epoch=1).collect()
+    }
+    e1_again = {
+        (r.shard, r.position): r.doc_id
+        for r in epoch_shuffle(docs, epoch=1).collect()
+    }
+    e2 = {
+        (r.shard, r.position): r.doc_id
+        for r in epoch_shuffle(docs, epoch=2).collect()
+    }
+    assert e1 == e1_again
+    assert e1 != e2
+    # same corpus both epochs, just reordered
+    assert sorted(e1.values()) == sorted(e2.values())
+
+
+def test_matryoshka_recall_is_meaningful(spark):
+    """Half-dim truncation must keep a real fraction of the true
+    neighborhood (the Matryoshka premise) without being trivially
+    perfect — i.e. the gate discriminates: 0 < mean recall < 1 on
+    this corpus, every per-query recall in [0, 1]."""
+    from uber_data_pipeline_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+    from uber_data_pipeline_spark.queries.training import ANN_K, _emb
+
+    rows = matryoshka_recall(_emb(spark, SF), ANN_K).collect()
+    assert all(0.0 <= r.recall_at_k <= 1.0 for r in rows)
+    assert all(0 <= r.n_hits <= ANN_K for r in rows)
+    mean = sum(r.recall_at_k for r in rows) / len(rows)
+    assert 0.05 < mean < 1.0, mean
+
+
+def test_epoch_shuffle_shards_are_balanced(docs):
+    """The affine hash mod n_shards must spread docs near-uniformly —
+    the property that makes the per-shard window sort parallel."""
+    rows = epoch_shuffle(docs, epoch=3).collect()
+    sizes = {}
+    for r in rows:
+        sizes[r.shard] = sizes.get(r.shard, 0) + 1
+    n = len(rows)
+    expected = n / EPOCH_SHARDS
+    assert len(sizes) == EPOCH_SHARDS
+    for shard, size in sizes.items():
+        assert abs(size - expected) < 0.5 * expected, (shard, size)

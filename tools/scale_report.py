@@ -31,6 +31,8 @@ QUADRATIC_DOCUMENTED = {
     # the scale path; these exist as recall oracles)
     "ann_bruteforce_topk",
     "ann_knn_classify",
+    # two exact gemms (truncated + full) by construction
+    "embeddings_matryoshka_recall",
     "events_profile_similarity",
     # tau=0.4 sits in the noise tail where no capped LSH plan prunes;
     # the registered dedup_embedding_cosine now runs the PRUNED

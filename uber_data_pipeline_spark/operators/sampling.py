@@ -360,3 +360,75 @@ def sql_mixture_temperature(table: str, domain_col: str) -> str:
                    DOUBLE), 6) * total + 0.5) AS BIGINT) AS target_docs
         FROM sq CROSS JOIN totals
     """
+
+
+# ------------------------------------------- epoch-seeded data shuffle
+
+EPOCH_SHARDS = 16
+SHUFFLE_MOD = 1_000_000_007
+
+
+def _epoch_lcg(epoch: int) -> tuple[int, int]:
+    """(a, b) multiplier/offset for one epoch — the MINHASH_A/B
+    derivation recipe with the epoch index in the permutation slot,
+    so every epoch is an independent affine permutation family and
+    a*h + b stays < 2^63 (both factors < SHUFFLE_MOD ~ 1e9)."""
+    a = (2654435761 * (epoch + 1)) % SHUFFLE_MOD
+    b = (40503 * (epoch + 1) * (epoch + 1) + 12345) % SHUFFLE_MOD
+    return a, b
+
+
+def epoch_shuffle(
+    docs: DataFrame, epoch: int = 1, n_shards: int = EPOCH_SHARDS
+) -> DataFrame:
+    """Deterministic per-epoch global reshuffle as a shard manifest:
+    (doc_id, epoch, shard, position) where every epoch reorders the
+    corpus by an independent affine hash — the data-loader shuffle of
+    large-scale LM training (each epoch must visit all docs exactly
+    once in a fresh pseudo-random order, reproducibly across reruns
+    and engines; cf. the shard-shuffle design of streaming training
+    loaders). No RNG state: the order is a pure row function of
+    (doc_id, epoch), so backfills and the DuckDB oracle replay it
+    exactly.
+
+    Scale shape: ONE hash-partition shuffle on shard plus a per-shard
+    window sort — the distributed equivalent of a global random
+    permutation without any global sort; shards are uniform by
+    construction (affine hash mod n_shards), so the window
+    parallelizes evenly. At 100 TB you'd raise n_shards to the
+    trainer's file-shard count and the plan is unchanged."""
+    a, b = _epoch_lcg(epoch)
+    from pyspark.sql import Window
+
+    hashed = docs.selectExpr(
+        "doc_id",
+        f"CAST({epoch} AS INT) AS epoch",
+        f"(({a} * (doc_id % {SHUFFLE_MOD}) + {b}) % {SHUFFLE_MOD}) AS h",
+    ).selectExpr("doc_id", "epoch", "h", f"CAST(h % {n_shards} AS INT) AS shard")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return hashed.select(
+        "doc_id",
+        "epoch",
+        "shard",
+        F.row_number().over(w).alias("position"),
+    )
+
+
+def sql_epoch_shuffle(
+    epoch: int = 1, n_shards: int = EPOCH_SHARDS, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`epoch_shuffle`."""
+    a, b = _epoch_lcg(epoch)
+    return f"""
+        WITH hashed AS (
+            SELECT doc_id, CAST({epoch} AS INT) AS epoch,
+                   (({a} * (doc_id % {SHUFFLE_MOD}) + {b})
+                       % {SHUFFLE_MOD}) AS h
+            FROM {table}
+        )
+        SELECT doc_id, epoch,
+               CAST(h % {n_shards} AS INT) AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY h % {n_shards}
+                   ORDER BY h, doc_id) AS INT) AS position
+        FROM hashed
+    """

@@ -713,6 +713,34 @@ def ivf_recall(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
     return _recall_vs_exact(emb, approx, k)
 
 
+MATRYOSHKA_KEEP_DIMS = 32
+
+
+def matryoshka_recall(
+    emb: DataFrame, k: int, keep_dims: int = MATRYOSHKA_KEEP_DIMS
+) -> DataFrame:
+    """Recall@k of PREFIX-TRUNCATED embeddings against the full-dim
+    exact ranking — the Matryoshka / adaptive-retrieval quality gate
+    (Kusupati et al. 2022): serve the first ``keep_dims`` coordinates
+    (half the storage and compute here), measure how much of the true
+    neighborhood survives. Unlike the LSH/IVF/PQ gates this measures
+    DIMENSION reduction, not index approximation — the knob a 100 TB
+    embedding lake turns first, because it shrinks every downstream
+    index and scan by the same factor.
+
+    Both rankings are exact brute-force top-k over their respective
+    vectors with the shared (rounded cosine desc, neighbor_id asc)
+    order, so the DuckDB oracle replays the evaluation bit-for-bit.
+    Scale shape: identical to :func:`lsh_recall` — two reduced n*k
+    relations, one hash join; run on a deterministic query sample at
+    production scale."""
+    truncated = emb.withColumn(
+        "embedding", F.expr(f"slice(embedding, 1, {keep_dims})")
+    )
+    approx = brute_force_topk(truncated, k).select("query_id", "neighbor_id")
+    return _recall_vs_exact(emb, approx, k)
+
+
 def _recall_vs_exact(emb: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     """(query_id, n_hits, recall_at_k) for an approximate neighbor
     relation against the exact brute-force top-k at the same k."""

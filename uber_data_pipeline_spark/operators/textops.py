@@ -495,6 +495,102 @@ def sql_unigram_scores() -> str:
     """
 
 
+# ------------------------------------------------- CC-Net LM-fit tiers
+
+LM_TIER_LABELS = {1: "head", 2: "middle", 3: "tail"}
+
+
+def lm_fit_tiers(docs: DataFrame) -> DataFrame:
+    """CC-Net-style quality tiers (Wenzek et al. 2020 §4.3): rank each
+    document by how well a PER-LANGUAGE unigram LM fits it, then split
+    every (lang, source) stratum into equal head/middle/tail tiers —
+    the bucketing CC-Net uses to keep the head of the perplexity
+    distribution for LM training data.
+
+    Determinism contract (the :func:`dsir_weights` rules): the LM fit
+    is one IEEE division of exact integer sums — mean in-language
+    token probability, the monotone linear-space stand-in for
+    perplexity; no transcendental functions, so Spark and DuckDB
+    order and round identically. Tier boundaries are NTILE(3) with
+    the (fit DESC, doc_id ASC) total order, identical in both
+    engines by the SQL-standard remainder rule.
+
+    Scale shape: the per-(lang, token) vocabulary is a map-side
+    combined groupBy; the count resolution joins token-to-token
+    (broadcast when the vocab is small); the per-doc reduction is one
+    groupBy on doc_id. The tier window partitions by (lang, source) —
+    stratum-parallel, never a global sort; at 100 TB the exact
+    per-stratum NTILE is the honest cost, and a production variant
+    would swap in sampled tercile thresholds (CC-Net itself fits the
+    cutoffs on a sample) with the bucketing staying row-local."""
+    toks = docs.selectExpr(
+        "doc_id", "lang", "source", f"explode({TOKENS_SPARK}) AS token"
+    )
+    vocab = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    totals = vocab.groupBy("lang").agg(F.sum("cnt").alias("total_lang"))
+    per_doc = (
+        toks.join(vocab, ["lang", "token"])
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cnt").alias("sum_cnt"),
+        )
+        .join(F.broadcast(totals), "lang")
+    )
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.expr("sum_cnt / (n_tokens * total_lang)").desc(), F.asc("doc_id")
+    )
+    tier_case = (
+        "CASE tier_n WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+        "ELSE 'tail' END"
+    )
+    return (
+        per_doc.withColumn("tier_n", F.ntile(3).over(w))
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            "round(sum_cnt / (n_tokens * total_lang), 12) AS lm_fit",
+            f"{tier_case} AS tier",
+        )
+    )
+
+
+def sql_lm_fit_tiers() -> str:
+    """DuckDB twin of :func:`lm_fit_tiers`."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang, source, t.token
+            FROM (SELECT doc_id, lang, source, {TOKENS_DUCK} AS tokens
+                  FROM documents),
+                 unnest(tokens) AS t(token)
+        ), vocab AS (
+            SELECT lang, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+        ), totals AS (
+            SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total_lang
+            FROM vocab GROUP BY 1
+        ), per_doc AS (
+            SELECT doc_id, t.lang, t.source,
+                   COUNT(*) AS n_tokens,
+                   CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+            FROM toks t JOIN vocab v USING (lang, token)
+            GROUP BY 1, 2, 3
+        ), tiered AS (
+            SELECT doc_id, lang, source, n_tokens, sum_cnt, total_lang,
+                   NTILE(3) OVER (PARTITION BY lang, source
+                       ORDER BY sum_cnt / (n_tokens * total_lang) DESC,
+                                doc_id ASC) AS tier_n
+            FROM per_doc JOIN totals USING (lang)
+        )
+        SELECT doc_id, lang, source, n_tokens,
+               ROUND(sum_cnt / (n_tokens * total_lang), 12) AS lm_fit,
+               CASE tier_n WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS tier
+        FROM tiered
+    """
+
+
 # ---------------------------------------------------------------- PII scrub
 
 # deterministic synthetic PII: every 3rd document gets an email, a

@@ -36,7 +36,9 @@ from uber_data_pipeline_spark.operators.sampling import (
     bucket_duck,
     domain_mixture,
     domain_mixture_oracle,
+    epoch_shuffle,
     mixture_temperature,
+    sql_epoch_shuffle,
     sql_mixture_temperature,
     sql_stratum_target_sample,
     sql_token_packing,
@@ -104,7 +106,7 @@ _EMBX_CTE = """embx AS (
     )"""
 
 
-def _embd_cte(src: str = "embeddings") -> str:
+def _embd_cte(src: str = "embeddings", dim: int = 64) -> str:
     """``embd``: vectors widened with the fixed-width DOUBLE[64] array
     and its norm, feeding DuckDB's vectorized ``array_inner_product``
     — the NATIVE prefilter that shortlists candidates before the
@@ -116,9 +118,9 @@ def _embd_cte(src: str = "embeddings") -> str:
     (10x-row) gate budget."""
     return f"""embd AS MATERIALIZED (
         SELECT vec_id, embedding,
-               CAST(embedding AS DOUBLE[64]) AS earr,
-               sqrt(array_inner_product(CAST(embedding AS DOUBLE[64]),
-                    CAST(embedding AS DOUBLE[64]))) AS nrm
+               CAST(embedding AS DOUBLE[{dim}]) AS earr,
+               sqrt(array_inner_product(CAST(embedding AS DOUBLE[{dim}]),
+                    CAST(embedding AS DOUBLE[{dim}]))) AS nrm
         FROM {src}
     )"""
 
@@ -353,6 +355,14 @@ QUERIES = {
     ),
     # k-NN label vote built on the exact ANN engine (embedding-quality
     # probe: per-class accuracy of 5-NN majority vote)
+    # Matryoshka / adaptive-retrieval gate (Kusupati et al. 2022):
+    # recall@k of prefix-truncated (32-of-64-dim) embeddings vs the
+    # full-dim exact ranking — dimension reduction, not index
+    # approximation, is the first storage/compute knob a 100 TB
+    # embedding lake turns
+    "embeddings_matryoshka_recall": lambda spark, sf: (
+        similarity.matryoshka_recall(_emb(spark, sf), ANN_K)
+    ),
     "ann_knn_classify": lambda spark, sf: similarity.knn_classify(
         _emb(spark, sf), ANN_K
     ),
@@ -447,6 +457,19 @@ QUERIES = {
     "documents_dsir_weights": lambda spark, sf: textops.dsir_weights(
         _docs(spark, sf)
     ),
+    # CC-Net head/middle/tail LM-fit tiers (Wenzek et al. 2020 §4.3),
+    # per-(lang, source) stratum so the tier window stays
+    # stratum-parallel; the fit is the transcendental-free linear-space
+    # perplexity stand-in (the dsir determinism contract)
+    "documents_lm_fit_tiers": lambda spark, sf: textops.lm_fit_tiers(
+        _docs(spark, sf)
+    ),
+    # per-epoch deterministic global reshuffle -> (shard, position)
+    # manifest (the LM training data-loader shuffle), a pure row
+    # function of (doc_id, epoch) so reruns/backfills/oracle agree
+    "training_epoch_shuffle": lambda spark, sf: epoch_shuffle(
+        _docs(spark, sf)
+    ),
     "embeddings_pq_encode": lambda spark, sf: similarity.pq_encode(_emb(spark, sf)),
     "text_inverted_index": lambda spark, sf: search.inverted_index(_docs(spark, sf)),
     "multimodal_frame_sample": lambda spark, sf: multimodal.frame_sample(
@@ -473,7 +496,13 @@ QUERIES = {
 # ---------------------------------------------------------------- oracles
 
 
-def _sql_ann_exact(k: int, query_pred: str = "TRUE") -> str:
+def _sql_ann_exact(
+    k: int,
+    query_pred: str = "TRUE",
+    src: str = "embeddings",
+    dim: int = 64,
+    lead_cte: str = "",
+) -> str:
     """Exact brute-force top-k oracle, parameterized on k so the
     recall evaluation can replay it at the LSH k. ``query_pred`` is a
     SQL boolean over ``a.vec_id`` restricting the QUERY side — the
@@ -495,7 +524,7 @@ def _sql_ann_exact(k: int, query_pred: str = "TRUE") -> str:
     can never enter the top-k, ties-by-id included. This upgrades the
     sf1 gate's sampled replay to the FULL oracle (verdict r7 item 6)."""
     return f"""
-        WITH {_embd_cte()}, kth AS (
+        WITH {lead_cte}{_embd_cte(src, dim)}, kth AS (
             SELECT query_id, MIN(ncos) AS kv FROM (
                 SELECT query_id, ncos,
                        ROW_NUMBER() OVER (PARTITION BY query_id
@@ -874,6 +903,34 @@ ORACLES = {
                    AS recall_at_k
         FROM embeddings v LEFT JOIN hits h ON h.query_id = v.vec_id
     """,
+    # the truncated side's lead CTE is MATERIALIZED: DuckDB 1.0's lazy
+    # list-slice feeding the fixed-ARRAY cast corrupts a fraction of
+    # rows (self inner product 0/NULL); materializing the slice first
+    # is the verified-safe path (0 corrupt rows)
+    "embeddings_matryoshka_recall": f"""
+        WITH exact AS ({_sql_ann_exact(ANN_K)}),
+        approx AS ({_sql_ann_exact(
+            ANN_K,
+            src="embtr",
+            dim=similarity.MATRYOSHKA_KEEP_DIMS,
+            lead_cte=(
+                "embtr AS MATERIALIZED (SELECT vec_id, "
+                f"embedding[1:{similarity.MATRYOSHKA_KEEP_DIMS}] AS embedding "
+                "FROM embeddings), "
+            ),
+        )}),
+        hits AS (
+            SELECT a.query_id, COUNT(*) AS n_hits
+            FROM approx a JOIN exact e
+              ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+            GROUP BY 1
+        )
+        SELECT v.vec_id AS query_id,
+               CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+               ROUND(COALESCE(h.n_hits, 0) / CAST({ANN_K} AS DOUBLE), 6)
+                   AS recall_at_k
+        FROM embeddings v LEFT JOIN hits h ON h.query_id = v.vec_id
+    """,
     "ann_ivf_topk": _sql_ann_ivf(ANN_K),
     "ann_ivf_recall": f"""
         WITH exact AS ({_sql_ann_exact(ANN_K)}),
@@ -1161,6 +1218,8 @@ ORACLES = {
     "text_pii_scrub": textops.sql_pii_scrub(),
     "documents_quality_buckets": textops.sql_quality_buckets(QUALITY_CTE),
     "documents_dsir_weights": textops.sql_dsir_weights(),
+    "documents_lm_fit_tiers": textops.sql_lm_fit_tiers(),
+    "training_epoch_shuffle": sql_epoch_shuffle(),
     "embeddings_pq_encode": similarity.sql_pq_encode(),
     "text_inverted_index": search.sql_inverted_index(),
     "multimodal_phash_neardup": multimodal.sql_phash_near_dups(),
