@@ -137,3 +137,52 @@ def test_epoch_shuffle_shards_are_balanced(docs):
     assert len(sizes) == EPOCH_SHARDS
     for shard, size in sizes.items():
         assert abs(size - expected) < 0.5 * expected, (shard, size)
+
+
+def test_lsh_tuning_report_s_curve_shape(docs):
+    """The S-curve tradeoff must hold: at fixed b*r, MORE rows per
+    band means LOWER expected recall and LOWER sub-threshold FP mass
+    — (16,1) is the loosest banding (max recall, max pollution),
+    (1,16) the strictest."""
+    from uber_data_pipeline_spark.operators.dedup import (
+        lsh_tuning_report,
+    )
+
+    rows = {
+        (r.n_bands, r.rows_per_band): r
+        for r in lsh_tuning_report(docs).collect()
+    }
+    assert set(rows) == {(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)}
+    order = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+    recalls = [rows[c].expected_recall for c in order]
+    fps = [rows[c].expected_fp_pairs for c in order]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:])), recalls
+    assert all(a >= b for a, b in zip(fps, fps[1:])), fps
+    # every config sees the SAME pair population
+    assert len({(r.n_true_pairs, r.n_sub_pairs) for r in rows.values()}) == 1
+    # recall is a probability over true pairs
+    assert all(0.0 <= x <= 1.0 for x in recalls)
+
+
+def test_lsh_tuning_probability_matches_python(docs):
+    """One config's expected recall recomputed naively in Python from
+    the exact pair Jaccards (same 6-dp rounding, same chain order)."""
+    from uber_data_pipeline_spark.operators.dedup import (
+        LSH_TUNING_TAU,
+        lsh_tuning_report,
+        ngram_jaccard_pairs,
+    )
+
+    got = {
+        (r.n_bands, r.rows_per_band): r.expected_recall
+        for r in lsh_tuning_report(docs).collect()
+    }
+    sims = [
+        r.jaccard
+        for r in ngram_jaccard_pairs(docs, 0.0).collect()
+        if r.jaccard >= LSH_TUNING_TAU
+    ]
+    b, r = 8, 2
+    ps = [1.0 - (1.0 - s * s) ** b for s in sims]
+    expect = sum(ps) / len(ps)
+    assert abs(got[(b, r)] - expect) < 1e-6

@@ -1168,3 +1168,123 @@ def sql_cdc_chunk_census(table: str = "documents", div: int = CDC_DIV) -> str:
         GROUP BY 1
         HAVING COUNT(DISTINCT doc_id) >= 2
     """
+
+
+# ------------------------------------------ LSH (b, r) tuning report
+
+# every (bands, rows-per-band) factorization of the NUM_PERM signature
+LSH_TUNING_GRID = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+LSH_TUNING_TAU = 0.5
+
+
+def _pow_chain(expr: str, n: int) -> str:
+    """``expr`` multiplied by itself ``n`` times as an explicit
+    left-associated chain — the SAME IEEE multiply order in Spark SQL
+    and DuckDB, so s^r and (1-s^r)^b are bit-identical cross-engine
+    without trusting either engine's pow()."""
+    return "(" + " * ".join([f"({expr})"] * n) + ")"
+
+
+def _collision_prob(s_col: str, bands: int, rows: int) -> str:
+    """S-curve candidate probability 1 - (1 - s^r)^b as a fixed-order
+    arithmetic expression (Leskovec/Rajaraman/Ullman, MMDS ch.3)."""
+    t = _pow_chain(s_col, rows)
+    return f"(1.0 - {_pow_chain(f'1.0 - {t}', bands)})"
+
+
+def lsh_tuning_report(
+    docs: DataFrame, tau: float = LSH_TUNING_TAU
+) -> DataFrame:
+    """Index-tuning report for the banded-MinHash dedup family: for
+    every (bands, rows-per-band) factorization of the NUM_PERM
+    signature, the S-curve expected recall over TRUE near-dup pairs
+    (exact Jaccard >= tau) and the expected sub-threshold candidate
+    mass (the FP cost the banding would pay) — the numbers that pick
+    b and r BEFORE committing a 100 TB dedup run to one banding.
+
+    Expected values come from the MMDS S-curve p(s) = 1-(1-s^r)^b
+    evaluated at each pair's EXACT rounded Jaccard from the
+    inverted-index join (threshold 0: all shingle-sharing pairs, the
+    full similarity distribution). Determinism: p(s) is a fixed-order
+    multiply chain (:func:`_pow_chain`) over the 6-dp Jaccard, cast
+    to DECIMAL(28,12) per pair and summed order-free; the final means
+    are one division each.
+
+    Scale shape: the pair relation is the same shuffle-hash
+    inverted-index join as :func:`ngram_jaccard_pairs` (skewed
+    corpora would swap in the prefix-filtered twin); the report
+    aggregate is 5 rows. On a real 100 TB corpus you run this on a
+    deterministic document sample — the S-curve estimate only needs
+    the similarity histogram, not every pair."""
+    pairs = ngram_jaccard_pairs(docs, 0.0).select("jaccard")
+    cfg_structs = ", ".join(
+        f"named_struct('nb', {b}, 'rpb', {r}, "
+        f"'p', CAST({_collision_prob('jaccard', b, r)} AS DECIMAL(28,12)))"
+        for b, r in LSH_TUNING_GRID
+    )
+    stacked = pairs.selectExpr(
+        "jaccard", f"explode(array({cfg_structs})) AS cfg"
+    ).selectExpr(
+        "cfg.nb AS n_bands",
+        "cfg.rpb AS rows_per_band",
+        "jaccard",
+        "cfg.p AS p",
+    )
+    return (
+        stacked.groupBy("n_bands", "rows_per_band")
+        .agg(
+            F.sum(F.when(F.col("jaccard") >= tau, 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_pairs"),
+            F.sum(F.when(F.col("jaccard") < tau, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sub_pairs"),
+            F.sum(F.when(F.col("jaccard") >= tau, F.col("p"))).alias("sum_p_true"),
+            F.sum(F.when(F.col("jaccard") < tau, F.col("p"))).alias("sum_p_sub"),
+        )
+        .selectExpr(
+            "n_bands",
+            "rows_per_band",
+            "n_true_pairs",
+            "n_sub_pairs",
+            "round(CAST(coalesce(sum_p_true, 0) AS DOUBLE) / n_true_pairs, 6)"
+            " AS expected_recall",
+            "round(CAST(coalesce(sum_p_sub, 0) AS DOUBLE), 6)"
+            " AS expected_fp_pairs",
+        )
+    )
+
+
+def sql_lsh_tuning_report(
+    jaccard_all_pairs_cte: str, tau: float = LSH_TUNING_TAU
+) -> str:
+    """DuckDB twin of :func:`lsh_tuning_report`;
+    ``jaccard_all_pairs_cte`` must yield (doc_a, doc_b, jaccard) for
+    ALL shingle-sharing pairs (threshold 0)."""
+    selects = []
+    for b, r in LSH_TUNING_GRID:
+        selects.append(f"""
+        SELECT {b} AS n_bands, {r} AS rows_per_band,
+               jaccard,
+               CAST({_collision_prob('jaccard', b, r)}
+                    AS DECIMAL(28,12)) AS p
+        FROM jp""")
+    stacked = " UNION ALL ".join(selects)
+    return f"""
+        WITH jp AS ({jaccard_all_pairs_cte}),
+        stacked AS ({stacked})
+        SELECT n_bands, rows_per_band,
+               CAST(SUM(CASE WHEN jaccard >= {tau} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_true_pairs,
+               CAST(SUM(CASE WHEN jaccard < {tau} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sub_pairs,
+               ROUND(CAST(COALESCE(SUM(CASE WHEN jaccard >= {tau}
+                         THEN p END), 0) AS DOUBLE)
+                     / SUM(CASE WHEN jaccard >= {tau} THEN 1 ELSE 0 END), 6)
+                   AS expected_recall,
+               ROUND(CAST(COALESCE(SUM(CASE WHEN jaccard < {tau}
+                         THEN p END), 0) AS DOUBLE), 6)
+                   AS expected_fp_pairs
+        FROM stacked
+        GROUP BY 1, 2
+    """

@@ -299,6 +299,13 @@ QUERIES = {
     "dedup_minhash_recall": lambda spark, sf: dedup.minhash_recall(
         _docs(spark, sf), JACCARD_THRESHOLD, EST_JACCARD_THRESHOLD
     ),
+    # (b, r) S-curve tuning report over the TRUE Jaccard distribution
+    # — expected recall + sub-threshold candidate mass per banding of
+    # the 16-perm signature (MMDS ch.3), the pre-run sizing step of a
+    # 100 TB dedup
+    "dedup_lsh_tuning_report": lambda spark, sf: dedup.lsh_tuning_report(
+        _docs(spark, sf)
+    ),
     "dedup_simhash": lambda spark, sf: dedup.simhash_pairs(_docs(spark, sf)),
     # banded-SRP candidates + exact in-bucket verify at a PRUNABLE
     # near-dup threshold (srp_band_plan(0.8) -> (9, 51), ~10x fewer
@@ -678,6 +685,23 @@ _SQL_NGRAM_JACCARD = f"""
     WHERE ROUND(n_common / (sa.sz + sb.sz - n_common), 6) >= {JACCARD_THRESHOLD}
 """
 
+# the UNFILTERED twin (all shingle-sharing pairs) — the similarity
+# distribution the LSH (b, r) tuning report integrates the S-curve over
+_SQL_NGRAM_JACCARD_ALL = f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
 _SQL_MINHASH_LSH = f"""
     WITH {_MINHASH_CTE},
     bands AS (
@@ -841,6 +865,9 @@ ORACLES = {
     "dedup_minhash_lsh": _SQL_MINHASH_LSH,
     # the stored index must reproduce the from-raw-text pairs exactly
     "dedup_lsh_index_reuse": _SQL_MINHASH_LSH,
+    "dedup_lsh_tuning_report": dedup.sql_lsh_tuning_report(
+        _SQL_NGRAM_JACCARD_ALL
+    ),
     "dedup_minhash_recall": f"""
         WITH exact AS ({_SQL_NGRAM_JACCARD}),
         approx AS ({_SQL_MINHASH_LSH})
