@@ -183,14 +183,35 @@ def main() -> int:
     # result cardinality per entry (r7 verdict item 5): a zero-row
     # result would make the driver's value-hash compare vacuous
     # (empty-vs-empty always matches), so the row count is recorded
-    # for the audit in tests/test_gen_sf.py-style tooling and the
-    # judge. The count() is the same action the timing already runs.
+    # for the audit. It rides the SAME materialization via observe().
     row_counts: dict[str, int] = {}
+    # Timing action: a noop-sink write of EVERY column, not count().
+    # count() lets Catalyst prune columns AND eliminate whole
+    # subtrees — e.g. the *_recall entries end in a left join against
+    # a unique-key aggregate, which count() optimizes down to a bare
+    # parquet scan (measured: the full gemm plan reduced to
+    # `Aggregate [count(1)] <- Relation parquet`), so their old bench
+    # rows timed a no-op. The noop sink (the standard Spark
+    # benchmarking sink) computes the full result with zero
+    # driver-transfer or filesystem cost; scan-pruning entries keep
+    # their pruned scans because the QUERY's own projection still
+    # governs what is read.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F  # noqa: F811
+
     for name, fn in entrymod.queries().items():
         reps: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
-            row_counts[name] = fn(spark, sf_dir).count()
+            obs = Observation()
+            (
+                fn(spark, sf_dir)
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            row_counts[name] = obs.get["n"]
             reps.append(round(time.perf_counter() - t0, 3))
             # operators cache intermediates (shingle sets, edge lists)
             # for their own multi-pass plans; drop them so no query's
@@ -233,7 +254,10 @@ def main() -> int:
                 spark.sparkContext.setLocalProperty(
                     "spark.scheduler.pool", f"bench-{threading.get_ident()}"
                 )
-                fn(spark, sf_dir).count()
+                # same full-materialization action as the sequential pass
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 return None
             except Exception as e:  # noqa: BLE001
                 return f"{name}: {e}"
@@ -294,7 +318,11 @@ def main() -> int:
                 "queries": top10,
                 "sf": sf_val,
                 "n_queries": len(timings),
-                "timing": f"median of up to 3 reps (first rep > {REP_THRESHOLD_S}s triggers reps)",
+                "timing": (
+                    f"median of up to 3 reps (first rep > {REP_THRESHOLD_S}s "
+                    "triggers reps); action = full-column noop-sink write "
+                    "(count() lets Catalyst eliminate join subtrees)"
+                ),
                 "scheduler": scheduler_mode(),
                 "concurrent_wall_s": concurrent_wall,
                 "concurrent_workers": 8,
