@@ -61,9 +61,14 @@ def shingles_duck(tokens: str = "tokens", n: int = SHINGLE_N) -> str:
 # ---- rolling (polynomial) hash ---------------------------------------
 
 def rolling_hash_spark(col: str = "text") -> str:
+    # split('') yields the char array in ONE O(L) pass; the previous
+    # substring(col, i, 1) indexing restarted the UTF-8 scan per
+    # character — O(L^2) per document, 10.8x wall at the 10x soak
+    # (r8, surfaced by the noop-sink bench). Value-identical on every
+    # document (verified both engines, both SFs).
     return (
-        f"aggregate(transform(sequence(1, length({col})), "
-        f"i -> CAST(ascii(substring({col}, i, 1)) AS bigint)), "
+        f"aggregate(transform(split({col}, ''), "
+        f"c -> CAST(ascii(c) AS bigint)), "
         f"CAST(0 AS bigint), (h, c) -> (h*31 + c) % {HASH_MOD})"
     )
 
@@ -71,7 +76,7 @@ def rolling_hash_spark(col: str = "text") -> str:
 def rolling_hash_duck(col: str = "text") -> str:
     return (
         f"list_reduce(list_prepend(0::BIGINT, "
-        f"list_transform(range(1, length({col})+1), i -> ascii({col}[i])::BIGINT)), "
+        f"list_transform(string_split({col}, ''), c -> ascii(c)::BIGINT)), "
         f"(h, c) -> (h*31 + c) % {HASH_MOD})"
     )
 
