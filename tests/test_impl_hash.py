@@ -54,6 +54,19 @@ def test_hash_mismatch_refronts_entry():
         assert not valid_before, valid_before
 
 
+def test_impl_hashes_cover_registry():
+    """EVERY registry entry must have a recorded implementation hash
+    (VERDICT r8 'What's wrong' #1 — three straight rounds shipped new
+    entries unstamped, leaving the rotation unable to detect a
+    regression edit to them).  Protocol: `tools/record_impl_hashes.py`
+    at round start stamps driver-green entries; `--new` stamps entries
+    added mid-round (harmless — greens come from CORRECTNESS files,
+    the hash only gates them).  Equality also catches stale hashes for
+    deleted/renamed entries."""
+    recorded = impl_hash.recorded_hashes()
+    assert set(recorded) == set(all_queries())
+
+
 def test_query_and_oracle_rotation_orders_agree():
     q = list(all_queries())
     o = list(all_oracles())

