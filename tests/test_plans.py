@@ -232,6 +232,26 @@ def test_windows_partitioned(spark, name):
             assert "SinglePartition" not in line, f"{name}: global window\n{line}"
 
 
+def test_lm_fit_tiers_window_is_sample_bounded(spark):
+    """VERDICT r8 item 1: the tier bucketing must NOT be a
+    per-stratum NTILE over corpus-sized partitions (English x
+    CommonCrawl is 40%+ of a real corpus — a single-task sort).
+    Required shape: the corpus side is a broadcast LeftOuter join +
+    row-local CASE; the ONLY window (cutoff ranking) runs behind the
+    affine-hash sample filter whose in-plan modulus bounds it at
+    FIT_SAMPLE_TARGET expected rows."""
+    from uber_data_pipeline_spark.operators.textops import FIT_HASH_A
+
+    plan = plan_of(spark, "documents_lm_fit_tiers")
+    assert "ntile" not in plan.lower(), plan[:2000]
+    assert "Window" in plan, plan[:2000]
+    corpus_side, _, window_subtree = plan.partition("Window")
+    # tier assignment: broadcast LeftOuter join upstream of the window
+    assert "LeftOuter" in corpus_side, corpus_side[:2000]
+    # the window's input subtree carries the sample predicate
+    assert str(FIT_HASH_A) in window_subtree, window_subtree[:2000]
+
+
 def test_embedding_dedup_is_bucket_local(spark):
     """dedup_embedding_cosine must run the banded-SRP plan: ONE
     hash exchange on (band, bucket) + in-partition sort feeding the

@@ -26,27 +26,81 @@ def docs(spark):
     return load_table(spark, SF, "documents")
 
 
-def test_lm_fit_tiers_are_balanced_and_ordered(docs):
-    """NTILE(3) per (lang, source) stratum: tier sizes within a
-    stratum differ by at most 1, and the head tier's mean LM fit
-    dominates the tail's (the CC-Net keep-the-head property)."""
+def test_lm_fit_tiers_are_ordered_and_tertile_sized(docs):
+    """Cutoff-threshold tiers (CC-Net §4.3's sampled-cutoff procedure;
+    at this SF the in-plan modulus is 1, so cutoffs are exact tertile
+    ranks of the full distribution): tiers must cut the fit ORDER
+    (min(head) >= max(middle) >= min(middle) >= max(tail)), and in
+    strata whose fits are all distinct the sizes must equal the
+    ceil-rank tertiles — which coincide with NTILE(3); boundary TIES
+    (promoted to the better tier) are the only permitted deviation."""
     rows = lm_fit_tiers(docs).collect()
     by_stratum: dict = {}
     for r in rows:
         by_stratum.setdefault((r.lang, r.source), []).append(r)
     assert len(by_stratum) > 1
+    checked_sizes = 0
     for (lang, source), grp in by_stratum.items():
-        sizes = {
-            t: sum(1 for r in grp if r.tier == t)
+        fits = {
+            t: [r.lm_fit for r in grp if r.tier == t]
             for t in ("head", "middle", "tail")
         }
-        present = [s for s in sizes.values() if s]
-        assert max(present) - min(present) <= 1, (lang, source, sizes)
-        head = [r.lm_fit for r in grp if r.tier == "head"]
-        tail = [r.lm_fit for r in grp if r.tier == "tail"]
-        if head and tail:
-            # every head fit >= every tail fit (tiers cut a total order)
-            assert min(head) >= max(tail), (lang, source)
+        if fits["head"] and fits["middle"]:
+            assert min(fits["head"]) >= max(fits["middle"]), (lang, source)
+        if fits["middle"] and fits["tail"]:
+            assert min(fits["middle"]) >= max(fits["tail"]), (lang, source)
+        if fits["head"] and fits["tail"]:
+            assert min(fits["head"]) >= max(fits["tail"]), (lang, source)
+        all_fits = [r.lm_fit for r in grp]
+        if len(set(all_fits)) == len(all_fits):
+            n = len(grp)
+            r1, r2 = (n + 2) // 3, (2 * n + 2) // 3
+            sizes = {t: len(v) for t, v in fits.items()}
+            assert sizes == {
+                "head": r1,
+                "middle": r2 - r1,
+                "tail": n - r2,
+            }, (lang, source, sizes)
+            checked_sizes += 1
+    assert checked_sizes > 0  # distinct-fit strata exist at this SF
+
+
+def test_fit_sample_modulus_bounds_cutoff_sample():
+    """The in-plan 1-in-m sampling keeps the EXPECTED cutoff-fit
+    sample at <= FIT_SAMPLE_TARGET rows for any corpus size (the
+    100 TB guarantee that no (lang, source) stratum window can exceed
+    the target), and m == 1 below the target so test SFs fit cutoffs
+    on the full distribution."""
+    from uber_data_pipeline_spark.operators.textops import (
+        FIT_SAMPLE_TARGET,
+        fit_sample_modulus,
+    )
+
+    assert fit_sample_modulus(0) == 1
+    assert fit_sample_modulus(FIT_SAMPLE_TARGET) == 1
+    assert fit_sample_modulus(FIT_SAMPLE_TARGET + 1) == 2
+    for n in (10**6, 10**9, 10**12, 7 * 10**11 + 13):
+        m = fit_sample_modulus(n)
+        assert n / m <= FIT_SAMPLE_TARGET
+        # and never oversamples by more than 2x under the cap
+        assert n / m > FIT_SAMPLE_TARGET / 2
+
+
+def test_lm_fit_tiers_sampled_mode_matches_oracle(docs, duck):
+    """SAMPLED cutoff mode (the 100 TB path, forced here by a tiny
+    sample_target at sf0.001: 500 docs / target 100 -> modulus 5):
+    every document still gets a tier, and the DuckDB twin replays the
+    sampled evaluation bit-for-bit."""
+    from uber_data_pipeline_spark.operators.textops import sql_lm_fit_tiers
+    from uber_data_pipeline_spark.testing import compare
+
+    target = 100
+    sdf = lm_fit_tiers(docs, sample_target=target).toPandas()
+    odf = duck.execute(sql_lm_fit_tiers(sample_target=target)).df()
+    assert compare("lm_fit_tiers_sampled", sdf, odf) == []
+    assert len(sdf) == docs.count()
+    assert sdf["tier"].notna().all()
+    assert len(set(sdf["tier"])) == 3  # sampled cutoffs still split
 
 
 def test_lm_fit_is_in_language_probability_mean(docs):

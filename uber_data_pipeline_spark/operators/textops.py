@@ -499,30 +499,67 @@ def sql_unigram_scores() -> str:
 
 LM_TIER_LABELS = {1: "head", 2: "middle", 3: "tail"}
 
+# Cutoff-fit sample sizing (VERDICT r8 item 1): cutoffs are fit on a
+# deterministic affine-hash sample whose EXPECTED total size is capped
+# at FIT_SAMPLE_TARGET rows regardless of corpus size — the modulus is
+# derived IN-PLAN from COUNT(documents), so the same query text is
+# exact-tertile at test SFs (modulus 1 = every row sampled) and a
+# bounded sample at 100 TB, with the DuckDB oracle replaying the
+# identical derivation.  Constants follow the MINHASH_A/B recipe:
+# both factors < FIT_HASH_MOD ~ 1e9 keep a*h + b < 2^63.
+FIT_SAMPLE_TARGET = 65536
+FIT_HASH_MOD = 1_000_000_007
+FIT_HASH_A = 2654435761 % FIT_HASH_MOD
+FIT_HASH_B = 97531
 
-def lm_fit_tiers(docs: DataFrame) -> DataFrame:
+
+def fit_sample_modulus(n_rows: int, target: int = FIT_SAMPLE_TARGET) -> int:
+    """ceil(n/target): the 1-in-m sampling modulus that bounds the
+    EXPECTED cutoff-fit sample at `target` rows for any corpus size
+    (n/m <= target by construction; m = 1 below target, so small SFs
+    fit cutoffs on the full distribution).  Python twin of the in-plan
+    derivation, for sizing tests."""
+    return max(1, (n_rows + target - 1) // target)
+
+
+def lm_fit_tiers(
+    docs: DataFrame, sample_target: int = FIT_SAMPLE_TARGET
+) -> DataFrame:
     """CC-Net-style quality tiers (Wenzek et al. 2020 §4.3): rank each
     document by how well a PER-LANGUAGE unigram LM fits it, then split
-    every (lang, source) stratum into equal head/middle/tail tiers —
-    the bucketing CC-Net uses to keep the head of the perplexity
+    every (lang, source) stratum into head/middle/tail terciles — the
+    bucketing CC-Net uses to keep the head of the perplexity
     distribution for LM training data.
 
     Determinism contract (the :func:`dsir_weights` rules): the LM fit
     is one IEEE division of exact integer sums — mean in-language
     token probability, the monotone linear-space stand-in for
     perplexity; no transcendental functions, so Spark and DuckDB
-    order and round identically. Tier boundaries are NTILE(3) with
-    the (fit DESC, doc_id ASC) total order, identical in both
-    engines by the SQL-standard remainder rule.
+    order, compare and round identically.
+
+    Tier semantics are CC-Net's ACTUAL procedure — §4.3 fits the
+    tercile CUTOFFS on a sample, then buckets every document
+    row-locally against the cutoffs (not a full-corpus NTILE):
+    a deterministic affine-hash sample (1-in-m where m =
+    ceil(n_docs / sample_target) is derived in-plan from COUNT(*),
+    see :func:`fit_sample_modulus`) is ranked per (lang, source) by
+    (fit DESC, doc_id ASC); the cutoffs are the sample fits at ranks
+    ceil(n_s/3) and ceil(2*n_s/3); every document then buckets by two
+    comparisons against its stratum's broadcast cutoffs.  With m = 1
+    (any corpus below sample_target docs — all test SFs) and distinct
+    fits this reproduces NTILE(3) sizes exactly; boundary TIES go to
+    the better tier, and a stratum too small to be sampled keeps all
+    its docs as 'head' (conservative: keep data).
 
     Scale shape: the per-(lang, token) vocabulary is a map-side
     combined groupBy; the count resolution joins token-to-token
     (broadcast when the vocab is small); the per-doc reduction is one
-    groupBy on doc_id. The tier window partitions by (lang, source) —
-    stratum-parallel, never a global sort; at 100 TB the exact
-    per-stratum NTILE is the honest cost, and a production variant
-    would swap in sampled tercile thresholds (CC-Net itself fits the
-    cutoffs on a sample) with the bucketing staying row-local."""
+    groupBy on doc_id.  The ONLY window runs over the size-bounded
+    sample (<= sample_target expected rows corpus-wide, so a 40%-of-
+    corpus stratum like English x CommonCrawl never becomes a
+    single-task sort); the corpus-sized side is one broadcast join +
+    row-local CASE.  Plan pinned by
+    tests/test_plans.py::test_lm_fit_tiers_window_is_sample_bounded."""
     toks = docs.selectExpr(
         "doc_id", "lang", "source", f"explode({TOKENS_SPARK}) AS token"
     )
@@ -533,32 +570,53 @@ def lm_fit_tiers(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id", "lang", "source")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.sum("cnt").alias("sum_cnt"),
+            F.sum(F.col("cnt")).alias("sum_cnt"),
         )
         .join(F.broadcast(totals), "lang")
+        .withColumn("fitv", F.expr("sum_cnt / (n_tokens * total_lang)"))
     )
-    w = Window.partitionBy("lang", "source").orderBy(
-        F.expr("sum_cnt / (n_tokens * total_lang)").desc(), F.asc("doc_id")
+    smod = docs.agg(F.count("*").alias("n_docs")).selectExpr(
+        f"greatest(CAST(1 AS BIGINT), (n_docs + {sample_target} - 1)"
+        f" DIV {sample_target}) AS fit_mod"
     )
-    tier_case = (
-        "CASE tier_n WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
-        "ELSE 'tail' END"
-    )
-    return (
-        per_doc.withColumn("tier_n", F.ntile(3).over(w))
-        .selectExpr(
-            "doc_id",
-            "lang",
-            "source",
-            "n_tokens",
-            "round(sum_cnt / (n_tokens * total_lang), 12) AS lm_fit",
-            f"{tier_case} AS tier",
+    sampled = per_doc.join(F.broadcast(smod)).filter(
+        F.expr(
+            f"(({FIT_HASH_A} * (doc_id % {FIT_HASH_MOD}) + {FIT_HASH_B})"
+            f" % {FIT_HASH_MOD}) % fit_mod = 0"
         )
     )
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.desc("fitv"), F.asc("doc_id")
+    )
+    ranked = sampled.withColumn("rn", F.row_number().over(w))
+    ns = sampled.groupBy("lang", "source").agg(F.count("*").alias("n_s"))
+    cuts = (
+        ranked.join(ns, ["lang", "source"])
+        .groupBy("lang", "source")
+        .agg(
+            F.max(
+                F.when(F.expr("rn = (n_s + 2) DIV 3"), F.col("fitv"))
+            ).alias("cut_head"),
+            F.max(
+                F.when(F.expr("rn = (2 * n_s + 2) DIV 3"), F.col("fitv"))
+            ).alias("cut_mid"),
+        )
+    )
+    return per_doc.join(F.broadcast(cuts), ["lang", "source"], "left").selectExpr(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        "round(fitv, 12) AS lm_fit",
+        "CASE WHEN cut_head IS NULL OR fitv >= cut_head THEN 'head' "
+        "WHEN fitv >= cut_mid THEN 'middle' ELSE 'tail' END AS tier",
+    )
 
 
-def sql_lm_fit_tiers() -> str:
-    """DuckDB twin of :func:`lm_fit_tiers`."""
+def sql_lm_fit_tiers(sample_target: int = FIT_SAMPLE_TARGET) -> str:
+    """DuckDB twin of :func:`lm_fit_tiers` — same in-plan modulus
+    derivation, same affine-hash sample, same cutoff ranks, same
+    boundary-tie and unsampled-stratum rules."""
     return f"""
         WITH toks AS (
             SELECT doc_id, lang, source, t.token
@@ -576,18 +634,41 @@ def sql_lm_fit_tiers() -> str:
                    CAST(SUM(cnt) AS BIGINT) AS sum_cnt
             FROM toks t JOIN vocab v USING (lang, token)
             GROUP BY 1, 2, 3
-        ), tiered AS (
-            SELECT doc_id, lang, source, n_tokens, sum_cnt, total_lang,
-                   NTILE(3) OVER (PARTITION BY lang, source
-                       ORDER BY sum_cnt / (n_tokens * total_lang) DESC,
-                                doc_id ASC) AS tier_n
+        ), fit AS (
+            SELECT doc_id, lang, source, n_tokens,
+                   sum_cnt / (n_tokens * total_lang) AS fitv
             FROM per_doc JOIN totals USING (lang)
+        ), smod AS (
+            SELECT GREATEST(CAST(1 AS BIGINT),
+                   (COUNT(*) + {sample_target} - 1) // {sample_target})
+                       AS fit_mod
+            FROM documents
+        ), sampled AS (
+            SELECT f.* FROM fit f, smod
+            WHERE (({FIT_HASH_A} * (doc_id % {FIT_HASH_MOD})
+                    + {FIT_HASH_B}) % {FIT_HASH_MOD}) % fit_mod = 0
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+                       ORDER BY fitv DESC, doc_id ASC) AS rn
+            FROM sampled
+        ), ns AS (
+            SELECT lang, source, COUNT(*) AS n_s
+            FROM sampled GROUP BY 1, 2
+        ), cuts AS (
+            SELECT lang, source,
+                   MAX(CASE WHEN rn = (n_s + 2) // 3 THEN fitv END)
+                       AS cut_head,
+                   MAX(CASE WHEN rn = (2 * n_s + 2) // 3 THEN fitv END)
+                       AS cut_mid
+            FROM ranked JOIN ns USING (lang, source)
+            GROUP BY 1, 2
         )
         SELECT doc_id, lang, source, n_tokens,
-               ROUND(sum_cnt / (n_tokens * total_lang), 12) AS lm_fit,
-               CASE tier_n WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-                   ELSE 'tail' END AS tier
-        FROM tiered
+               ROUND(fitv, 12) AS lm_fit,
+               CASE WHEN cut_head IS NULL OR fitv >= cut_head THEN 'head'
+                    WHEN fitv >= cut_mid THEN 'middle'
+                    ELSE 'tail' END AS tier
+        FROM fit LEFT JOIN cuts USING (lang, source)
     """
 
 
