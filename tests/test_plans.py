@@ -116,6 +116,14 @@ SCALAR_BROADCAST_OK = {
     # 1-row totals aggregate (sum of alpha-weighted domain masses)
     # crossJoined onto the per-domain relation to normalize weights
     "documents_mixture_alpha",
+    # r9: 1-row COUNT broadcast deriving the recall-gate query-sample
+    # modulus in-plan (ann_ivf/ivfpq_recall already listed above)
+    "ann_lsh_recall",
+    "embeddings_matryoshka_recall",
+    # r9: 1-row COUNT broadcast deriving the cutoff-fit sample modulus
+    "documents_lm_fit_tiers",
+    # r9: 1-row COUNT broadcast deriving the epoch-shard count
+    "training_epoch_shuffle",
 }
 
 

@@ -231,6 +231,59 @@ def test_epoch_shuffle_derived_shards_match_explicit_16(docs):
     assert derived == explicit
 
 
+def test_recall_gate_query_sampling_matches_oracle(spark, duck):
+    """SAMPLED recall-gate mode (VERDICT r8 item 5 — the 100 TB path,
+    forced here with target=100 on 500 vectors -> in-plan modulus 5):
+    the DuckDB twin replays the identical sample, AND every sampled
+    row equals the corresponding row of the FULL gate (per-query
+    recalls are independent, so sampling drops rows without changing
+    any)."""
+    from uber_data_pipeline_spark.operators import similarity
+    from uber_data_pipeline_spark.queries.training import (
+        LSH_ANN_K,
+        _emb,
+        _sql_ann_exact,
+        _sql_ann_lsh,
+    )
+    from uber_data_pipeline_spark.testing import compare
+
+    target = 100
+    emb = _emb(spark, SF)
+    sdf = similarity.lsh_recall(
+        emb, LSH_ANN_K, query_sample_target=target
+    ).toPandas()
+    pred_a = similarity.sql_query_sample_pred("a.vec_id", target=target)
+    sql = f"""
+        WITH exact AS ({_sql_ann_exact(LSH_ANN_K, query_pred=pred_a)}),
+        approx AS ({_sql_ann_lsh(LSH_ANN_K, query_pred=pred_a)}),
+        hits AS (
+            SELECT a.query_id, COUNT(*) AS n_hits
+            FROM approx a JOIN exact e
+              ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+            GROUP BY 1
+        )
+        SELECT v.vec_id AS query_id,
+               CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+               ROUND(COALESCE(h.n_hits, 0) / CAST({LSH_ANN_K} AS DOUBLE), 6)
+                   AS recall_at_k
+        FROM embeddings v LEFT JOIN hits h ON h.query_id = v.vec_id
+        WHERE {similarity.sql_query_sample_pred("v.vec_id", target=target)}
+    """
+    odf = duck.execute(sql).df()
+    assert compare("lsh_recall_sampled", sdf, odf) == []
+    n = emb.count()
+    assert 0 < len(sdf) < n  # the sample actually pruned queries
+    # sampled rows == the same rows of the full gate
+    full = (
+        similarity.lsh_recall(emb, LSH_ANN_K, query_sample_target=None)
+        .toPandas()
+        .set_index("query_id")
+    )
+    assert len(full) == n
+    for r in sdf.itertuples():
+        assert full.loc[r.query_id].n_hits == r.n_hits
+
+
 def test_lsh_tuning_report_s_curve_shape(docs):
     """The S-curve tradeoff must hold: at fixed b*r, MORE rows per
     band means LOWER expected recall and LOWER sub-threshold FP mass

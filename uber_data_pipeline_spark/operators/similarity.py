@@ -212,16 +212,81 @@ def _local_topk_kernel(k: int):
     return local_topk
 
 
+# Recall-gate query sampling (VERDICT r8 item 5): the exact ground
+# truth a recall gate ranks against is O(n_queries * n_corpus) by
+# role; what must NOT grow quadratically is the gate itself.  The
+# modulus is derived IN-PLAN from COUNT(embeddings) — ceil(n/target)
+# — so every corpus at or under QUERY_SAMPLE_TARGET vectors (all
+# driver-gate SFs) evaluates EVERY query (bit-identical to the
+# historical gates) while bigger corpora score a deterministic
+# affine-hash sample of ~target queries, bounding the gemm at
+# O(target * n).  Per-query recalls are independent, so sampled rows
+# are exact and the DuckDB oracle replays the identical sample.
+QUERY_SAMPLE_TARGET = 8192
+QS_HASH_MOD = 1_000_000_007
+QS_HASH_A = 2654435761 % QS_HASH_MOD
+QS_HASH_B = 777767777
+
+
+def query_sample(
+    emb: DataFrame, target: int = QUERY_SAMPLE_TARGET
+) -> DataFrame:
+    """Deterministic hash-bucket query sample with the in-plan
+    modulus derivation: rows of ``emb`` whose affine vec_id hash is
+    0 mod ceil(n/target).  target=None disables sampling (full
+    query set regardless of corpus size)."""
+    if target is None:
+        return emb
+    smod = emb.agg(F.count("*").alias("n_rows")).selectExpr(
+        f"greatest(CAST(1 AS BIGINT), (n_rows + {target} - 1)"
+        f" DIV {target}) AS q_mod"
+    )
+    return (
+        emb.join(F.broadcast(smod))
+        .filter(
+            F.expr(
+                f"(({QS_HASH_A} * (vec_id % {QS_HASH_MOD}) + {QS_HASH_B})"
+                f" % {QS_HASH_MOD}) % q_mod = 0"
+            )
+        )
+        .drop("q_mod")
+    )
+
+
+def sql_query_sample_pred(
+    id_expr: str,
+    target: int | None = QUERY_SAMPLE_TARGET,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`query_sample` as a boolean over
+    ``id_expr`` — same affine hash, same in-plan modulus (scalar
+    COUNT subquery over ``src``)."""
+    if target is None:
+        return "TRUE"
+    return (
+        f"((({QS_HASH_A} * ({id_expr} % {QS_HASH_MOD}) + {QS_HASH_B})"
+        f" % {QS_HASH_MOD}) % (SELECT GREATEST(CAST(1 AS BIGINT),"
+        f" (COUNT(*) + {target} - 1) // {target}) FROM {src})) = 0"
+    )
+
+
 def brute_force_topk(
-    emb: DataFrame, k: int, n_blocks: int | None = DEFAULT_BLOCKS
+    emb: DataFrame,
+    k: int,
+    n_blocks: int | None = DEFAULT_BLOCKS,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors per vector: per-cell gemm emits k
     local candidates per query, a global rank window merges the
     n_blocks*k candidates (tiny) into the exact top-k. Pass
-    ``n_blocks=None`` to size the tiling from the corpus row count."""
+    ``n_blocks=None`` to size the tiling from the corpus row count.
+    ``queries`` (a subset relation with vec_id/embedding, e.g.
+    :func:`query_sample`) restricts the QUERY side; neighbors always
+    come from the full corpus and per-query results are unchanged."""
     if n_blocks is None:
         n_blocks = auto_blocks(emb.count())
-    left = _blocked(emb, n_blocks, explode_col="cb", mod_col="qb", prefix="q")
+    qsrc = emb if queries is None else queries
+    left = _blocked(qsrc, n_blocks, explode_col="cb", mod_col="qb", prefix="q")
     right = _blocked(emb, n_blocks, explode_col="qb", mod_col="cb", prefix="n")
     candidates = (
         left.groupBy("qb", "cb")
@@ -684,7 +749,12 @@ def lsh_topk(emb: DataFrame, k: int, n_bits: int = LSH_BITS) -> DataFrame:
     )
 
 
-def lsh_recall(emb: DataFrame, k: int, n_bits: int = LSH_BITS) -> DataFrame:
+def lsh_recall(
+    emb: DataFrame,
+    k: int,
+    n_bits: int = LSH_BITS,
+    query_sample_target: int | None = QUERY_SAMPLE_TARGET,
+) -> DataFrame:
     """Recall@k of the SRP-LSH index against the exact brute-force
     ranking — the index-quality gate a training pipeline runs before
     trusting an ANN index for dedup/retrieval: per query,
@@ -698,26 +768,35 @@ def lsh_recall(emb: DataFrame, k: int, n_bits: int = LSH_BITS) -> DataFrame:
     rows); the intersection is one hash join on (query, neighbor) and
     one groupBy — nothing here is all-pairs beyond the underlying
     exact baseline itself, which is the point of the measurement. At
-    100 TB you run this on a deterministic hash-bucket SAMPLE of
-    queries (operators/sampling.py) rather than every vector."""
+    100 TB the gate scores the deterministic :func:`query_sample`
+    (in-plan modulus; every query at driver-gate SFs) rather than
+    every vector."""
     approx = lsh_topk(emb, k, n_bits).select("query_id", "neighbor_id")
-    return _recall_vs_exact(emb, approx, k)
+    return _recall_vs_exact(emb, approx, k, query_sample_target)
 
 
-def ivf_recall(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
+def ivf_recall(
+    emb: DataFrame,
+    k: int,
+    nprobe: int = IVF_NPROBE,
+    query_sample_target: int | None = QUERY_SAMPLE_TARGET,
+) -> DataFrame:
     """Recall@k of the IVF index vs the exact ranking — same gate as
     :func:`lsh_recall` for the cell-probing index family (recall here
     is governed by nprobe and centroid quality rather than bit
     width)."""
     approx = ivf_topk(emb, k, nprobe).select("query_id", "neighbor_id")
-    return _recall_vs_exact(emb, approx, k)
+    return _recall_vs_exact(emb, approx, k, query_sample_target)
 
 
 MATRYOSHKA_KEEP_DIMS = 32
 
 
 def matryoshka_recall(
-    emb: DataFrame, k: int, keep_dims: int = MATRYOSHKA_KEEP_DIMS
+    emb: DataFrame,
+    k: int,
+    keep_dims: int = MATRYOSHKA_KEEP_DIMS,
+    query_sample_target: int | None = QUERY_SAMPLE_TARGET,
 ) -> DataFrame:
     """Recall@k of PREFIX-TRUNCATED embeddings against the full-dim
     exact ranking — the Matryoshka / adaptive-retrieval quality gate
@@ -732,27 +811,43 @@ def matryoshka_recall(
     vectors with the shared (rounded cosine desc, neighbor_id asc)
     order, so the DuckDB oracle replays the evaluation bit-for-bit.
     Scale shape: identical to :func:`lsh_recall` — two reduced n*k
-    relations, one hash join; run on a deterministic query sample at
-    production scale."""
+    relations, one hash join; both gemms run over the deterministic
+    :func:`query_sample` (in-plan modulus: every query at driver-gate
+    SFs, ~query_sample_target queries beyond), so the gate is
+    O(target * n), not O(n^2), at production scale."""
     truncated = emb.withColumn(
         "embedding", F.expr(f"slice(embedding, 1, {keep_dims})")
     )
-    approx = brute_force_topk(truncated, k).select("query_id", "neighbor_id")
-    return _recall_vs_exact(emb, approx, k)
+    approx = brute_force_topk(
+        truncated, k, queries=query_sample(truncated, query_sample_target)
+    ).select("query_id", "neighbor_id")
+    return _recall_vs_exact(emb, approx, k, query_sample_target)
 
 
-def _recall_vs_exact(emb: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+def _recall_vs_exact(
+    emb: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_sample_target: int | None = QUERY_SAMPLE_TARGET,
+) -> DataFrame:
     """(query_id, n_hits, recall_at_k) for an approximate neighbor
-    relation against the exact brute-force top-k at the same k."""
-    exact = brute_force_topk(emb, k).select("query_id", "neighbor_id")
+    relation against the exact brute-force top-k at the same k —
+    evaluated over the deterministic :func:`query_sample` (the full
+    query set whenever the corpus is at or under the target; per-query
+    recalls are independent, so sampled rows are exact)."""
+    qs = query_sample(emb, query_sample_target)
+    qids = qs.select(F.col("vec_id").alias("query_id"))
+    exact = brute_force_topk(emb, k, queries=qs).select(
+        "query_id", "neighbor_id"
+    )
     hits = (
-        approx.join(exact, ["query_id", "neighbor_id"])
+        approx.join(F.broadcast(qids), "query_id", "left_semi")
+        .join(exact, ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hits"))
     )
     return (
-        emb.select(F.col("vec_id").alias("query_id"))
-        .join(hits, "query_id", "left")
+        qids.join(hits, "query_id", "left")
         .selectExpr(
             "query_id",
             "CAST(coalesce(n_hits, 0) AS INT) AS n_hits",
@@ -1587,12 +1682,17 @@ def ivfpq_topk(emb: DataFrame, k: int, nprobe: int = IVFPQ_NPROBE) -> DataFrame:
     return rank_topk(rescored, k, partition_cols=("query_id",))
 
 
-def ivfpq_recall(emb: DataFrame, k: int, nprobe: int = IVFPQ_NPROBE) -> DataFrame:
+def ivfpq_recall(
+    emb: DataFrame,
+    k: int,
+    nprobe: int = IVFPQ_NPROBE,
+    query_sample_target: int | None = QUERY_SAMPLE_TARGET,
+) -> DataFrame:
     """Recall@k of the IVF-PQ index vs the exact ranking — the gate
     that prices PQ distortion (4 bytes/vector) + cell probing against
     the exact baseline before an index ships."""
     approx = ivfpq_topk(emb, k, nprobe).select("query_id", "neighbor_id")
-    return _recall_vs_exact(emb, approx, k)
+    return _recall_vs_exact(emb, approx, k, query_sample_target)
 
 
 def _sql_ivfpq_train_ctes(iters: int = None) -> str:

@@ -916,8 +916,14 @@ ORACLES = {
     "ann_knn_classify": similarity.sql_knn_classify(_sql_ann_exact(ANN_K)),
     "ann_lsh_topk": _sql_ann_lsh(LSH_ANN_K),
     "ann_lsh_recall": f"""
-        WITH exact AS ({_sql_ann_exact(LSH_ANN_K)}),
-        approx AS ({_sql_ann_lsh(LSH_ANN_K)}),
+        WITH exact AS ({_sql_ann_exact(
+            LSH_ANN_K,
+            query_pred=similarity.sql_query_sample_pred("a.vec_id"),
+        )}),
+        approx AS ({_sql_ann_lsh(
+            LSH_ANN_K,
+            query_pred=similarity.sql_query_sample_pred("a.vec_id"),
+        )}),
         hits AS (
             SELECT a.query_id, COUNT(*) AS n_hits
             FROM approx a JOIN exact e
@@ -929,13 +935,17 @@ ORACLES = {
                ROUND(COALESCE(h.n_hits, 0) / CAST({LSH_ANN_K} AS DOUBLE), 6)
                    AS recall_at_k
         FROM embeddings v LEFT JOIN hits h ON h.query_id = v.vec_id
+        WHERE {similarity.sql_query_sample_pred("v.vec_id")}
     """,
     # the truncated side's lead CTE is MATERIALIZED: DuckDB 1.0's lazy
     # list-slice feeding the fixed-ARRAY cast corrupts a fraction of
     # rows (self inner product 0/NULL); materializing the slice first
     # is the verified-safe path (0 corrupt rows)
     "embeddings_matryoshka_recall": f"""
-        WITH exact AS ({_sql_ann_exact(ANN_K)}),
+        WITH exact AS ({_sql_ann_exact(
+            ANN_K,
+            query_pred=similarity.sql_query_sample_pred("a.vec_id"),
+        )}),
         approx AS ({_sql_ann_exact(
             ANN_K,
             src="embtr",
@@ -945,6 +955,7 @@ ORACLES = {
                 f"embedding[1:{similarity.MATRYOSHKA_KEEP_DIMS}] AS embedding "
                 "FROM embeddings), "
             ),
+            query_pred=similarity.sql_query_sample_pred("a.vec_id"),
         )}),
         hits AS (
             SELECT a.query_id, COUNT(*) AS n_hits
@@ -957,11 +968,18 @@ ORACLES = {
                ROUND(COALESCE(h.n_hits, 0) / CAST({ANN_K} AS DOUBLE), 6)
                    AS recall_at_k
         FROM embeddings v LEFT JOIN hits h ON h.query_id = v.vec_id
+        WHERE {similarity.sql_query_sample_pred("v.vec_id")}
     """,
     "ann_ivf_topk": _sql_ann_ivf(ANN_K),
     "ann_ivf_recall": f"""
-        WITH exact AS ({_sql_ann_exact(ANN_K)}),
-        approx AS ({_sql_ann_ivf(ANN_K)}),
+        WITH exact AS ({_sql_ann_exact(
+            ANN_K,
+            query_pred=similarity.sql_query_sample_pred("a.vec_id"),
+        )}),
+        approx AS ({_sql_ann_ivf(
+            ANN_K,
+            query_pred=similarity.sql_query_sample_pred("vec_id"),
+        )}),
         hits AS (
             SELECT a.query_id, COUNT(*) AS n_hits
             FROM approx a JOIN exact e
@@ -973,11 +991,18 @@ ORACLES = {
                ROUND(COALESCE(h.n_hits, 0) / CAST({ANN_K} AS DOUBLE), 6)
                    AS recall_at_k
         FROM embeddings v LEFT JOIN hits h ON h.query_id = v.vec_id
+        WHERE {similarity.sql_query_sample_pred("v.vec_id")}
     """,
     "ann_ivfpq_topk": similarity.sql_ivfpq_topk(ANN_K),
     "ann_ivfpq_recall": f"""
-        WITH exact AS ({_sql_ann_exact(ANN_K)}),
-        approx AS ({similarity.sql_ivfpq_topk(ANN_K)}),
+        WITH exact AS ({_sql_ann_exact(
+            ANN_K,
+            query_pred=similarity.sql_query_sample_pred("a.vec_id"),
+        )}),
+        approx AS ({similarity.sql_ivfpq_topk(
+            ANN_K,
+            query_pred=similarity.sql_query_sample_pred("vec_id"),
+        )}),
         hits AS (
             SELECT a.query_id, COUNT(*) AS n_hits
             FROM approx a JOIN exact e
@@ -989,6 +1014,7 @@ ORACLES = {
                ROUND(COALESCE(h.n_hits, 0) / CAST({ANN_K} AS DOUBLE), 6)
                    AS recall_at_k
         FROM embeddings v LEFT JOIN hits h ON h.query_id = v.vec_id
+        WHERE {similarity.sql_query_sample_pred("v.vec_id")}
     """,
     "text_langid": f"""
         WITH tok AS (
