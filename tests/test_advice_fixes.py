@@ -154,3 +154,86 @@ def test_scheduler_mode_stamp_matches_session_sanitization(monkeypatch):
     import bench
 
     assert "scheduler_mode()" in inspect.getsource(bench.main)
+
+
+# ---------------------------------------------------------- r8 ADVICE
+
+
+def test_burst_sentinel_only_in_audit_wrapper(spark):
+    """ADVICE r8: the PRODUCT burst query must never emit the
+    fabricated '__burst_sentinel__' row; the sentinel lives only in
+    the audit wrapper the registry/gate binds (where it keeps the
+    value-hash non-vacuous)."""
+    from uber_data_pipeline_spark.queries import events as ev
+
+    prod = ev.events_burst_detection(spark, SF_DIR := _sf()).collect()
+    assert all(r.event_type != "__burst_sentinel__" for r in prod)
+
+    audit = ev.events_burst_detection_audit(spark, SF_DIR).collect()
+    sent = [r for r in audit if r.event_type == "__burst_sentinel__"]
+    assert len(sent) == 1 and sent[0].burst_ratio == 10.0
+    # audit == product + the sentinel row, nothing else differs
+    assert sorted(map(tuple, prod)) == sorted(
+        tuple(r) for r in audit if r.event_type != "__burst_sentinel__"
+    )
+    assert ev.QUERIES["events_burst_detection"] is ev.events_burst_detection_audit
+
+
+def _sf():
+    from tests.conftest import SF_DIR
+
+    return SF_DIR
+
+
+def test_lsh_tuning_zero_true_pairs_yields_defined_null(spark, duck):
+    """ADVICE r8: tau above every pair's Jaccard (no true pairs) must
+    produce expected_recall NULL in BOTH engines — a defined edge, not
+    a div-by-zero/ANSI error."""
+    from uber_data_pipeline_spark.catalog import load_table
+    from uber_data_pipeline_spark.operators import dedup
+    from uber_data_pipeline_spark.queries.training import (
+        _SQL_NGRAM_JACCARD_ALL,
+    )
+
+    docs = load_table(spark, _sf(), "documents")
+    rows = dedup.lsh_tuning_report(docs, tau=1.01).collect()
+    assert len(rows) > 0
+    assert all(r.n_true_pairs == 0 for r in rows)
+    assert all(r.expected_recall is None for r in rows)
+    orows = duck.execute(
+        dedup.sql_lsh_tuning_report(_SQL_NGRAM_JACCARD_ALL, tau=1.01)
+    ).df()
+    assert len(orows) == len(rows)
+    assert orows["expected_recall"].isna().all()
+
+
+def test_expire_snapshots_through_symlink_alias(spark, tmp_path):
+    """ADVICE r8: a root reached via a symlink alias of the path
+    commit_snapshot used must vacuum normally (realpath comparison),
+    not refuse with 'resolves outside the snapshot root'."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from uber_data_pipeline_spark.catalog import load_table
+    from uber_data_pipeline_spark.sources.snapshots import (
+        commit_snapshot,
+        expire_snapshots,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "real_root")
+    orders = load_table(spark, _sf(), "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    for v, mode in ((0, "overwrite"), (1, "overwrite")):
+        commit_snapshot(
+            orders.filter(F.col("o_orderkey") % 2 == v).repartition(1),
+            root, v, mode=mode,
+        )
+    alias = str(tmp_path / "alias_root")
+    os.symlink(root, alias)
+    before = sorted(read_snapshot(spark, root, 1).collect())
+    rep = expire_snapshots(alias, keep_last=1)  # via the symlink
+    assert rep["expired"] == [0]
+    assert sorted(read_snapshot(spark, root, 1).collect()) == before

@@ -1247,8 +1247,13 @@ def lsh_tuning_report(
             "rows_per_band",
             "n_true_pairs",
             "n_sub_pairs",
-            "round(CAST(coalesce(sum_p_true, 0) AS DOUBLE) / n_true_pairs, 6)"
-            " AS expected_recall",
+            # zero guard (ADVICE r8): a corpus with no pairs at
+            # jaccard >= tau yields a DEFINED NULL expected_recall in
+            # both engines (instead of NULL-by-div0 here vs an ANSI
+            # error elsewhere)
+            "CASE WHEN n_true_pairs = 0 THEN CAST(NULL AS DOUBLE) "
+            "ELSE round(CAST(coalesce(sum_p_true, 0) AS DOUBLE)"
+            " / n_true_pairs, 6) END AS expected_recall",
             "round(CAST(coalesce(sum_p_sub, 0) AS DOUBLE), 6)"
             " AS expected_fp_pairs",
         )
@@ -1278,10 +1283,12 @@ def sql_lsh_tuning_report(
                     AS BIGINT) AS n_true_pairs,
                CAST(SUM(CASE WHEN jaccard < {tau} THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_sub_pairs,
-               ROUND(CAST(COALESCE(SUM(CASE WHEN jaccard >= {tau}
-                         THEN p END), 0) AS DOUBLE)
-                     / SUM(CASE WHEN jaccard >= {tau} THEN 1 ELSE 0 END), 6)
-                   AS expected_recall,
+               CASE WHEN SUM(CASE WHEN jaccard >= {tau} THEN 1 ELSE 0 END) = 0
+                    THEN CAST(NULL AS DOUBLE)
+                    ELSE ROUND(CAST(COALESCE(SUM(CASE WHEN jaccard >= {tau}
+                              THEN p END), 0) AS DOUBLE)
+                         / SUM(CASE WHEN jaccard >= {tau} THEN 1 ELSE 0 END), 6)
+                    END AS expected_recall,
                ROUND(CAST(COALESCE(SUM(CASE WHEN jaccard < {tau}
                          THEN p END), 0) AS DOUBLE), 6)
                    AS expected_fp_pairs

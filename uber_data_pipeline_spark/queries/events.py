@@ -521,37 +521,11 @@ _BURST_SENTINEL_SQL = ", ".join(
 )
 
 
-def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Burst detection with a RANGE-frame window: hourly event counts
-    per type compared to the average over the PRECEDING
-    `BURST_TRAIL_HOURS` hours (range frame on the epoch-hour key, so
-    gaps in the series are handled correctly — a ROWS frame would
-    silently span them). Hours at >= BURST_MIN_RATIO x trailing
-    average are flagged.
-
-    Determinism: counts are exact ints; the trailing mean and ratio
-    are each ONE double division of exact ints, rounded once.
-
-    Scale shape: the window runs over ALREADY-REDUCED (type, hour)
-    rows partitioned by type — bounded rows per partition; the raw
-    scan only feeds a map-side-combined count."""
+def _burst_from_hourly(hourly: DataFrame) -> DataFrame:
+    """RANGE-frame burst core over a reduced (type, hour, count)
+    relation — shared by the product query and the audit wrapper."""
     from pyspark.sql import Window
 
-    hourly = (
-        load_table(spark, sf_dir, "events")
-        .selectExpr(
-            "event_type",
-            "CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT) AS epoch_hour",
-        )
-        .groupBy("event_type", "epoch_hour")
-        .agg(F.count("*").alias("n_events"))
-        .unionByName(
-            spark.createDataFrame(
-                _BURST_SENTINEL_ROWS,
-                "event_type string, epoch_hour bigint, n_events bigint",
-            )
-        )
-    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("epoch_hour")
@@ -571,6 +545,59 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("burst_ratio") >= BURST_MIN_RATIO)
     )
+
+
+def _hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT) AS epoch_hour",
+        )
+        .groupBy("event_type", "epoch_hour")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection with a RANGE-frame window: hourly event counts
+    per type compared to the average over the PRECEDING
+    `BURST_TRAIL_HOURS` hours (range frame on the epoch-hour key, so
+    gaps in the series are handled correctly — a ROWS frame would
+    silently span them). Hours at >= BURST_MIN_RATIO x trailing
+    average are flagged.
+
+    Determinism: counts are exact ints; the trailing mean and ratio
+    are each ONE double division of exact ints, rounded once.
+
+    Scale shape: the window runs over ALREADY-REDUCED (type, hour)
+    rows partitioned by type — bounded rows per partition; the raw
+    scan only feeds a map-side-combined count.
+
+    This PRODUCT query returns only real bursts — the planted
+    sentinel lives in :func:`events_burst_detection_audit` (ADVICE
+    r8: a consumer must never receive a fabricated burst row)."""
+    return _burst_from_hourly(_hourly_counts(spark, sf_dir))
+
+
+def events_burst_detection_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUDIT wrapper — the registry/gate binding, NOT the product
+    API: unions the engine-symmetric planted burst series
+    (_BURST_SENTINEL_ROWS, epoch hours 1-7 of 1970, disjoint from the
+    generated data) into the hourly counts so the value-hash compare
+    is non-vacuous at SFs where per-hour counts are too smooth for a
+    real 2x burst.  Exactly one fabricated burst row (ratio 10.0)
+    with event_type '__burst_sentinel__' is therefore expected in
+    THIS wrapper's output only; the oracle plants the same series."""
+    hourly = _hourly_counts(spark, sf_dir).unionByName(
+        spark.createDataFrame(
+            _BURST_SENTINEL_ROWS,
+            "event_type string, epoch_hour bigint, n_events bigint",
+        )
+    )
+    return _burst_from_hourly(hourly)
 
 
 
@@ -706,7 +733,9 @@ def events_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_top_paths": events_top_paths,
-    "events_burst_detection": events_burst_detection,
+    # gate binding is the AUDIT wrapper (sentinel keeps the hash
+    # non-vacuous); the clean product API is events_burst_detection
+    "events_burst_detection": events_burst_detection_audit,
     "events_new_vs_returning": events_new_vs_returning,
     "events_profile_similarity": events_profile_similarity,
     "events_user_stickiness": events_user_stickiness,

@@ -159,11 +159,12 @@ def expire_snapshots(root: str, keep_last: int = 2) -> dict:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     # Normalize both sides of the live-set membership test: a caller
     # spelling ``root`` differently than commit_snapshot did (trailing
-    # slash, relative vs absolute) must not classify every live file
-    # as an orphan — this is a DELETING api, so the comparison is on
-    # abspath-normalized strings, and every live entry must resolve
-    # under the normalized root.
-    root = os.path.normpath(os.path.abspath(root))
+    # slash, relative vs absolute, or a SYMLINK alias — ADVICE r8)
+    # must not classify every live file as an orphan — this is a
+    # DELETING api, so the comparison is on realpath-resolved strings
+    # (symlinks followed on both sides), and every live entry must
+    # resolve under the resolved root; only then do we refuse.
+    root = os.path.realpath(root)
     mdir = os.path.join(root, "manifests")
     versions = sorted(
         int(f[1:-5])
@@ -175,7 +176,7 @@ def expire_snapshots(root: str, keep_last: int = 2) -> dict:
     for v in kept:
         with open(_manifest_path(root, v)) as fh:
             for entry in json.load(fh)["files"]:
-                p = os.path.normpath(os.path.abspath(entry))
+                p = os.path.realpath(entry)
                 if not p.startswith(root + os.sep):
                     raise ValueError(
                         f"manifest v{v} file {entry!r} resolves outside "
