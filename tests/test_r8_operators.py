@@ -271,6 +271,28 @@ def test_recall_gate_query_sampling_matches_oracle(spark, duck):
     """
     odf = duck.execute(sql).df()
     assert compare("lsh_recall_sampled", sdf, odf) == []
+    # the SHIPPED oracle form (r9): gate CTE + equality joins — the
+    # NL-join-safe composition that keeps DuckDB off the pathological
+    # per-probe scalar-subquery plan at big SFs. Must equal both the
+    # engine and the pred-form twin above.
+    sql_cte = f"""
+        WITH {similarity.sql_query_sample_cte(target=target)},
+        exact AS ({_sql_ann_exact(LSH_ANN_K, query_gate="qgate")}),
+        approx AS ({_sql_ann_lsh(LSH_ANN_K, query_gate="qgate")}),
+        hits AS (
+            SELECT a.query_id, COUNT(*) AS n_hits
+            FROM approx a JOIN exact e
+              ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+            GROUP BY 1
+        )
+        SELECT v.vec_id AS query_id,
+               CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+               ROUND(COALESCE(h.n_hits, 0) / CAST({LSH_ANN_K} AS DOUBLE), 6)
+                   AS recall_at_k
+        FROM qgate v LEFT JOIN hits h ON h.query_id = v.vec_id
+    """
+    odf_cte = duck.execute(sql_cte).df()
+    assert compare("lsh_recall_sampled_cte", sdf, odf_cte) == []
     n = emb.count()
     assert 0 < len(sdf) < n  # the sample actually pruned queries
     # sampled rows == the same rows of the full gate

@@ -260,7 +260,15 @@ def sql_query_sample_pred(
 ) -> str:
     """DuckDB twin of :func:`query_sample` as a boolean over
     ``id_expr`` — same affine hash, same in-plan modulus (scalar
-    COUNT subquery over ``src``)."""
+    COUNT subquery over ``src``).
+
+    Semantically exact but NOT for hot paths: DuckDB re-evaluates the
+    uncorrelated scalar subquery pathologically when the predicate
+    lands next to a nested-loop (inequality) join over MATERIALIZED
+    CTEs (measured 28.7 s -> >580 s on the sf1 kth pass). The shipped
+    recall oracles use :func:`sql_query_sample_cte` + an equality
+    join instead; this pred form survives as the small-input twin the
+    unit tests pin against the CTE form."""
     if target is None:
         return "TRUE"
     return (
@@ -268,6 +276,33 @@ def sql_query_sample_pred(
         f" % {QS_HASH_MOD}) % (SELECT GREATEST(CAST(1 AS BIGINT),"
         f" (COUNT(*) + {target} - 1) // {target}) FROM {src})) = 0"
     )
+
+
+def sql_query_sample_cte(
+    name: str = "qgate",
+    target: int | None = QUERY_SAMPLE_TARGET,
+    src: str = "embeddings",
+) -> str:
+    """The query-sample as a small MATERIALIZED relation of vec_ids —
+    the DuckDB-safe composition of :func:`query_sample`. The in-plan
+    modulus is computed once in a 1-row derived relation and
+    comma-joined, so the WHERE is a plain pushable expression (no
+    scalar subquery near a join: DuckDB 1.0 re-evaluates those
+    per-probe when the consumer is a nested-loop join, which is what
+    timed the r9 sf1 gate out). Consumers restrict their query side
+    with an EQUALITY join to this relation BEFORE any inequality
+    (nested-loop) join — the proven-fast shortlist shape.
+    ``target=None`` degenerates to all ids."""
+    if target is None:
+        return f"{name} AS MATERIALIZED (SELECT vec_id FROM {src})"
+    return f"""{name} AS MATERIALIZED (
+        SELECT vec_id FROM {src},
+             (SELECT GREATEST(CAST(1 AS BIGINT),
+                     (COUNT(*) + {target} - 1) // {target}) AS q_mod
+              FROM {src}) qm
+        WHERE ((({QS_HASH_A} * (vec_id % {QS_HASH_MOD}) + {QS_HASH_B})
+                % {QS_HASH_MOD}) % qm.q_mod) = 0
+    )"""
 
 
 def brute_force_topk(
@@ -1745,7 +1780,10 @@ def _sql_ivfpq_train_ctes(iters: int = None) -> str:
 
 
 def sql_ivfpq_topk(
-    k: int, nprobe: int = IVFPQ_NPROBE, query_pred: str = "TRUE"
+    k: int,
+    nprobe: int = IVFPQ_NPROBE,
+    query_pred: str = "TRUE",
+    query_gate: str | None = None,
 ) -> str:
     """DuckDB replay of :func:`ivfpq_topk`: the integer-exact coarse
     trainer chain from :func:`_sql_coarse_ctes` (bit-identical
@@ -1754,8 +1792,13 @@ def sql_ivfpq_topk(
     residual ADC tables, ADC as the same fixed-order 16-term add over
     the (s, code)-ordered lookup list.  ``query_pred`` restricts the
     probe (query) side over ``vec_id`` for the sampled big-SF replay
-    (per-query results unchanged; training stays corpus-global)."""
+    (per-query results unchanged; training stays corpus-global);
+    ``query_gate`` does the same as an equality join to an outer
+    sampled-id CTE (the NL-join-safe form the shipped recall oracles
+    use — see :func:`sql_query_sample_cte`)."""
     from uber_data_pipeline_spark.functions.vectors import cosine_duck
+
+    gate_join = f"JOIN {query_gate} USING (vec_id)" if query_gate else ""
 
     lo = f"(s * {IVFPQ_SUBDIM} + 1)"
     hi = f"(s * {IVFPQ_SUBDIM} + {IVFPQ_SUBDIM})"
@@ -1797,7 +1840,7 @@ def sql_ivfpq_topk(
             SELECT p.vec_id AS query_id, p.cell,
                    list_transform(range(1, 65),
                        i -> e.embedding[i]::DOUBLE - c.cvec[i]) AS qres
-            FROM (SELECT vec_id, cell FROM cranked
+            FROM (SELECT vec_id, cell FROM cranked {gate_join}
                   WHERE crk <= {nprobe} AND {query_pred}) p
             JOIN embeddings e ON e.vec_id = p.vec_id
             JOIN centroids c ON c.cell = p.cell
@@ -1818,7 +1861,7 @@ def sql_ivfpq_topk(
         ), adc AS (
             SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
                    round({adc_expr}, {PQ_DIST_ROUND}) AS adc
-            FROM (SELECT vec_id, cell FROM cranked
+            FROM (SELECT vec_id, cell FROM cranked {gate_join}
                   WHERE crk <= {nprobe} AND {query_pred}) p
             JOIN (SELECT vec_id, cell FROM cranked WHERE crk = 1) a
               ON a.cell = p.cell AND a.vec_id != p.vec_id

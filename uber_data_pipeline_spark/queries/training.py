@@ -509,6 +509,7 @@ def _sql_ann_exact(
     src: str = "embeddings",
     dim: int = 64,
     lead_cte: str = "",
+    query_gate: str | None = None,
 ) -> str:
     """Exact brute-force top-k oracle, parameterized on k so the
     recall evaluation can replay it at the LSH k. ``query_pred`` is a
@@ -529,9 +530,25 @@ def _sql_ann_exact(
     > 4e-6 in fold value (fold-vs-native error ~1e-13), hence by
     >= 1e-6 AFTER 6-dp rounding — strictly worse than k others, so it
     can never enter the top-k, ties-by-id included. This upgrades the
-    sf1 gate's sampled replay to the FULL oracle (verdict r7 item 6)."""
+    sf1 gate's sampled replay to the FULL oracle (verdict r7 item 6).
+
+    ``query_gate`` (r9) names an OUTER CTE of sampled vec_ids (see
+    :func:`~uber_data_pipeline_spark.operators.similarity.
+    sql_query_sample_cte`); when set, the query side is pre-reduced
+    with an EQUALITY join to it before the inequality (nested-loop)
+    join — a complex predicate placed next to that NL join instead
+    makes DuckDB 1.0 re-evaluate per probe (measured >20x on the sf1
+    gate)."""
+    qembd_cte = (
+        f""", qembd AS MATERIALIZED (
+            SELECT embd.* FROM embd JOIN {query_gate} USING (vec_id)
+        )"""
+        if query_gate
+        else ""
+    )
+    qsrc = "qembd" if query_gate else "embd"
     return f"""
-        WITH {lead_cte}{_embd_cte(src, dim)}, kth AS (
+        WITH {lead_cte}{_embd_cte(src, dim)}{qembd_cte}, kth AS (
             SELECT query_id, MIN(ncos) AS kv FROM (
                 SELECT query_id, ncos,
                        ROW_NUMBER() OVER (PARTITION BY query_id
@@ -540,14 +557,14 @@ def _sql_ann_exact(
                     SELECT a.vec_id AS query_id,
                            array_inner_product(a.earr, b.earr)
                                / (a.nrm * b.nrm) AS ncos
-                    FROM embd a JOIN embd b ON a.vec_id != b.vec_id
+                    FROM {qsrc} a JOIN embd b ON a.vec_id != b.vec_id
                     WHERE {query_pred}
                 )
             ) WHERE nrk <= {k} GROUP BY query_id
         ), shortlist AS (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                    {cosine_duck("a.embedding", "b.embedding")} AS cosine
-            FROM embd a
+            FROM {qsrc} a
             JOIN kth ON kth.query_id = a.vec_id
             JOIN embd b ON a.vec_id != b.vec_id
             WHERE {query_pred}
@@ -563,19 +580,32 @@ def _sql_ann_exact(
     """
 
 
-def _sql_ann_lsh(k: int, query_pred: str = "TRUE") -> str:
+def _sql_ann_lsh(
+    k: int, query_pred: str = "TRUE", query_gate: str | None = None
+) -> str:
     """SRP-bucketed top-k oracle, parameterized on k (same SRP
     derivation as the engine: md5-parity hyperplanes). ``query_pred``
-    restricts the query side over ``a.vec_id`` (sampled replay)."""
+    restricts the query side over ``a.vec_id`` (sampled replay);
+    ``query_gate`` pre-reduces it with an equality join to an outer
+    sampled-id CTE (the NL-join-safe form, see
+    :func:`_sql_ann_exact`)."""
+    beq_cte = (
+        f""", be_q AS MATERIALIZED (
+            SELECT be.* FROM be JOIN {query_gate} USING (vec_id)
+        )"""
+        if query_gate
+        else ""
+    )
+    qsrc = "be_q" if query_gate else "be"
     return f"""
         WITH be AS (
             SELECT vec_id, embedding,
                    {srp_bucket_duck("embedding", similarity.LSH_BITS)} AS bucket
             FROM embeddings
-        ), scored AS (
+        ){beq_cte}, scored AS (
             SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
                    {cosine_duck("a.embedding", "b.embedding")} AS cosine
-            FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+            FROM {qsrc} a JOIN be b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
             WHERE {query_pred}
         ), ranked AS (
             SELECT query_id, bucket, neighbor_id, cosine,
@@ -617,11 +647,17 @@ _MINHASH_CTE = f"""
     )
 """
 
-def _sql_ann_ivf(k: int, query_pred: str = "TRUE") -> str:
+def _sql_ann_ivf(
+    k: int, query_pred: str = "TRUE", query_gate: str | None = None
+) -> str:
     """IVF top-k oracle (decimal-exact centroids, nprobe cells,
     rerank), parameterized on k for the recall composition.
     ``query_pred`` restricts the probe (query) side over ``vec_id``
-    (sampled replay)."""
+    (sampled replay); ``query_gate`` does the same as an equality
+    join to an outer sampled-id CTE (the NL-join-safe form)."""
+    gate_join = (
+        f"JOIN {query_gate} USING (vec_id)" if query_gate else ""
+    )
     return f"""
         WITH pos AS (
             -- constant dim (64 at every SF): DuckDB's range() can't
@@ -646,7 +682,7 @@ def _sql_ann_ivf(k: int, query_pred: str = "TRUE") -> str:
             FROM scored
         ), cand AS (
             SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
-            FROM (SELECT vec_id, cell FROM ranked
+            FROM (SELECT vec_id, cell FROM ranked {gate_join}
                   WHERE crk <= {similarity.IVF_NPROBE} AND {query_pred}) p
             JOIN (SELECT vec_id, cell FROM ranked WHERE crk = 1) a
               ON a.cell = p.cell AND a.vec_id != p.vec_id
@@ -916,14 +952,9 @@ ORACLES = {
     "ann_knn_classify": similarity.sql_knn_classify(_sql_ann_exact(ANN_K)),
     "ann_lsh_topk": _sql_ann_lsh(LSH_ANN_K),
     "ann_lsh_recall": f"""
-        WITH exact AS ({_sql_ann_exact(
-            LSH_ANN_K,
-            query_pred=similarity.sql_query_sample_pred("a.vec_id"),
-        )}),
-        approx AS ({_sql_ann_lsh(
-            LSH_ANN_K,
-            query_pred=similarity.sql_query_sample_pred("a.vec_id"),
-        )}),
+        WITH {similarity.sql_query_sample_cte()},
+        exact AS ({_sql_ann_exact(LSH_ANN_K, query_gate="qgate")}),
+        approx AS ({_sql_ann_lsh(LSH_ANN_K, query_gate="qgate")}),
         hits AS (
             SELECT a.query_id, COUNT(*) AS n_hits
             FROM approx a JOIN exact e
@@ -934,18 +965,15 @@ ORACLES = {
                CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
                ROUND(COALESCE(h.n_hits, 0) / CAST({LSH_ANN_K} AS DOUBLE), 6)
                    AS recall_at_k
-        FROM embeddings v LEFT JOIN hits h ON h.query_id = v.vec_id
-        WHERE {similarity.sql_query_sample_pred("v.vec_id")}
+        FROM qgate v LEFT JOIN hits h ON h.query_id = v.vec_id
     """,
     # the truncated side's lead CTE is MATERIALIZED: DuckDB 1.0's lazy
     # list-slice feeding the fixed-ARRAY cast corrupts a fraction of
     # rows (self inner product 0/NULL); materializing the slice first
     # is the verified-safe path (0 corrupt rows)
     "embeddings_matryoshka_recall": f"""
-        WITH exact AS ({_sql_ann_exact(
-            ANN_K,
-            query_pred=similarity.sql_query_sample_pred("a.vec_id"),
-        )}),
+        WITH {similarity.sql_query_sample_cte()},
+        exact AS ({_sql_ann_exact(ANN_K, query_gate="qgate")}),
         approx AS ({_sql_ann_exact(
             ANN_K,
             src="embtr",
@@ -955,7 +983,7 @@ ORACLES = {
                 f"embedding[1:{similarity.MATRYOSHKA_KEEP_DIMS}] AS embedding "
                 "FROM embeddings), "
             ),
-            query_pred=similarity.sql_query_sample_pred("a.vec_id"),
+            query_gate="qgate",
         )}),
         hits AS (
             SELECT a.query_id, COUNT(*) AS n_hits
@@ -967,19 +995,13 @@ ORACLES = {
                CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
                ROUND(COALESCE(h.n_hits, 0) / CAST({ANN_K} AS DOUBLE), 6)
                    AS recall_at_k
-        FROM embeddings v LEFT JOIN hits h ON h.query_id = v.vec_id
-        WHERE {similarity.sql_query_sample_pred("v.vec_id")}
+        FROM qgate v LEFT JOIN hits h ON h.query_id = v.vec_id
     """,
     "ann_ivf_topk": _sql_ann_ivf(ANN_K),
     "ann_ivf_recall": f"""
-        WITH exact AS ({_sql_ann_exact(
-            ANN_K,
-            query_pred=similarity.sql_query_sample_pred("a.vec_id"),
-        )}),
-        approx AS ({_sql_ann_ivf(
-            ANN_K,
-            query_pred=similarity.sql_query_sample_pred("vec_id"),
-        )}),
+        WITH {similarity.sql_query_sample_cte()},
+        exact AS ({_sql_ann_exact(ANN_K, query_gate="qgate")}),
+        approx AS ({_sql_ann_ivf(ANN_K, query_gate="qgate")}),
         hits AS (
             SELECT a.query_id, COUNT(*) AS n_hits
             FROM approx a JOIN exact e
@@ -990,19 +1012,13 @@ ORACLES = {
                CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
                ROUND(COALESCE(h.n_hits, 0) / CAST({ANN_K} AS DOUBLE), 6)
                    AS recall_at_k
-        FROM embeddings v LEFT JOIN hits h ON h.query_id = v.vec_id
-        WHERE {similarity.sql_query_sample_pred("v.vec_id")}
+        FROM qgate v LEFT JOIN hits h ON h.query_id = v.vec_id
     """,
     "ann_ivfpq_topk": similarity.sql_ivfpq_topk(ANN_K),
     "ann_ivfpq_recall": f"""
-        WITH exact AS ({_sql_ann_exact(
-            ANN_K,
-            query_pred=similarity.sql_query_sample_pred("a.vec_id"),
-        )}),
-        approx AS ({similarity.sql_ivfpq_topk(
-            ANN_K,
-            query_pred=similarity.sql_query_sample_pred("vec_id"),
-        )}),
+        WITH {similarity.sql_query_sample_cte()},
+        exact AS ({_sql_ann_exact(ANN_K, query_gate="qgate")}),
+        approx AS ({similarity.sql_ivfpq_topk(ANN_K, query_gate="qgate")}),
         hits AS (
             SELECT a.query_id, COUNT(*) AS n_hits
             FROM approx a JOIN exact e
@@ -1013,8 +1029,7 @@ ORACLES = {
                CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
                ROUND(COALESCE(h.n_hits, 0) / CAST({ANN_K} AS DOUBLE), 6)
                    AS recall_at_k
-        FROM embeddings v LEFT JOIN hits h ON h.query_id = v.vec_id
-        WHERE {similarity.sql_query_sample_pred("v.vec_id")}
+        FROM qgate v LEFT JOIN hits h ON h.query_id = v.vec_id
     """,
     "text_langid": f"""
         WITH tok AS (
