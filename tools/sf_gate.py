@@ -43,14 +43,15 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _seed_verified(out_path: str) -> set[str]:
+    # (CORRECTNESS_sf1_partial.json, the r6-era partial sweep this
+    # runner used to seed from, was superseded by the full-registry
+    # gate and removed in r9.)
     done: set[str] = set()
-    for p in (out_path, os.path.join(ROOT, "CORRECTNESS_sf1_partial.json")):
-        try:
-            with open(p) as fh:
-                d = json.load(fh)
-            done.update(d.get("verified", []))
-        except (OSError, ValueError):
-            continue
+    try:
+        with open(out_path) as fh:
+            done.update(json.load(fh).get("verified", []))
+    except (OSError, ValueError):
+        pass
     return done
 
 
@@ -336,8 +337,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     note = (
-        "cheap-first resumable sweep (tools/sf_gate.py); includes the "
-        "entries of CORRECTNESS_sf1_partial.json; oracle_timeouts are "
+        "cheap-first resumable sweep (tools/sf_gate.py); "
+        "oracle_timeouts are "
         "DuckDB-side recompute cost, not engine failures; "
         "verified_sampled = full-corpus Spark result compared on the "
         "vec_id % sample_mod == 0 query slice (rows exact, coverage "
