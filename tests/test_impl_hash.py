@@ -48,8 +48,14 @@ def test_hash_mismatch_refronts_entry():
     ]
     if invalid:
         cutoff = max(order.index(n) for n in invalid)
+        # never-green entries (no CORRECTNESS row yet, e.g. stamped
+        # mid-round with --new) legitimately front with the invalid
+        # ones — only a GREEN hash-valid entry sorting before an
+        # invalid one is a rotation bug
         valid_before = [
-            n for n in order[:cutoff] if n in recorded and n not in invalid
+            n
+            for n in order[:cutoff]
+            if n in recorded and n not in invalid and n in greens
         ]
         assert not valid_before, valid_before
 

@@ -121,6 +121,14 @@ def main() -> None:
                 recorded[name] = impl_hash.entry_hash(fn, sqls.get(name, ""))
                 stamped.append(name)
             continue
+        if args.new:
+            # --new is the MID-ROUND mode: only missing names get a
+            # hash. Re-stamping latest-round greens here would record
+            # post-edit code against a green row the driver earned on
+            # DIFFERENT code, silently disarming the regression gate
+            # (the round-start protocol is the only moment the
+            # working tree provably equals the verified tree).
+            continue
         h = impl_hash.entry_hash(fn, sqls.get(name, ""))
         if rnd == latest:
             if recorded.get(name) != h:

@@ -481,3 +481,112 @@ def sql_epoch_shuffle(
                    ORDER BY h, doc_id) AS INT) AS position
         FROM sh
     """
+
+
+# --------------------------------------- leakage-safe train/val/test
+
+# distinct LCG constants (not the epoch or query-sample hashes): the
+# split assignment must be independent of every other derived hash
+SPLIT_HASH_A = 1103515245 % SHUFFLE_MOD
+SPLIT_HASH_B = 12345
+SPLIT_BUCKETS = 20  # 1 bucket test + 1 val + 18 train = 5%/5%/90%
+
+
+def _split_case(bucket: str, test_buckets: int, val_buckets: int) -> str:
+    return (
+        f"CASE WHEN {bucket} < {test_buckets} THEN 'test' "
+        f"WHEN {bucket} < {test_buckets + val_buckets} THEN 'val' "
+        f"ELSE 'train' END"
+    )
+
+
+def _split_bucket_expr(cluster_id: str, n_buckets: int) -> str:
+    # (x % M + M) % M forces a non-negative residue: Spark SQL and
+    # DuckDB both give % the dividend's sign, and the sentinel
+    # cluster's min-id label is -1
+    return (
+        f"(({SPLIT_HASH_A} * (({cluster_id} % {SHUFFLE_MOD}"
+        f" + {SHUFFLE_MOD}) % {SHUFFLE_MOD}) + {SPLIT_HASH_B})"
+        f" % {SHUFFLE_MOD}) % {n_buckets}"
+    )
+
+
+def leakage_safe_split(
+    universe: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "vec_id",
+    n_buckets: int = SPLIT_BUCKETS,
+    test_buckets: int = 1,
+    val_buckets: int = 1,
+) -> DataFrame:
+    """Deterministic train/val/test assignment that is a pure function
+    of the NEAR-DUP CLUSTER, not the document: every member of a
+    near-duplicate cluster lands in the same split, so eval leakage
+    through near-duplicates (Lee et al. 2022 §6.2: validation examples
+    with a near-dup in train overstate model quality) is structurally
+    impossible instead of audited after the fact.
+
+    ``clusters`` is a (doc_id, cluster_id, ...) relation — the output
+    of :func:`~uber_data_pipeline_spark.operators.dedup.
+    connected_components` over a verified pair graph (the τ=0.8
+    banded-SRP plan at scale). Documents absent from it are
+    singletons and keep their own id as cluster_id, so the join is a
+    LEFT join against a relation that only carries matched nodes —
+    at real thresholds a tiny fraction of the corpus, typically
+    broadcastable. The split hash is an affine LCG of the cluster id
+    (distinct constants from the epoch-shuffle and query-sample
+    hashes), bucketed into ``n_buckets`` slots: the first
+    ``test_buckets`` are test, the next ``val_buckets`` val, the rest
+    train — rerun/backfill/oracle-exact, no RNG state anywhere.
+
+    Scale: one left join on the corpus id + a row-local hash; no
+    window, no corpus-wide shuffle beyond the join (which AQE
+    broadcasts when the cluster relation is small). Reference
+    parity: the reference pipeline has no split governance at all —
+    this is net-new capability class (SURVEY §2.3)."""
+    labeled = (
+        universe.select(F.col(id_col).alias("vec_id"))
+        .join(
+            clusters.select(
+                F.col("doc_id").alias("vec_id"), "cluster_id"
+            ),
+            "vec_id",
+            "left",
+        )
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("vec_id")))
+    )
+    bucket = _split_bucket_expr("cluster_id", n_buckets)
+    return labeled.selectExpr(
+        "vec_id",
+        "cluster_id",
+        f"{_split_case(bucket, test_buckets, val_buckets)} AS split",
+    )
+
+
+def sql_leakage_safe_split(
+    cc_sql: str,
+    universe: str = "embeddings",
+    n_buckets: int = SPLIT_BUCKETS,
+    test_buckets: int = 1,
+    val_buckets: int = 1,
+    lead_cte: str = "",
+) -> str:
+    """DuckDB twin of :func:`leakage_safe_split`: ``cc_sql`` is a
+    complete SELECT returning (vec_id, cluster_id, ...) for the nodes
+    of the pair graph (e.g. the dedup_clusters oracle body);
+    ``universe`` is the full-corpus relation to left-join it onto.
+    ``lead_cte`` can define that relation at the TOP of the WITH —
+    outer CTEs are visible inside ``cc_sql``'s nested scope, so one
+    definition serves both the pair graph and the universe."""
+    bucket = _split_bucket_expr("cluster_id", n_buckets)
+    return f"""
+        WITH {lead_cte}cc AS ({cc_sql}),
+        labeled AS (
+            SELECT u.vec_id,
+                   COALESCE(cc.cluster_id, u.vec_id) AS cluster_id
+            FROM {universe} u LEFT JOIN cc ON cc.vec_id = u.vec_id
+        )
+        SELECT vec_id, cluster_id,
+               {_split_case(bucket, test_buckets, val_buckets)} AS split
+        FROM labeled
+    """

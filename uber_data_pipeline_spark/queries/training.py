@@ -37,8 +37,10 @@ from uber_data_pipeline_spark.operators.sampling import (
     domain_mixture,
     domain_mixture_oracle,
     epoch_shuffle,
+    leakage_safe_split,
     mixture_temperature,
     sql_epoch_shuffle,
+    sql_leakage_safe_split,
     sql_mixture_temperature,
     sql_stratum_target_sample,
     sql_token_packing,
@@ -477,6 +479,23 @@ QUERIES = {
     "training_epoch_shuffle": lambda spark, sf: epoch_shuffle(
         _docs(spark, sf)
     ),
+    # leakage-safe train/val/test assignment: split is a pure
+    # function of the NEAR-DUP CLUSTER (τ=0.8 banded-SRP pair graph
+    # + connected components), so no validation example can have a
+    # near-duplicate in train (Lee et al. 2022 §6.2). Sentinel
+    # universe keeps the cluster-consistency property discriminating
+    # at SFs with no organic τ>=0.8 pair (vec -1 must inherit vec 0's
+    # split even though their own-id hashes differ).
+    "training_split_leakage_safe": lambda spark, sf: leakage_safe_split(
+        _emb_with_sentinel(spark, sf),
+        dedup.connected_components(
+            similarity.cosine_pairs_banded(
+                _emb_with_sentinel(spark, sf), COSINE_NEAR_DUP_STRICT
+            ),
+            "vec_a",
+            "vec_b",
+        ),
+    ),
     "embeddings_pq_encode": lambda spark, sf: similarity.pq_encode(_emb(spark, sf)),
     "text_inverted_index": lambda spark, sf: search.inverted_index(_docs(spark, sf)),
     "multimodal_frame_sample": lambda spark, sf: multimodal.frame_sample(
@@ -799,9 +818,17 @@ _LANG_SCORES_DUCK = ", ".join(
 )
 _LANG_CASE = langid_case({lg: f"s_{lg}" for lg in ("en", "de", "fr", "es")})
 
-def _sql_cc_clusters(rounds: int = 32) -> str:
+def _sql_cc_clusters(
+    rounds: int = 32,
+    tau: float = COSINE_NEAR_DUP,
+    src: str = "embeddings",
+    lead_cte: str = "",
+) -> str:
     """dedup_clusters oracle: connected components over the exact
-    tau=0.4 cosine pair graph.
+    tau=0.4 cosine pair graph. ``tau``/``src``/``lead_cte``
+    parameterize the pair threshold and the vector universe so the
+    leakage-safe split oracle can replay the SAME CC machinery at the
+    strict τ=0.8 over the sentinel-extended corpus.
 
     Two sf1-scalability rewrites over the naive form (which computed
     all-pairs fold cosines, then a RECURSIVE transitive closure whose
@@ -824,23 +851,23 @@ def _sql_cc_clusters(rounds: int = 32) -> str:
       can produce (log2(n) + wide margin) at O((E+V) * rounds) cost.
     """
     base = f"""
-        embd AS MATERIALIZED (
+        {lead_cte}embd AS MATERIALIZED (
             SELECT vec_id, embedding,
                    CAST(embedding AS DOUBLE[64]) AS earr,
                    sqrt(array_inner_product(CAST(embedding AS DOUBLE[64]),
                         CAST(embedding AS DOUBLE[64]))) AS nrm
-            FROM embeddings
+            FROM {src}
         ),
         cand AS (
             SELECT a.vec_id AS va, b.vec_id AS vb,
                    a.embedding AS ea, b.embedding AS eb
             FROM embd a JOIN embd b ON a.vec_id < b.vec_id
             WHERE array_inner_product(a.earr, b.earr) / (a.nrm * b.nrm)
-                  >= {COSINE_NEAR_DUP} - 2e-6
+                  >= {tau} - 2e-6
         ),
         pairs AS MATERIALIZED (
             SELECT va, vb FROM cand
-            WHERE {cosine_duck("ea", "eb")} >= {COSINE_NEAR_DUP}
+            WHERE {cosine_duck("ea", "eb")} >= {tau}
         ),
         edges AS MATERIALIZED (
             SELECT va AS src, vb AS dst FROM pairs
@@ -1288,6 +1315,14 @@ ORACLES = {
     "documents_dsir_weights": textops.sql_dsir_weights(),
     "documents_lm_fit_tiers": textops.sql_lm_fit_tiers(),
     "training_epoch_shuffle": sql_epoch_shuffle(),
+    # the SAME CC machinery as dedup_clusters, replayed at the strict
+    # τ=0.8 over the sentinel-extended universe, then the row-local
+    # cluster-hash split
+    "training_split_leakage_safe": sql_leakage_safe_split(
+        _sql_cc_clusters(tau=COSINE_NEAR_DUP_STRICT, src="embx"),
+        universe="embx",
+        lead_cte=_EMBX_CTE + ", ",
+    ),
     "embeddings_pq_encode": similarity.sql_pq_encode(),
     "text_inverted_index": search.sql_inverted_index(),
     "multimodal_phash_neardup": multimodal.sql_phash_near_dups(),
