@@ -669,41 +669,25 @@ _MINHASH_CTE = f"""
 def _sql_ann_ivf(
     k: int, query_pred: str = "TRUE", query_gate: str | None = None
 ) -> str:
-    """IVF top-k oracle (decimal-exact centroids, nprobe cells,
-    rerank), parameterized on k for the recall composition.
-    ``query_pred`` restricts the probe (query) side over ``vec_id``
-    (sampled replay); ``query_gate`` does the same as an equality
-    join to an outer sampled-id CTE (the NL-join-safe form)."""
+    """IVF-Flat top-k oracle: the integer-exact trained coarse
+    quantizer chain from :func:`~uber_data_pipeline_spark.operators.
+    similarity._sql_coarse_ctes` (the SAME sqrt(n)-cell ``cranked``
+    relation the IVF-PQ oracle replays — r9, replacing the per-label
+    decimal-centroid quantizer whose fixed cell count made rerank
+    volume grow with n), nprobe probed cells, exact fold-cosine
+    rerank. ``query_pred`` restricts the probe (query) side over
+    ``vec_id`` (sampled replay); ``query_gate`` does the same as an
+    equality join to an outer sampled-id CTE (the NL-join-safe
+    form)."""
     gate_join = (
         f"JOIN {query_gate} USING (vec_id)" if query_gate else ""
     )
     return f"""
-        WITH pos AS (
-            -- constant dim (64 at every SF): DuckDB's range() can't
-            -- lateral-reference the embedding column
-            SELECT label AS cell, i AS pos, embedding[i]::DOUBLE AS val
-            FROM embeddings, unnest(range(1, 65)) AS r(i)
-        ), cmean AS (
-            SELECT cell, pos,
-                   ROUND(CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
-                         / COUNT(*), 6) AS m
-            FROM pos GROUP BY 1, 2
-        ), centroids AS (
-            SELECT cell, list(m ORDER BY pos) AS cvec FROM cmean GROUP BY 1
-        ), scored AS (
-            SELECT e.vec_id, c.cell,
-                   {cosine_duck("e.embedding", "c.cvec")} AS ccos
-            FROM embeddings e CROSS JOIN centroids c
-        ), ranked AS (
-            SELECT vec_id, cell,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id
-                       ORDER BY ccos DESC, cell ASC) AS crk
-            FROM scored
-        ), cand AS (
+        WITH {similarity._sql_coarse_ctes()}, cand AS (
             SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
-            FROM (SELECT vec_id, cell FROM ranked {gate_join}
+            FROM (SELECT vec_id, cell FROM cranked {gate_join}
                   WHERE crk <= {similarity.IVF_NPROBE} AND {query_pred}) p
-            JOIN (SELECT vec_id, cell FROM ranked WHERE crk = 1) a
+            JOIN (SELECT vec_id, cell FROM cranked WHERE crk = 1) a
               ON a.cell = p.cell AND a.vec_id != p.vec_id
         ), rescored AS (
             SELECT c.query_id, c.neighbor_id,
