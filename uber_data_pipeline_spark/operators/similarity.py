@@ -375,42 +375,6 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def _centroid_ranked(emb: DataFrame, cents: DataFrame | None = None) -> DataFrame:
-    """(vec_id, embedding, cell, ccos, crk): every vector's rounded
-    cosine to EVERY centroid, ranked per vector (crk=1 is the
-    nearest-cell assignment). The assignment cosine runs as the JVM
-    fold expression (identical to the oracle's), NOT the gemm kernel
-    — assignment rank boundaries must match the oracle bit-for-bit —
-    and the centroid table is tiny (model cardinality, broadcast).
-    The squared norms are folded ONCE per vector and once per
-    centroid; sqrt of the same fold result is the same double, so
-    ranks equal the naive three-fold cosine the oracle runs.
-
-    ``cents``: (cell, cvec) quantizer table; defaults to the
-    label-centroid table (the IVF/SemDeDup quantizer). The IVF-PQ
-    path passes the trained sqrt(n)-cell table instead."""
-    from uber_data_pipeline_spark.functions.vectors import dot_spark
-
-    from pyspark.sql import Window
-
-    if cents is None:
-        cents = label_centroids(emb)
-    cents = cents.withColumn("cnorm2", F.expr(dot_spark("cvec", "cvec")))
-    scored = (
-        emb.withColumn("qnorm2", F.expr(dot_spark("embedding", "embedding")))
-        .crossJoin(F.broadcast(cents))
-        .selectExpr(
-            "vec_id",
-            "embedding",
-            "cell",
-            f"round({dot_spark('embedding', 'cvec')} / "
-            f"(sqrt(qnorm2) * sqrt(cnorm2)), {COSINE_ROUND}) AS ccos",
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
-    return scored.withColumn("crk", F.row_number().over(w))
-
-
 def ivf_topk(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
     """IVF-Flat approximate top-k (FAISS IndexIVFFlat): corpus vectors
     live uncompressed in their nearest trained cell (rank 1); queries
@@ -483,23 +447,47 @@ def semantic_dedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
 
     Scale shape: this is the whole point of SemDeDup — the global
     near-dup search collapses to CELL-LOCAL pairwise scoring, one
-    Arrow-batched gemm per cell after a single shuffle on cell. On
-    this corpus the quantizer is the label-centroid table (fixed 10
-    cells), so within-cell work is n^2/K at fixed K — documented in
-    tools/scale_report.py; in production the codebook size K grows
-    with the corpus (the paper uses K ~ n/5000) so cell populations
-    stay BOUNDED and total work is linear in n with the kernel
-    scaling out across cells. The greedy drop rule is evaluated
-    against all higher-priority members (not only kept ones), which
-    makes it order-deterministic and exactly replayable by the
-    oracle's EXISTS.
+    Arrow-batched gemm per cell after a single shuffle on cell. The
+    quantizer is the DATA-DERIVED sqrt(n)-cell table from
+    :func:`coarse_train_cells` (r9 — the scale ladder measured the
+    former fixed per-label table at 1.0/4.9 s for 1x/10x rows: with
+    K fixed, within-cell work is n^2/K; the paper itself scales K
+    with the corpus, ~n/5000 for LAION). With K ~ sqrt(n), cell
+    population stays ~sqrt(n) and total pairwise work is n^1.5
+    executed cell-parallel — and K tracks the paper's
+    growing-codebook regime. Assignment is the exact integer
+    micro-unit L2 of :func:`_coarse_ranked_int` (k-means assignment
+    IS L2; vectors are unit-norm so it tracks cosine), replayed
+    bit-for-bit by the oracle's ``cranked`` CTE. The greedy drop rule
+    is evaluated against all higher-priority members (not only kept
+    ones), which makes it order-deterministic and exactly replayable
+    by the oracle's EXISTS.
 
-    The priority order uses the ROUNDED assignment cosine (ccos,
-    6 dp) from :func:`_centroid_ranked` and the pair test uses the
-    same rounded gemm cosine as :func:`cosine_pairs`, so both
-    engines replay identical comparisons."""
-    assign = _centroid_ranked(emb).filter(F.col("crk") == 1).select(
-        "vec_id", "embedding", "cell", "ccos"
+    The priority order uses the ROUNDED fold cosine to the ASSIGNED
+    centroid (ccos, 6 dp — JVM fold dot with norms folded once, one
+    divide, one round: the oracle-identical recipe) and the pair test
+    uses the same rounded gemm cosine as
+    :func:`cosine_pairs`, so both engines replay identical
+    comparisons."""
+    from uber_data_pipeline_spark.functions.vectors import dot_spark
+
+    trained = coarse_train_cells(emb, auto_cells(emb.count()))
+    cents = coarse_cells_df(emb.sparkSession, trained).withColumn(
+        "cnorm2", F.expr(dot_spark("cvec", "cvec"))
+    )
+    assign = (
+        _coarse_ranked_int(emb, trained, nmax=1)
+        .filter(F.col("crk") == 1)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(cents), "cell")
+        .withColumn("qnorm2", F.expr(dot_spark("embedding", "embedding")))
+        .selectExpr(
+            "vec_id",
+            "embedding",
+            "CAST(cell AS BIGINT) AS cell",
+            f"round({dot_spark('embedding', 'cvec')} / "
+            f"(sqrt(qnorm2) * sqrt(cnorm2)), {COSINE_ROUND}) AS ccos",
+        )
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -532,36 +520,23 @@ def semantic_dedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
 def sql_semantic_dedup(
     tau: float = SEMDEDUP_TAU, query_pred: str = "TRUE"
 ) -> str:
-    """DuckDB replay of :func:`semantic_dedup`: same decimal-exact
-    centroids, same rounded assignment cosine and rank order, and the
-    greedy drop as one EXISTS over higher-priority cellmates.
-    ``query_pred`` restricts the OUTER rows over ``a.vec_id`` for the
-    sampled big-SF replay (each row's kept flag only reads its own
-    cellmates, so sampled rows are exact)."""
+    """DuckDB replay of :func:`semantic_dedup`: the trained-quantizer
+    ``cranked`` assignment (integer-exact, the IVF/IVF-PQ chain), the
+    same rounded fold cosine to the assigned centroid, and the greedy
+    drop as one EXISTS over higher-priority cellmates. ``query_pred``
+    restricts the OUTER rows over ``a.vec_id`` for the sampled big-SF
+    replay (each row's kept flag only reads its own cellmates, so
+    sampled rows are exact)."""
     from uber_data_pipeline_spark.functions.vectors import cosine_duck
 
     return f"""
-        WITH pos AS (
-            SELECT label AS cell, i AS pos, embedding[i]::DOUBLE AS val
-            FROM embeddings, unnest(range(1, 65)) AS r(i)
-        ), cmean AS (
-            SELECT cell, pos,
-                   ROUND(CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
-                         / COUNT(*), 6) AS m
-            FROM pos GROUP BY 1, 2
-        ), centroids AS (
-            SELECT cell, list(m ORDER BY pos) AS cvec FROM cmean GROUP BY 1
-        ), scored AS (
-            SELECT e.vec_id, e.embedding, c.cell,
+        WITH {_sql_coarse_ctes()}, assign AS (
+            SELECT e.vec_id, e.embedding,
+                   CAST(r.cell AS BIGINT) AS cell,
                    {cosine_duck("e.embedding", "c.cvec")} AS ccos
-            FROM embeddings e CROSS JOIN centroids c
-        ), assign AS (
-            SELECT vec_id, embedding, cell, ccos
-            FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                    ORDER BY ccos DESC, cell ASC) AS crk
-                FROM scored
-            ) WHERE crk = 1
+            FROM (SELECT vec_id, cell FROM cranked WHERE crk = 1) r
+            JOIN embeddings e USING (vec_id)
+            JOIN centroids c ON c.cell = r.cell
         )
         SELECT a.vec_id, a.cell, a.ccos,
                NOT EXISTS (
