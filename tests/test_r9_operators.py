@@ -154,3 +154,24 @@ def test_scale_ladder_slope_fit():
     ]
     assert abs(_slope(pts) - 1.5) < 0.1
     assert math.isfinite(_slope([(1.0, 0.0), (10.0, 0.001)]))  # log clamp
+
+
+def test_subseq_motif_properties(spark):
+    """Motif-search invariants on the fixture series: offsets respect
+    the exclusion zone (no trivial match with the query window),
+    ranks are 1..k per type ordered by the integer SSD, and corr is a
+    valid rounded Pearson value."""
+    import __spark_entry__ as entrymod
+    from uber_data_pipeline_spark.queries.events import MOTIF_TOPK, MOTIF_W
+
+    pdf = entrymod.queries()["events_subseq_motif"](spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["offset"] > MOTIF_W).all()
+    assert (pdf["ssd"] >= 0).all()
+    valid_corr = pdf["corr"].dropna()
+    assert ((valid_corr >= -1.0) & (valid_corr <= 1.0)).all()
+    for _, g in pdf.groupby("event_type"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) <= MOTIF_TOPK
+        assert list(g["ssd"]) == sorted(g["ssd"])

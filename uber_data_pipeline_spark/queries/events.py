@@ -731,8 +731,111 @@ def events_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MOTIF_W = 24  # subsequence length (one day of hourly counts)
+MOTIF_TOPK = 3
+
+
+def events_subseq_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence motif search over the hourly
+    event-count series (the matrix-profile/MASS family of distributed
+    time-series similarity search, cf. EDBT 2019 "Time Series
+    Similarity Search for Streaming Data in Distributed Systems"):
+    per event_type, take the series' own first MOTIF_W hours as the
+    query pattern and rank every NON-OVERLAPPING later offset by
+    squared Euclidean distance, emitting the top MOTIF_TOPK matches —
+    "when did the opening day's load shape recur?".
+
+    Determinism/scale design:
+    - The series is the REDUCED (type, hour) relation gap-filled
+      DENSE over each type's own [min, max] hour span
+      (sequence + map lookup, missing hours = 0) — series length is
+      span hours, never event count, so the array stage is
+      model-sized at any corpus scale; the only corpus-sized work is
+      the hourly groupBy (partial-agg shuffle).
+    - The ranking key is the INTEGER SSD over int64 counts
+      (zip_with + aggregate — order-free exact math, no IEEE fold
+      pinning needed); ties break on the lower offset. The Pearson
+      correlation rides along for interpretation: every moment sum
+      is int64-exact and only the final divide is a double, rounded
+      to 6 dp — one IEEE op, identical cross-engine; zero-variance
+      windows yield NULL in both engines by the same CASE.
+    - Offsets start past MOTIF_W (exclusion zone = the query window
+      itself), the standard trivial-match rule."""
+    hourly = _hourly_counts(spark, sf_dir)
+    series = (
+        hourly.groupBy("event_type")
+        .agg(
+            F.min("epoch_hour").alias("h0"),
+            F.max("epoch_hour").alias("h1"),
+            F.map_from_entries(
+                F.collect_list(F.struct("epoch_hour", "n_events"))
+            ).alias("m"),
+        )
+        .selectExpr(
+            "event_type",
+            "transform(sequence(h0, h1),"
+            " h -> coalesce(element_at(m, h), CAST(0 AS BIGINT))) AS arr",
+        )
+        .selectExpr(
+            "event_type",
+            "arr",
+            f"slice(arr, 1, {MOTIF_W}) AS q",
+            "size(arr) AS L",
+        )
+        .filter(F.col("L") >= 2 * MOTIF_W)
+    )
+    cand = series.select(
+        "event_type",
+        "q",
+        "arr",
+        F.explode(
+            F.sequence(F.lit(MOTIF_W + 1), F.col("L") - MOTIF_W + 1)
+        ).alias("off"),
+    ).selectExpr(
+        "event_type",
+        "q",
+        "off",
+        f"slice(arr, off, {MOTIF_W}) AS sub",
+    )
+    mm = cand.selectExpr(
+        "event_type",
+        "off",
+        "aggregate(zip_with(q, sub, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS ssd",
+        "aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x) AS sx",
+        "aggregate(sub, CAST(0 AS BIGINT), (acc, x) -> acc + x) AS sy",
+        "aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS sxx",
+        "aggregate(sub, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS syy",
+        "aggregate(zip_with(q, sub, (a, b) -> a * b),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS sxy",
+    )
+    w = MOTIF_W
+    scored = mm.selectExpr(
+        "event_type",
+        "off AS offset",
+        "ssd",
+        f"""CASE WHEN {w} * sxx - sx * sx <= 0
+                  OR {w} * syy - sy * sy <= 0 THEN NULL
+            ELSE round(CAST({w} * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST({w} * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST({w} * syy - sy * sy AS DOUBLE))), 6)
+            END AS corr""",
+    )
+    from pyspark.sql import Window
+
+    rw = Window.partitionBy("event_type").orderBy(
+        F.asc("ssd"), F.asc("offset")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= MOTIF_TOPK)
+        .selectExpr("event_type", "offset", "ssd", "corr", "CAST(rank AS INT) AS rank")
+    )
+
+
 QUERIES = {
     "events_top_paths": events_top_paths,
+    "events_subseq_motif": events_subseq_motif,
     # gate binding is the AUDIT wrapper (sentinel keeps the hash
     # non-vacuous); the clean product API is events_burst_detection
     "events_burst_detection": events_burst_detection_audit,
@@ -798,6 +901,66 @@ ORACLES = {
     # reads it truncated to microseconds, and DuckDB's CAST(ts AS
     # TIMESTAMP) truncates the same way — so every oracle casts first.
     "events_profile_similarity": _profile_similarity_oracle(),
+    "events_subseq_motif": f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+                       AS epoch_hour,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT event_type, MIN(epoch_hour) AS h0, MAX(epoch_hour) AS h1
+            FROM hourly GROUP BY 1
+        ), grid AS (
+            -- lateral expansion isolated in its own CTE: DuckDB
+            -- cannot LEFT JOIN directly against a correlated unnest
+            SELECT b.event_type, gs.h AS epoch_hour
+            FROM bounds b, unnest(generate_series(b.h0, b.h1)) AS gs(h)
+        ), dense AS (
+            SELECT g.event_type, g.epoch_hour,
+                   COALESCE(hc.n_events, 0) AS n
+            FROM grid g LEFT JOIN hourly hc
+              USING (event_type, epoch_hour)
+        ), series AS (
+            SELECT event_type, list(n ORDER BY epoch_hour) AS arr
+            FROM dense GROUP BY 1
+        ), win AS (
+            SELECT event_type, arr, arr[1:{MOTIF_W}] AS q, len(arr) AS L
+            FROM series WHERE len(arr) >= 2 * {MOTIF_W}
+        ), cand AS (
+            SELECT event_type, q, o.off,
+                   arr[o.off : o.off + {MOTIF_W} - 1] AS sub
+            FROM win, unnest(range({MOTIF_W} + 1, L - {MOTIF_W} + 2))
+                 AS o(off)
+        ), mm AS (
+            SELECT event_type, off,
+                   list_sum(list_transform(range(1, {MOTIF_W} + 1),
+                       j -> (q[j] - sub[j]) * (q[j] - sub[j]))) AS ssd,
+                   list_sum(q) AS sx, list_sum(sub) AS sy,
+                   list_sum(list_transform(q, x -> x * x)) AS sxx,
+                   list_sum(list_transform(sub, x -> x * x)) AS syy,
+                   list_sum(list_transform(range(1, {MOTIF_W} + 1),
+                       j -> q[j] * sub[j])) AS sxy
+            FROM cand
+        ), scored AS (
+            SELECT event_type, CAST(off AS BIGINT) AS "offset",
+                   CAST(ssd AS BIGINT) AS ssd,
+                   CASE WHEN {MOTIF_W} * sxx - sx * sx <= 0
+                         OR {MOTIF_W} * syy - sy * sy <= 0 THEN NULL
+                   ELSE round(CAST({MOTIF_W} * sxy - sx * sy AS DOUBLE)
+                              / (sqrt(CAST({MOTIF_W} * sxx - sx * sx
+                                      AS DOUBLE))
+                                 * sqrt(CAST({MOTIF_W} * syy - sy * sy
+                                        AS DOUBLE))), 6)
+                   END AS corr
+            FROM mm
+        )
+        SELECT event_type, "offset", ssd, corr, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY ssd ASC, "offset" ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= {MOTIF_TOPK}
+    """,
     "events_top_paths": f"""
         WITH seq AS (
             SELECT user_id, event_type,
