@@ -46,9 +46,11 @@ QUADRATIC_DOCUMENTED = {
     # O(log diameter) min-label rounds above it, pinned by
     # tests/test_r4_operators.py's planted-chain diameter test)
     "dedup_clusters",
-    # cell-local pairwise under the FIXED 10-cell label quantizer
-    # (n^2/K at fixed K); production SemDeDup scales K with n so cell
-    # populations stay bounded — see operators/similarity.py docstring
+    # r9: the quantizer is now the trained sqrt(n)-cell table, so
+    # cell-local pairwise is n^1.5 cell-parallel (ladder slope 0.289)
+    # — kept in this allowance class because n^1.5 still exceeds the
+    # linear budget at large scale steps; the fixed-10-cell n^2/K
+    # hazard this class originally documented is FIXED
     "dedup_semantic_cluster",
     "lineitem_corr_matrix",  # O(cols^2) moments, rows linear — safe
     # O(E^1.5) edge-iterator closure
