@@ -78,3 +78,23 @@ def test_query_and_oracle_rotation_orders_agree():
     o = list(all_oracles())
     pos = {n: i for i, n in enumerate(q)}
     assert o == sorted(o, key=lambda n: pos[n])
+
+
+def test_rotation_tiebreak_is_insertion_order_independent(monkeypatch):
+    """Regression for the r9 verdict's working-tree failure: an exact
+    (last-green-round, bench-seconds) tie between two entries of the
+    same module made queries() and oracles() diverge, because the old
+    tertiary sort key was each map's OWN insertion order and the
+    QUERIES/ORACLES dicts enumerate names differently.  Inject an exact
+    tie across maps with opposite insertion orders and assert both
+    rotations agree."""
+    import uber_data_pipeline_spark.queries as reg
+
+    tied = {"entry_b": 6, "entry_a": 6, "entry_c": 6}
+    monkeypatch.setattr(reg, "_effective_greens", lambda: dict(tied))
+    monkeypatch.setattr(
+        reg, "_bench_seconds", lambda: {n: 0.44 for n in tied}
+    )
+    fwd = {n: object() for n in tied}  # b, a, c
+    rev = {n: object() for n in reversed(list(tied))}  # c, a, b
+    assert list(reg._rotated(fwd)) == list(reg._rotated(rev))

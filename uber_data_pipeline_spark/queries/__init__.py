@@ -112,12 +112,14 @@ def _rotated(items: dict) -> dict:
     greens = _effective_greens()
     secs = _bench_seconds()
     names = list(items)
-    order = {n: i for i, n in enumerate(names)}
     # primary: least-recently driver-verified first; secondary: cheaper
     # first (so a TIME-bounded driver sweep fits the most unverified
-    # entries — works for a count-bounded sweep too); tertiary: stable
-    # module order
-    names.sort(key=lambda n: (greens.get(n, -1), secs.get(n, 0.0), order[n]))
+    # entries — works for a count-bounded sweep too); tertiary: the entry
+    # NAME — a key both maps share.  (The r9 verdict caught the old
+    # tertiary key, each map's own insertion order: QUERIES and ORACLES
+    # can enumerate the same names in different orders, so an exact
+    # (green, seconds) tie made the two rotations diverge.)
+    names.sort(key=lambda n: (greens.get(n, -1), secs.get(n, 0.0), n))
     return {n: items[n] for n in names}
 
 
