@@ -255,7 +255,7 @@ def test_coarse_quantizer_sample_contract():
     for n in (1_000, 1_000_000, 16_800_000, 1_000_000_000):
         k = auto_cells(n)
         cap = coarse_sample_cap(k)
-        sample = min(n, cap)  # vec_id < cap over a dense-id corpus
+        sample = min(n, cap)  # E[train_sample rows]: n/ceil(n/cap) ~ cap
         assert k * 16 <= sample, (n, k, sample)
         # at clamp scale the full 64/cell budget must be available
         if n >= COARSE_TRAIN_BUDGET:

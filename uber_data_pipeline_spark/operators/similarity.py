@@ -253,6 +253,51 @@ def query_sample(
     )
 
 
+# distinct affine offset for TRAINER samples so the rows a quantizer
+# trains on are statistically independent of the rows the recall gates
+# query (same B would make every sampled query a training point,
+# biasing recall estimates optimistically)
+TR_HASH_B = 285714285
+
+
+def train_sample(
+    df: DataFrame, cap: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic affine-hash TRAINING sample of expected ``cap``
+    rows: keep rows whose hash is 0 mod ceil(n/cap), modulus derived
+    in-plan from COUNT(*) (r9 verdict 'What's wrong' #2 — the former
+    ``vec_id < cap`` prefix is uniform only when ids are dense and
+    uncorrelated with content; at a real lake vec_id order tracks
+    ingest time/domain, so the codebook trained on the oldest shard).
+    Degenerates to the full relation when n <= cap.  The DuckDB twin
+    is :func:`sql_train_sample_from` (same hash, same modulus)."""
+    smod = df.agg(F.count("*").alias("n_rows")).selectExpr(
+        f"greatest(CAST(1 AS BIGINT), (n_rows + {cap} - 1)"
+        f" DIV {cap}) AS t_mod"
+    )
+    return (
+        df.join(F.broadcast(smod))
+        .filter(
+            F.expr(
+                f"(({QS_HASH_A} * ({id_col} % {QS_HASH_MOD}) + {TR_HASH_B})"
+                f" % {QS_HASH_MOD}) % t_mod = 0"
+            )
+        )
+        .drop("t_mod")
+    )
+
+
+def sql_train_sample_pred(id_expr: str, mod_expr: str) -> str:
+    """The :func:`train_sample` keep-predicate as DuckDB SQL text over
+    ``id_expr`` with the 1-row modulus relation's column ``mod_expr``
+    already comma-joined in scope (the NL-join-safe shape — never a
+    scalar subquery next to a join)."""
+    return (
+        f"((({QS_HASH_A} * ({id_expr} % {QS_HASH_MOD}) + {TR_HASH_B})"
+        f" % {QS_HASH_MOD}) % {mod_expr}) = 0"
+    )
+
+
 def sql_query_sample_pred(
     id_expr: str,
     target: int | None = QUERY_SAMPLE_TARGET,
@@ -1217,12 +1262,12 @@ def auto_cells(n_rows: int) -> int:
 
 
 def coarse_sample_cap(n_cells: int) -> int:
-    """Training-sample row bound for a k-cell coarse quantizer:
+    """Training-sample row target for a k-cell coarse quantizer:
     COARSE_SAMPLE_PER_CELL * k, never above COARSE_TRAIN_BUDGET.
     Because auto_cells' clamp is derived as budget // per_cell, the
-    invariant sample >= per_cell * k holds at EVERY corpus size (the
-    filter ``vec_id < cap`` simply takes the whole corpus when
-    n < cap)."""
+    invariant E[sample] >= per_cell * k holds at EVERY corpus size
+    (the :func:`train_sample` modulus degenerates to 1 — the whole
+    corpus — when n <= cap; beyond it the hash keeps ~cap rows)."""
     return min(COARSE_TRAIN_BUDGET, COARSE_SAMPLE_PER_CELL * n_cells)
 
 
@@ -1234,9 +1279,12 @@ def coarse_train_cells(
 ) -> list:
     """Data-derived coarse quantizer: Lloyd k-means over MICRO-UNIT
     int64-quantized vectors (q_j = floor(v_j * 1e6 + 0.5)) on the
-    vec_id < cap training sample — seeded with the ``n_cells`` lowest
-    vec_ids, assignment by EXACT integer squared-L2 (ties -> lowest
-    cell), centroid update the exact int mean floor(sum/count + 0.5).
+    deterministic :func:`train_sample` hash sample of expected ``cap``
+    rows (r10: the former ``vec_id < cap`` prefix trained on the
+    ingest-oldest shard of a real lake) — seeded with the ``n_cells``
+    lowest vec_ids OF THE SAMPLE, assignment by EXACT integer
+    squared-L2 (ties -> lowest cell), centroid update the exact int
+    mean floor(sum/count + 0.5).
 
     Cross-engine parity without storing the model: every step is
     either exact int64 (ORDER-FREE — no IEEE fold-order pinning
@@ -1252,7 +1300,7 @@ def coarse_train_cells(
     artifact) and returned as rows [(cell, [int64 x 64])]."""
     if cap is None:
         cap = coarse_sample_cap(n_cells)
-    sample = emb.filter(F.col("vec_id") < cap).select("vec_id", "embedding")
+    sample = train_sample(emb, cap).select("vec_id", "embedding")
 
     def lloyd(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
@@ -1340,10 +1388,11 @@ def coarse_cells_df(spark, rows: list) -> DataFrame:
 def _sql_coarse_ctes(iters: int = COARSE_TRAIN_ITERS) -> str:
     """DuckDB CTE chain replaying :func:`coarse_train_cells` exactly:
     nc derives k = floor(sqrt(corpus n) + 0.5) clamped by the
-    sample-budget contract, qsample quantizes the
-    vec_id < COARSE_SAMPLE_PER_CELL * k training rows (the
-    :func:`coarse_sample_cap` twin) to int64 micro-units, cbook0 seeds
-    from the k lowest vec_ids, then per iteration an integer-exact
+    sample-budget contract, qsample quantizes the deterministic
+    affine-hash training rows (the :func:`train_sample` twin: modulus
+    ceil(n / coarse_sample_cap(k)) from a comma-joined 1-row relation)
+    to int64 micro-units, cbook0 seeds
+    from the k lowest SAMPLED vec_ids, then per iteration an integer-exact
     assignment (list_sum of int squares is order-free) and the exact
     int mean update; empty cells keep their centroid. Exposes
     ``centroids`` (cell, cvec double) for the assignment CTEs
@@ -1351,17 +1400,27 @@ def _sql_coarse_ctes(iters: int = COARSE_TRAIN_ITERS) -> str:
     parts = [
         f"""nc AS (
             SELECT CAST(LEAST({COARSE_CELL_CLAMP}, GREATEST(4,
-                       FLOOR(sqrt(COUNT(*)) + 0.5))) AS BIGINT) AS k
+                       FLOOR(sqrt(COUNT(*)) + 0.5))) AS BIGINT) AS k,
+                   COUNT(*) AS n
             FROM embeddings
+        ), ctmod AS (
+            -- train_sample's in-plan modulus: ceil(n / cap) with
+            -- cap = coarse_sample_cap(k); 1-row relation, comma-joined
+            -- below (the NL-join-safe shape, never a scalar subquery
+            -- next to a join)
+            SELECT GREATEST(CAST(1 AS BIGINT),
+                (n + LEAST({COARSE_TRAIN_BUDGET},
+                           {COARSE_SAMPLE_PER_CELL} * k) - 1)
+                // LEAST({COARSE_TRAIN_BUDGET},
+                         {COARSE_SAMPLE_PER_CELL} * k)) AS t_mod
+            FROM nc
         ), qsample AS MATERIALIZED (
             SELECT vec_id,
                    list_transform(range(1, 65),
                        j -> CAST(FLOOR(embedding[j]::DOUBLE * 1000000.0 + 0.5)
                                  AS BIGINT)) AS qv
-            FROM embeddings
-            WHERE vec_id < (SELECT LEAST({COARSE_TRAIN_BUDGET},
-                                         {COARSE_SAMPLE_PER_CELL} * k)
-                            FROM nc)
+            FROM embeddings, ctmod
+            WHERE {sql_train_sample_pred("vec_id", "t_mod")}
         ), cbook0 AS (
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
                    qv
@@ -1483,8 +1542,11 @@ def ivfpq_train_book(
 ) -> list:
     """Lloyd-trained per-subspace residual codebook (VERDICT r4
     item 3): 16 subspaces x 8 codes over 4-dim residual slices,
-    seeded with the 8 lowest-vec_id residuals, refined for
-    IVFPQ_TRAIN_ITERS k-means passes on the IVFPQ_TRAIN_CAP sample.
+    seeded with the 8 lowest-vec_id residuals OF THE SAMPLE, refined
+    for IVFPQ_TRAIN_ITERS k-means passes on the deterministic
+    :func:`train_sample` hash sample of expected IVFPQ_TRAIN_CAP rows
+    (r10: the former ``vec_id < cap`` prefix is ingest-order-biased
+    at a real lake).
 
     Cross-engine parity without storing the model: every arithmetic
     step is an exactly-replayable IEEE sequence — assignment d2 is
@@ -1502,7 +1564,7 @@ def ivfpq_train_book(
     encode."""
     if resid is None:
         resid = _ivfpq_resid(emb)
-    sample = resid.filter(F.col("vec_id") < IVFPQ_TRAIN_CAP).select(
+    sample = train_sample(resid, IVFPQ_TRAIN_CAP).select(
         "vec_id", "resid"
     )
 
@@ -1732,21 +1794,34 @@ def ivfpq_recall(
 
 
 def _sql_ivfpq_train_ctes(iters: int = None) -> str:
-    """CTE chain replaying :func:`ivfpq_train_book` in DuckDB: book0
-    is the vec_id<8 residual seed, then per iteration assign on the
-    raw fixed-order d2 (tie -> lowest code) and recompute centroids
-    as the exact int64 micro-unit mean floor(sum/count + 0.5)/1e6;
-    empty codes keep their centroid.  Requires a ``subsr`` CTE
-    (vec_id, s, sub over residuals) in scope; exposes the final book
-    as ``book``."""
+    """CTE chain replaying :func:`ivfpq_train_book` in DuckDB: trs is
+    the :func:`train_sample` hash sample (modulus ceil(n/cap) from a
+    comma-joined 1-row relation over the corpus count), book0 seeds
+    from the 8 lowest SAMPLED vec_ids (codes = vec_id rank within the
+    sample, the trainer's sorted-prefix seed), then per iteration
+    assign on the raw fixed-order d2 (tie -> lowest code) and
+    recompute centroids as the exact int64 micro-unit mean
+    floor(sum/count + 0.5)/1e6; empty codes keep their centroid.
+    Requires a ``subsr`` CTE (vec_id, s, sub over residuals) in
+    scope; exposes the final book as ``book``."""
     if iters is None:
         iters = IVFPQ_TRAIN_ITERS
     parts = [
-        f"""trs AS MATERIALIZED (
-            SELECT * FROM subsr WHERE vec_id < {IVFPQ_TRAIN_CAP}
+        f"""trmod AS (
+            SELECT GREATEST(CAST(1 AS BIGINT),
+                (COUNT(*) + {IVFPQ_TRAIN_CAP} - 1) // {IVFPQ_TRAIN_CAP})
+                AS t_mod
+            FROM embeddings
+        ), trs AS MATERIALIZED (
+            SELECT subsr.* FROM subsr, trmod
+            WHERE {sql_train_sample_pred("vec_id", "t_mod")}
         ), book0 AS MATERIALIZED (
-            SELECT s, vec_id AS code, sub AS csub
-            FROM subsr WHERE vec_id < {PQ_CODEBOOK}
+            SELECT s, CAST(rk - 1 AS BIGINT) AS code, sub AS csub
+            FROM (
+                SELECT s, sub, ROW_NUMBER() OVER (
+                    PARTITION BY s ORDER BY vec_id) AS rk
+                FROM trs
+            ) WHERE rk <= {PQ_CODEBOOK}
         )"""
     ]
     for t in range(1, iters + 1):
