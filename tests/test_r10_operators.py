@@ -119,3 +119,88 @@ def test_ivfpq_book_trains_on_hash_sample(spark, synth):
     ids = {r["vec_id"] for r in small.select("vec_id").collect()}
     assert any(i >= 100 for i in ids), "book sample is still a prefix"
     assert sample_ids == set(range(600))
+
+
+def _pdf_sorted(df):
+    return (
+        df.toPandas()
+        .sort_values(list(df.columns))
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("index", ["lsh", "ivf", "ivfpq"])
+def test_query_restriction_preserves_per_query_results(synth, index):
+    """ADVICE r9: the recall gates now push the query sample into the
+    approx index. Restricting the query side must be a pure
+    restriction — for every sampled query, the index's top-k is
+    bit-identical to the unrestricted run's rows for that query."""
+    qs = S.train_sample(synth, 100).select("vec_id")  # any strict subset
+    fn = {"lsh": S.lsh_topk, "ivf": S.ivf_topk, "ivfpq": S.ivfpq_topk}[index]
+    full = fn(synth, 5)
+    restricted = fn(synth, 5, queries=qs)
+    expect = full.join(
+        qs.withColumnRenamed("vec_id", "query_id"), "query_id", "left_semi"
+    )
+    assert _pdf_sorted(restricted).equals(_pdf_sorted(expect))
+
+
+def test_lm_fit_tiers_rescues_unsampled_strata(spark):
+    """ADVICE r9: a (lang, source) stratum the hash sample misses
+    entirely must fall back to fitting cutoffs on its OWN rows, not
+    silently label everything 'head'. Plant a stratum whose doc_ids
+    all hash to nonzero residues at modulus 4 and assert it still
+    gets real terciles — and that Spark and the DuckDB twin agree
+    row-for-row on the whole synthetic corpus."""
+    import duckdb
+
+    from uber_data_pipeline_spark.operators.textops import (
+        FIT_HASH_A,
+        FIT_HASH_B,
+        FIT_HASH_MOD,
+        lm_fit_tiers,
+        sql_lm_fit_tiers,
+    )
+
+    target = 100
+
+    def residue(doc_id, mod):
+        return ((FIT_HASH_A * (doc_id % FIT_HASH_MOD) + FIT_HASH_B)
+                % FIT_HASH_MOD) % mod
+
+    # 400 docs -> modulus 4. Stratum B: 20 ids with residue != 0.
+    b_ids = [i for i in range(10_000, 20_000) if residue(i, 4) != 0][:20]
+    a_ids = list(range(380))
+    rows = [
+        (i, " ".join(["tok%d" % (i % 17)] * (2 + i % 5)), "en", "web")
+        for i in a_ids
+    ] + [
+        (i, " ".join(["rare%d" % (i % 7)] * (2 + i % 5)), "xx", "tiny")
+        for i in b_ids
+    ]
+    assert len(rows) == 400
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = lm_fit_tiers(docs, sample_target=target).toPandas()
+    b = out[out["lang"] == "xx"]
+    assert len(b) == 20
+    # with 20 rows and >=2 distinct fits the rescue yields >1 tier;
+    # all-'head' is exactly the failure mode being fixed
+    assert set(b["tier"]) == {"head", "middle", "tail"}, set(b["tier"])
+
+    con = duckdb.connect()
+    pdf = docs.toPandas()
+    con.register("documents", pdf)
+    oracle = con.execute(
+        sql_lm_fit_tiers(sample_target=target)
+    ).fetchdf()
+    key = ["doc_id", "lang", "source"]
+    merged = out.sort_values(key).reset_index(drop=True).merge(
+        oracle.sort_values(key).reset_index(drop=True),
+        on=key,
+        suffixes=("_s", "_d"),
+    )
+    assert len(merged) == 400
+    assert (merged["tier_s"] == merged["tier_d"]).all()
+    assert (merged["lm_fit_s"] == merged["lm_fit_d"]).all()

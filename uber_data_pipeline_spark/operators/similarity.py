@@ -420,7 +420,12 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def ivf_topk(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
+def ivf_topk(
+    emb: DataFrame,
+    k: int,
+    nprobe: int = IVF_NPROBE,
+    queries: DataFrame | None = None,
+) -> DataFrame:
     """IVF-Flat approximate top-k (FAISS IndexIVFFlat): corpus vectors
     live uncompressed in their nearest trained cell (rank 1); queries
     probe their ``nprobe`` nearest cells; candidates are
@@ -447,8 +452,15 @@ def ivf_topk(emb: DataFrame, k: int, nprobe: int = IVF_NPROBE) -> DataFrame:
         emb, trained, nmax=max(nprobe, 1)
     ).localCheckpoint(eager=False)
     vecs = emb.select("vec_id", "embedding")
+    probe_src = ranked.filter(F.col("crk") <= nprobe)
+    if queries is not None:
+        # restrict the QUERY side only (neighbors still whole-cell):
+        # per-query results unchanged, probe volume O(|queries|)
+        probe_src = probe_src.join(
+            F.broadcast(queries.select("vec_id")), "vec_id", "left_semi"
+        )
     probes = (
-        ranked.filter(F.col("crk") <= nprobe)
+        probe_src
         .join(vecs, "vec_id")
         .select(
             F.col("vec_id").alias("qid"),
@@ -787,11 +799,28 @@ def cosine_pairs_banded(
     )
 
 
-def lsh_topk(emb: DataFrame, k: int, n_bits: int = LSH_BITS) -> DataFrame:
+def lsh_topk(
+    emb: DataFrame,
+    k: int,
+    n_bits: int = LSH_BITS,
+    queries: DataFrame | None = None,
+) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's SRP
     bucket; buckets are disjoint, so one gemm + rank per bucket group
-    is the complete answer (no second ranking pass)."""
+    is the complete answer (no second ranking pass).  ``queries``
+    (a vec_id relation, e.g. :func:`query_sample`) restricts the
+    QUERY side — only flagged bucket members emit rankings, while
+    neighbors still come from the whole bucket, so per-query results
+    are unchanged (r10, ADVICE: the recall gate formerly computed the
+    index answer for every vector and discarded the unsampled ones)."""
     bucketed = with_srp_bucket(emb, n_bits).select("vec_id", "embedding", "bucket")
+    if queries is None:
+        bucketed = bucketed.withColumn("is_q", F.lit(True))
+    else:
+        qf = queries.select("vec_id").withColumn("is_q", F.lit(True))
+        bucketed = bucketed.join(F.broadcast(qf), "vec_id", "left").withColumn(
+            "is_q", F.coalesce(F.col("is_q"), F.lit(False))
+        )
 
     def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -807,7 +836,7 @@ def lsh_topk(emb: DataFrame, k: int, n_bits: int = LSH_BITS) -> DataFrame:
         by_id = np.argsort(ids, kind="stable")
         frames = []
         kk = min(k, len(pdf) - 1)
-        for row in range(len(pdf)):
+        for row in np.nonzero(pdf["is_q"].to_numpy())[0]:
             s = sims[row, by_id]
             top = by_id[np.argsort(-s, kind="stable")[:kk]]
             keep = top[sims[row, top] > -np.inf]
@@ -851,8 +880,12 @@ def lsh_recall(
     exact baseline itself, which is the point of the measurement. At
     100 TB the gate scores the deterministic :func:`query_sample`
     (in-plan modulus; every query at driver-gate SFs) rather than
-    every vector."""
-    approx = lsh_topk(emb, k, n_bits).select("query_id", "neighbor_id")
+    every vector — pushed into the INDEX's query side too, so the
+    gate's total cost is O(target * bucket), not index-answer-for-all
+    then discard (r10, ADVICE)."""
+    approx = lsh_topk(
+        emb, k, n_bits, queries=query_sample(emb, query_sample_target)
+    ).select("query_id", "neighbor_id")
     return _recall_vs_exact(emb, approx, k, query_sample_target)
 
 
@@ -865,8 +898,11 @@ def ivf_recall(
     """Recall@k of the IVF index vs the exact ranking — same gate as
     :func:`lsh_recall` for the cell-probing index family (recall here
     is governed by nprobe and centroid quality rather than bit
-    width)."""
-    approx = ivf_topk(emb, k, nprobe).select("query_id", "neighbor_id")
+    width). The sample is pushed into the index's probe side (r10,
+    ADVICE), so gate cost is O(target * nprobe * sqrt(n))."""
+    approx = ivf_topk(
+        emb, k, nprobe, queries=query_sample(emb, query_sample_target)
+    ).select("query_id", "neighbor_id")
     return _recall_vs_exact(emb, approx, k, query_sample_target)
 
 
@@ -1630,7 +1666,12 @@ def _resid_d2_all(mat: np.ndarray, tens: np.ndarray) -> np.ndarray:
     return out
 
 
-def ivfpq_topk(emb: DataFrame, k: int, nprobe: int = IVFPQ_NPROBE) -> DataFrame:
+def ivfpq_topk(
+    emb: DataFrame,
+    k: int,
+    nprobe: int = IVFPQ_NPROBE,
+    queries: DataFrame | None = None,
+) -> DataFrame:
     """FAISS-style IVF-PQ (IVFADC) approximate top-k — the index
     shape a 100 TB embedding corpus actually serves from: vectors
     live compressed (16 PQ codes over their cell RESIDUAL, not 64
@@ -1669,7 +1710,14 @@ def ivfpq_topk(emb: DataFrame, k: int, nprobe: int = IVFPQ_NPROBE) -> DataFrame:
         _coarse_ranked_int(emb, trained, nmax=max(nprobe, 1))
         .localCheckpoint(eager=False)
     )
-    probes = ranked.filter(F.col("crk") <= nprobe).select(
+    probe_src = ranked.filter(F.col("crk") <= nprobe)
+    if queries is not None:
+        # query-side-only restriction (training, encode and cell
+        # membership stay corpus-global): per-query results unchanged
+        probe_src = probe_src.join(
+            F.broadcast(queries.select("vec_id")), "vec_id", "left_semi"
+        )
+    probes = probe_src.select(
         F.col("vec_id").alias("query_id"), "cell"
     )
     assign = ranked.filter(F.col("crk") == 1).select(
@@ -1788,8 +1836,13 @@ def ivfpq_recall(
 ) -> DataFrame:
     """Recall@k of the IVF-PQ index vs the exact ranking — the gate
     that prices PQ distortion (4 bytes/vector) + cell probing against
-    the exact baseline before an index ships."""
-    approx = ivfpq_topk(emb, k, nprobe).select("query_id", "neighbor_id")
+    the exact baseline before an index ships. The sample is pushed
+    into the index's probe side (r10, ADVICE): corpus encode stays
+    global (it prices the index), but ADC scoring runs only for
+    sampled queries."""
+    approx = ivfpq_topk(
+        emb, k, nprobe, queries=query_sample(emb, query_sample_target)
+    ).select("query_id", "neighbor_id")
     return _recall_vs_exact(emb, approx, k, query_sample_target)
 
 

@@ -548,8 +548,14 @@ def lm_fit_tiers(
     comparisons against its stratum's broadcast cutoffs.  With m = 1
     (any corpus below sample_target docs — all test SFs) and distinct
     fits this reproduces NTILE(3) sizes exactly; boundary TIES go to
-    the better tier, and a stratum too small to be sampled keeps all
-    its docs as 'head' (conservative: keep data).
+    the better tier.  A stratum the hash sample MISSES entirely (r9
+    ADVICE: at a production modulus m every stratum much smaller than
+    ~3m would otherwise silently lose tiering and promote to 'head')
+    falls back to fitting cutoffs on its OWN rows — such strata are
+    small by construction (P[missed] < (1-1/m)^size, so a missed
+    stratum is almost surely O(m) rows), keeping the rescue window
+    bounded; with m = 1 no stratum is missed and the rescue relation
+    is empty.
 
     Scale shape: the per-(lang, token) vocabulary is a map-side
     combined groupBy; the count resolution joins token-to-token
@@ -584,12 +590,17 @@ def lm_fit_tiers(
             f"(({FIT_HASH_A} * (doc_id % {FIT_HASH_MOD}) + {FIT_HASH_B})"
             f" % {FIT_HASH_MOD}) % fit_mod = 0"
         )
-    )
+    ).drop("fit_mod")
+    # rescue strata the sample missed: their own rows become the fit
+    # sample (empty at m = 1; missed strata are ~O(m) rows whp)
+    covered = sampled.select("lang", "source").distinct()
+    rescued = per_doc.join(covered, ["lang", "source"], "left_anti")
+    fit_src = sampled.unionByName(rescued.select(*sampled.columns))
     w = Window.partitionBy("lang", "source").orderBy(
         F.desc("fitv"), F.asc("doc_id")
     )
-    ranked = sampled.withColumn("rn", F.row_number().over(w))
-    ns = sampled.groupBy("lang", "source").agg(F.count("*").alias("n_s"))
+    ranked = fit_src.withColumn("rn", F.row_number().over(w))
+    ns = fit_src.groupBy("lang", "source").agg(F.count("*").alias("n_s"))
     cuts = (
         ranked.join(ns, ["lang", "source"])
         .groupBy("lang", "source")
@@ -647,13 +658,24 @@ def sql_lm_fit_tiers(sample_target: int = FIT_SAMPLE_TARGET) -> str:
             SELECT f.* FROM fit f, smod
             WHERE (({FIT_HASH_A} * (doc_id % {FIT_HASH_MOD})
                     + {FIT_HASH_B}) % {FIT_HASH_MOD}) % fit_mod = 0
+        ), covered AS (
+            SELECT DISTINCT lang, source FROM sampled
+        ), fit_src AS (
+            -- unsampled-stratum rescue: a stratum the hash missed
+            -- fits cutoffs on its own rows (empty at m = 1)
+            SELECT * FROM sampled
+            UNION ALL
+            SELECT f.* FROM fit f
+            WHERE NOT EXISTS (SELECT 1 FROM covered c
+                              WHERE c.lang = f.lang
+                                AND c.source = f.source)
         ), ranked AS (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
                        ORDER BY fitv DESC, doc_id ASC) AS rn
-            FROM sampled
+            FROM fit_src
         ), ns AS (
             SELECT lang, source, COUNT(*) AS n_s
-            FROM sampled GROUP BY 1, 2
+            FROM fit_src GROUP BY 1, 2
         ), cuts AS (
             SELECT lang, source,
                    MAX(CASE WHEN rn = (n_s + 2) // 3 THEN fitv END)

@@ -741,9 +741,13 @@ def events_subseq_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-series similarity search, cf. EDBT 2019 "Time Series
     Similarity Search for Streaming Data in Distributed Systems"):
     per event_type, take the series' own first MOTIF_W hours as the
-    query pattern and rank every NON-OVERLAPPING later offset by
-    squared Euclidean distance, emitting the top MOTIF_TOPK matches —
-    "when did the opening day's load shape recur?".
+    query pattern and rank every stride-1 later offset past the
+    query's own window by squared Euclidean distance, emitting the
+    top MOTIF_TOPK matches — "when did the opening day's load shape
+    recur?". Candidate windows OVERLAP EACH OTHER (standard
+    matrix-profile behavior: the exclusion zone suppresses only the
+    trivial self-match against the query window, not
+    candidate-vs-candidate overlap).
 
     Determinism/scale design:
     - The series is the REDUCED (type, hour) relation gap-filled
@@ -760,7 +764,7 @@ def events_subseq_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
       to 6 dp — one IEEE op, identical cross-engine; zero-variance
       windows yield NULL in both engines by the same CASE.
     - Offsets start past MOTIF_W (exclusion zone = the query window
-      itself), the standard trivial-match rule."""
+      itself, stride 1 beyond it), the standard trivial-match rule."""
     hourly = _hourly_counts(spark, sf_dir)
     series = (
         hourly.groupBy("event_type")
