@@ -176,7 +176,13 @@ def test_burst_sentinel_only_in_audit_wrapper(spark):
     assert sorted(map(tuple, prod)) == sorted(
         tuple(r) for r in audit if r.event_type != "__burst_sentinel__"
     )
-    assert ev.QUERIES["events_burst_detection"] is ev.events_burst_detection_audit
+    # r10 (ADVICE r9): the product KEY binds the clean query; the
+    # sentinel twin has its own explicit registry key
+    assert ev.QUERIES["events_burst_detection"] is ev.events_burst_detection
+    assert (
+        ev.QUERIES["events_burst_detection_audit"]
+        is ev.events_burst_detection_audit
+    )
 
 
 def _sf():

@@ -521,6 +521,44 @@ _BURST_SENTINEL_SQL = ", ".join(
 )
 
 
+def _sql_burst(with_sentinel: bool) -> str:
+    """Burst oracle; ``with_sentinel`` appends the planted series
+    (the _audit twin — r10, ADVICE r9: the product key's oracle must
+    not contain fabricated rows either)."""
+    sentinel = (
+        f"""UNION ALL
+            SELECT t, CAST(h AS BIGINT), CAST(n AS BIGINT)
+            FROM (VALUES {_BURST_SENTINEL_SQL}) AS s(t, h, n)"""
+        if with_sentinel
+        else ""
+    )
+    return f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+                       AS epoch_hour,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+            {sentinel}
+        ), trail AS (
+            SELECT *, CAST(SUM(n_events) OVER w AS BIGINT) AS trail_n,
+                   COUNT(*) OVER w AS trail_hours
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY epoch_hour
+                         RANGE BETWEEN {BURST_TRAIL_HOURS} PRECEDING
+                         AND 1 PRECEDING)
+        )
+        SELECT event_type, epoch_hour, n_events,
+               ROUND(trail_n / CAST(trail_hours AS DOUBLE), 6) AS trail_avg,
+               ROUND(n_events * trail_hours / CAST(trail_n AS DOUBLE), 6)
+                   AS burst_ratio
+        FROM trail
+        WHERE trail_hours > 0
+          AND ROUND(n_events * trail_hours / CAST(trail_n AS DOUBLE), 6)
+              >= {BURST_MIN_RATIO}
+    """
+
+
 def _burst_from_hourly(hourly: DataFrame) -> DataFrame:
     """RANGE-frame burst core over a reduced (type, hour, count)
     relation — shared by the product query and the audit wrapper."""
@@ -583,8 +621,10 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_burst_detection_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """AUDIT wrapper — the registry/gate binding, NOT the product
-    API: unions the engine-symmetric planted burst series
+    """AUDIT twin, registered under its own explicit
+    ``events_burst_detection_audit`` key (r10, ADVICE r9 — the
+    product key must never emit a fabricated row): unions the
+    engine-symmetric planted burst series
     (_BURST_SENTINEL_ROWS, epoch hours 1-7 of 1970, disjoint from the
     generated data) into the hourly counts so the value-hash compare
     is non-vacuous at SFs where per-hour counts are too smooth for a
@@ -840,9 +880,12 @@ def events_subseq_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_top_paths": events_top_paths,
     "events_subseq_motif": events_subseq_motif,
-    # gate binding is the AUDIT wrapper (sentinel keeps the hash
-    # non-vacuous); the clean product API is events_burst_detection
-    "events_burst_detection": events_burst_detection_audit,
+    # r10 (ADVICE r9): the product key binds the CLEAN query — a
+    # registry consumer never receives a fabricated burst. The planted
+    # sentinel lives under its own explicit _audit key (it guarantees
+    # the value-hash gate is non-vacuous at any SF).
+    "events_burst_detection": events_burst_detection,
+    "events_burst_detection_audit": events_burst_detection_audit,
     "events_new_vs_returning": events_new_vs_returning,
     "events_profile_similarity": events_profile_similarity,
     "events_user_stickiness": events_user_stickiness,
@@ -981,33 +1024,8 @@ ORACLES = {
         ORDER BY n_journeys DESC, path
         LIMIT {PATHS_TOPK}
     """,
-    "events_burst_detection": f"""
-        WITH hourly AS (
-            SELECT event_type,
-                   CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
-                       AS epoch_hour,
-                   COUNT(*) AS n_events
-            FROM events GROUP BY 1, 2
-            UNION ALL
-            SELECT t, CAST(h AS BIGINT), CAST(n AS BIGINT)
-            FROM (VALUES {_BURST_SENTINEL_SQL}) AS s(t, h, n)
-        ), trail AS (
-            SELECT *, CAST(SUM(n_events) OVER w AS BIGINT) AS trail_n,
-                   COUNT(*) OVER w AS trail_hours
-            FROM hourly
-            WINDOW w AS (PARTITION BY event_type ORDER BY epoch_hour
-                         RANGE BETWEEN {BURST_TRAIL_HOURS} PRECEDING
-                         AND 1 PRECEDING)
-        )
-        SELECT event_type, epoch_hour, n_events,
-               ROUND(trail_n / CAST(trail_hours AS DOUBLE), 6) AS trail_avg,
-               ROUND(n_events * trail_hours / CAST(trail_n AS DOUBLE), 6)
-                   AS burst_ratio
-        FROM trail
-        WHERE trail_hours > 0
-          AND ROUND(n_events * trail_hours / CAST(trail_n AS DOUBLE), 6)
-              >= {BURST_MIN_RATIO}
-    """,
+    "events_burst_detection": _sql_burst(with_sentinel=False),
+    "events_burst_detection_audit": _sql_burst(with_sentinel=True),
     "events_new_vs_returning": """
         WITH ev AS (
             SELECT user_id,
