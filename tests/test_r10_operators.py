@@ -204,3 +204,104 @@ def test_lm_fit_tiers_rescues_unsampled_strata(spark):
     assert len(merged) == 400
     assert (merged["tier_s"] == merged["tier_d"]).all()
     assert (merged["lm_fit_s"] == merged["lm_fit_d"]).all()
+
+
+# ------------------------------ leakage_safe_split property test (r10)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_bucket(cluster_id, n_buckets):
+    """The (x%M+M)%M residue rule the operator depends on — computed
+    independently in Python (Python's % is already non-negative for a
+    positive modulus, which is exactly what the SQL form forces)."""
+    from uber_data_pipeline_spark.operators.sampling import (
+        SHUFFLE_MOD,
+        SPLIT_HASH_A,
+        SPLIT_HASH_B,
+    )
+
+    return ((SPLIT_HASH_A * (cluster_id % SHUFFLE_MOD) + SPLIT_HASH_B)
+            % SHUFFLE_MOD) % n_buckets
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=39),
+            st.integers(min_value=0, max_value=39),
+        ),
+        max_size=25,
+    ),
+    with_sentinel=st.booleans(),
+)
+def test_leakage_safe_split_property(spark, pairs, with_sentinel):
+    """VERDICT r9 item 7: plant random near-dup pairs, derive min-id
+    cluster labels (the connected_components contract, including the
+    negative -1 sentinel label), and assert (a) NO (train, val/test)
+    pair shares a cluster, (b) docs absent from the cluster relation
+    coalesce to their own id, (c) every bucket matches the
+    (x%M+M)%M residue rule computed independently in Python."""
+    from uber_data_pipeline_spark.operators.sampling import (
+        SPLIT_BUCKETS,
+        leakage_safe_split,
+    )
+
+    universe_ids = list(range(40))
+    # union-find over the planted pairs -> min-id cluster labels
+    parent = {i: i for i in universe_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    label = {i: find(i) for i in universe_ids}
+    # only MATCHED nodes appear in the cluster relation (the
+    # connected-components contract); everything else is a singleton
+    matched = {i for a, b in pairs if a != b for i in (a, b)}
+    cluster_rows = [(i, label[i]) for i in sorted(matched)]
+    if with_sentinel:
+        # a planted sentinel cluster with the negative min-id label
+        universe_ids = universe_ids + [100, 101]
+        cluster_rows += [(100, -1), (101, -1)]
+        label[100] = label[101] = -1
+
+    universe = spark.createDataFrame(
+        [(i,) for i in universe_ids], "vec_id long"
+    )
+    clusters = (
+        spark.createDataFrame(cluster_rows, "doc_id long, cluster_id long")
+        if cluster_rows
+        else spark.createDataFrame([], "doc_id long, cluster_id long")
+    )
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["split"])
+        for r in leakage_safe_split(universe, clusters).collect()
+    }
+    assert set(out) == set(universe_ids)
+    splits = {"test", "val", "train"}
+    for i in universe_ids:
+        cid, split = out[i]
+        expect_cid = label[i] if i in matched or i >= 100 else i
+        assert cid == expect_cid, (i, cid, expect_cid)
+        assert split in splits
+        b = _py_bucket(cid, SPLIT_BUCKETS)
+        expect = "test" if b < 1 else ("val" if b < 2 else "train")
+        assert split == expect, (i, cid, b, split, expect)
+    # (a) explicitly: no (train, val/test) pair shares a cluster
+    by_cluster = {}
+    for i in universe_ids:
+        by_cluster.setdefault(out[i][0], set()).add(out[i][1])
+    assert all(len(s) == 1 for s in by_cluster.values()), by_cluster
