@@ -121,32 +121,62 @@ def main() -> int:
             pass
         spark.catalog.clearCache()
 
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+
     entries: dict = {}
     for n in names:
         pts: list[tuple[float, float]] = []
+        rpts: list[tuple[float, float]] = []
         row: dict = {"secs": {}, "rows": {}}
         for tag, d, scale in present:
             sec, rows = _measure(spark, qs[n], d)
             row["secs"][tag] = sec
             row["rows"][tag] = rows
             pts.append((scale, sec))
+            rpts.append((max(rows, 1), sec))
             print(f"{n} @ {tag}: {sec}s ({rows} rows)", file=sys.stderr,
                   flush=True)
         row["slope"] = round(_slope(pts), 3)
+        # exponent of wall vs OUTPUT rows: distinguishes output-bound
+        # plans (density-bound joins whose match count grows faster
+        # than input — slope_vs_output ~<= 1 proves the wall tracks
+        # the answer size, not a superlinear plan) from compute-bound
+        # ones; NaN-safe: constant output degenerates to the 0 slope
+        if len({r for r, _ in rpts}) > 1:
+            row["slope_vs_output_rows"] = round(_slope(rpts), 3)
+        row["measured_commit"] = commit
         entries[n] = row
 
-    commit = subprocess.run(
-        ["git", "rev-parse", "--short", "HEAD"],
-        capture_output=True, text=True,
-    ).stdout.strip()
+    # MERGE into the existing ladder (r10): a targeted re-measure of a
+    # few entries must not drop the other families' committed rungs
+    merged: dict = {}
+    prior_missing: list = []
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                prior = json.load(fh)
+            merged = prior.get("entries", {})
+            prior_missing = prior.get("missing_sfs", [])
+            # preserve provenance: un-stamped prior rows were measured
+            # at the prior file's top-level commit
+            for e in merged.values():
+                e.setdefault("measured_commit", prior.get("commit", ""))
+        except (OSError, ValueError):
+            pass
+    merged.update(entries)
     out = {
         "metric": "scale ladder: per-entry wall seconds at 1x/10x/20x/50x "
                   "rows and the fitted log-log scaling exponent",
         "method": "full-column noop-sink write + observe() rows, median "
-                  "of up to 3 reps, compile warm-up at sf0.001, local[32]",
+                  "of up to 3 reps, compile warm-up at sf0.001, local[32]; "
+                  "merge mode (r10): named entries are re-measured and "
+                  "stamped with measured_commit, other rows keep theirs",
         "commit": commit,
-        "missing_sfs": missing,
-        "entries": entries,
+        "missing_sfs": sorted(set(missing) | set(prior_missing)),
+        "entries": merged,
     }
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
