@@ -111,10 +111,21 @@ def main() -> int:
         if not ok:
             flagged.append(name)
 
+    import subprocess
+
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True,
+    ).stdout.strip()
     out = {
         "metric": "per-query wall seconds at 10x scale (sf0.1 -> sf1.0)",
         "sf_base": 0.1,
         "sf_soak": 1.0,
+        # whole-file provenance: a FULL re-sweep measures every row at
+        # one HEAD (r9 verdict item 5 — mixed-commit rows only appear
+        # after targeted rebench_entries.py refreshes, which stamp
+        # per-row measured_commit)
+        "measured_commit": commit,
         "generator": "tools/gen_sf.py (10x replication, cohort-preserving keys, near-dup-linear documents)",
         "n_queries": len(rows),
         "total_sf0.1_s": round(sum(base.get(k, 0) for k in rows), 1),
