@@ -170,14 +170,16 @@ def test_asof_join_is_windowed_not_joined(spark):
         assert marker not in plan, f"as-of should not join:\n{plan[:2000]}"
 
 
-def test_forward_window_join_is_equality(spark):
-    """The bounded range join must probe by (key, bucket) equality —
-    SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin are fine, a
-    nested-loop inequality join is not (checked globally by
-    test_no_cartesian_products); here we assert the bucket column is
-    a join key."""
+def test_forward_window_count_is_range_frame(spark):
+    """r10: the forward-window COUNT must be ONE RANGE-frame window
+    (sliding accumulator, O(n log n) total even when match volume is
+    quadratic in density) — no join, no bucket candidate generation
+    (the binned equi-join remains in operators/temporal.py for
+    row-attaching range joins)."""
     plan = plan_of(spark, "events_forward_window_join")
-    assert "__pb" in plan and "__b2" in plan, plan[:2000]
+    assert "Window" in plan, plan[:2000]
+    assert "specifiedwindowframe(RangeFrame" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
 
 
 def test_new_tpch_scan_pushdown(spark):

@@ -305,3 +305,119 @@ def test_leakage_safe_split_property(spark, pairs, with_sentinel):
     for i in universe_ids:
         by_cluster.setdefault(out[i][0], set()).add(out[i][1])
     assert all(len(s) == 1 for s in by_cluster.values()), by_cluster
+
+
+def test_interval_prefix_equals_binned_and_naive(spark):
+    """r10: the prefix-sum interval-count variant must equal both the
+    binned equi-join operator and the naive BETWEEN join on a frame
+    whose intervals include every edge regime: straddling bin
+    boundaries, entirely BEFORE the data span, entirely AFTER it,
+    overlapping only its edges, and zero-hit (inner semantics)."""
+    from pyspark.sql import functions as F
+
+    from uber_data_pipeline_spark.operators.temporal import (
+        interval_point_counts,
+        interval_point_counts_prefix,
+    )
+
+    iv_rows = [(i, i % 3, 10 * i, 10 * i + (i * 7) % 29) for i in range(40)]
+    # edge regimes: before-span, after-span, edge-touching windows
+    iv_rows += [
+        (100, 0, -500, -400),   # entirely before the data
+        (101, 1, 10_000, 10_900),  # entirely after
+        (102, 2, -50, 2),       # left edge overlap
+        (103, 0, 395, 10_000),  # right edge overlap
+        (104, 1, -10, 10_000),  # superset of the whole span
+    ]
+    iv = spark.createDataFrame(
+        iv_rows, "interval_id int, k int, s_day long, e_day long"
+    )
+    pts = spark.createDataFrame(
+        [(i % 3, (i * 13) % 400) for i in range(200)],
+        "k int, p_day long",
+    )
+    prefix = {
+        (r.interval_id, r.n_points)
+        for r in interval_point_counts_prefix(
+            iv, pts, "k", "interval_id"
+        ).collect()
+    }
+    binned = {
+        (r.interval_id, r.n_points)
+        for r in interval_point_counts(
+            iv, pts, "k", "interval_id", bin_days=30
+        ).collect()
+    }
+    naive = {
+        (r.interval_id, r.n_points)
+        for r in iv.join(
+            pts,
+            (iv.k == pts.k)
+            & (pts.p_day >= iv.s_day)
+            & (pts.p_day <= iv.e_day),
+        )
+        .groupBy("interval_id")
+        .agg(F.count("*").alias("n_points"))
+        .collect()
+    }
+    assert prefix == naive
+    assert binned == naive
+
+
+def test_forward_window_range_equals_binned_and_naive(spark):
+    """r10: the RANGE-frame forward-window count must equal the
+    binned equi-join operator and the naive inequality join,
+    including ties (equal timestamps are NOT 'strictly after') and
+    zero-match rows (kept, count 0)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from uber_data_pipeline_spark.operators.temporal import (
+        forward_window_counts,
+        forward_window_counts_range,
+    )
+
+    base = datetime.datetime(2020, 1, 1)
+    rows = []
+    for i in range(300):
+        # clustered timestamps with exact ties every 7th row
+        sec = (i * 37) % 900 - (i % 7 == 0) * ((i * 37) % 900 % 11)
+        rows.append((i, i % 5, base + datetime.timedelta(seconds=sec)))
+    df = spark.createDataFrame(rows, "event_id long, user_id int, ts timestamp")
+    horizon = 60
+    rng = {
+        (r.event_id, r.n_within_horizon)
+        for r in forward_window_counts_range(
+            df, "user_id", "ts", "event_id", horizon
+        ).collect()
+    }
+    binned = {
+        (r.event_id, r.n_within_horizon)
+        for r in forward_window_counts(
+            df, "user_id", "ts", "event_id", horizon
+        ).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    matched = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (
+                F.unix_micros(F.col("b.ts"))
+                <= F.unix_micros(F.col("a.ts")) + horizon * 1_000_000
+            ),
+        )
+        .groupBy(F.col("a.event_id").alias("event_id"))
+        .agg(F.count("*").alias("n"))
+    )
+    naive = {
+        (r.event_id, r.n)
+        for r in df.select("event_id")
+        .join(matched, "event_id", "left")
+        .select("event_id", F.coalesce("n", F.lit(0)).alias("n"))
+        .collect()
+    }
+    assert rng == naive
+    assert binned == naive

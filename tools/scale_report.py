@@ -58,9 +58,12 @@ QUADRATIC_DOCUMENTED = {
 }
 
 DENSITY_BOUND = {
-    # fixed time span, 10x density -> ~100x true interval/window hits
-    "orders_interval_join",
-    "events_forward_window_join",
+    # fixed time span, 10x density -> ~100x true interval/window hits.
+    # r10: orders_interval_join (prefix-sum lookups) and
+    # events_forward_window_join (sliding RANGE-frame accumulator)
+    # LEFT this class — their plans now do O(input) work regardless
+    # of match volume (ladder slope 0.05 for the interval join), so
+    # they are held to the LINEAR allowance.
     "events_asof_view_attribution",
     # co-occurrence pairs per basket grow with basket size^2 when
     # baskets densify

@@ -119,6 +119,47 @@ def forward_window_counts(
     )
 
 
+def forward_window_counts_range(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    id_col: str,
+    horizon_seconds: int,
+) -> DataFrame:
+    """:func:`forward_window_counts` as ONE RANGE-frame window (r10):
+    ``COUNT(*) OVER (PARTITION BY key ORDER BY us RANGE BETWEEN 1
+    FOLLOWING AND horizon FOLLOWING)``. Spark evaluates range-frame
+    counts with a sliding two-pointer accumulator, so total work is
+    O(n log n) (the per-key sort) even when the MATCH count grows
+    quadratically with density — the same algorithmic class as the
+    interval prefix-sum fix, where the binned join's candidate volume
+    is the density-bound hazard. One shuffle on the key, no join, no
+    candidate generation; zero-match rows naturally count 0.
+
+    Regime choice: a single key's rows must sort within one task
+    (same exposure as every per-key window in this repo, e.g.
+    sessionization); the binned :func:`forward_window_counts` remains
+    the shape for ATTACHING matched rows (not counting) and for keys
+    hot enough that bucket-sharding beats one per-key sort."""
+    base = df.select(
+        F.col(id_col),
+        F.col(key),
+        F.col(ts),
+        F.unix_micros(F.col(ts)).alias("__us"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__us"))
+        .rangeBetween(1, horizon_seconds * 1_000_000)
+    )
+    return base.select(
+        id_col,
+        key,
+        ts,
+        F.count(F.lit(1)).over(w).alias("n_within_horizon"),
+    )
+
+
 def interval_point_counts(
     intervals: DataFrame,
     points: DataFrame,
@@ -167,3 +208,119 @@ def interval_point_counts(
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_points"))
     )
+
+
+def interval_point_counts_prefix(
+    intervals: DataFrame,
+    points: DataFrame,
+    key: str,
+    id_col: str,
+) -> DataFrame:
+    """:func:`interval_point_counts` for the LOW-KEY-CARDINALITY
+    regime, as two prefix-sum lookups instead of a join (r10): the r10
+    scale ladder caught the binned join's candidate volume growing
+    quadratically with density on the orders workload — the key space
+    is FIXED (25 nations x ~81 bins = 2,025 groups), so 10x/50x rows
+    put 10x/50x of BOTH sides into the same groups: 2.7e8 candidates
+    at 10x and 6.6e9 at 50x for an answer whose row count is linear.
+    Because the operator returns COUNTS (not the matching rows), the
+    range count collapses to cum(e_day) - cum(s_day - 1) over a
+    per-key cumulative daily series.
+
+    Plan shape: ONE map-side-combined groupBy reduces points to
+    (key, day, n) — bounded by key_count x active days, never corpus
+    size; a per-key window cumsum over that reduced relation; the
+    corpus-sized interval side takes two BROADCAST equality joins
+    against the dense series (clamped day keys, out-of-span handled
+    by a row-local CASE) and never shuffles. Work is O(|points| +
+    |intervals|) + O(span) — candidate volume is gone entirely.
+
+    Regime choice: the dense series has key_count x span_days rows,
+    so this variant fits keys-few/span-bounded workloads (dimension
+    keys over business time); :func:`interval_point_counts` remains
+    the right shape when the key space itself scales with the corpus
+    (user-level keys) and per-group density stays flat. Inner
+    semantics (zero-hit intervals drop out) match exactly.
+    """
+    daily = points.groupBy(
+        F.col(key), F.col("p_day").alias("__d")
+    ).agg(F.count("*").alias("__n"))
+    # dense per-key series: gap days carry the running cumulative, so
+    # the interval lookup is a plain equality join on the clamped day
+    packed = daily.groupBy(key).agg(
+        F.min("__d").alias("__d0"),
+        F.max("__d").alias("__d1"),
+        F.map_from_entries(
+            F.collect_list(F.struct("__d", "__n"))
+        ).alias("__m"),
+    )
+    series = (
+        packed.selectExpr(
+            key,
+            "__d0",
+            "posexplode(transform(sequence(__d0, __d1),"
+            " d -> coalesce(element_at(__m, d), CAST(0 AS BIGINT))))"
+            " AS (__off, __dn)",
+        )
+        .withColumn("__day", F.col("__d0") + F.col("__off"))
+        .withColumn(
+            "__cum",
+            F.sum("__dn").over(
+                Window.partitionBy(key)
+                .orderBy("__day")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select(key, "__day", "__cum")
+        # the series feeds TWO broadcast lookups (Catalyst does not
+        # share common subtrees across consumers); it is span-bounded
+        # tiny, so cut the lineage once instead of re-aggregating the
+        # corpus per consumer
+        .localCheckpoint(eager=False)
+    )
+    bounds = packed.select(key, "__d0", "__d1")
+    cum_e = series.select(
+        F.col(key).alias("__ke"), F.col("__day").alias("__de"),
+        F.col("__cum").alias("__ce"),
+    )
+    cum_s = series.select(
+        F.col(key).alias("__ks"), F.col("__day").alias("__ds"),
+        F.col("__cum").alias("__cs"),
+    )
+    iv = (
+        intervals.join(F.broadcast(bounds), key)
+        # C(min(e, d1)) — zero when the whole window predates the data
+        .withColumn(
+            "__le", F.least(F.col("e_day"), F.col("__d1"))
+        )
+        # C(max(s, d0) - 1), clamped to d1: s <= d0 -> day d0-1 (no
+        # series row -> prefix 0); s > d1 -> C(d1) = total, so a
+        # window entirely after the data nets to zero
+        .withColumn(
+            "__ls",
+            F.least(
+                F.greatest(F.col("s_day"), F.col("__d0")) - F.lit(1),
+                F.col("__d1"),
+            ),
+        )
+    )
+    out = (
+        iv.join(
+            F.broadcast(cum_e),
+            (F.col(key) == F.col("__ke")) & (F.col("__le") == F.col("__de")),
+            "left",
+        )
+        .join(
+            F.broadcast(cum_s),
+            (F.col(key) == F.col("__ks")) & (F.col("__ls") == F.col("__ds")),
+            "left",
+        )
+        .selectExpr(
+            id_col,
+            # e < d0 -> no lookup row -> 0; s - 1 < d0 -> prefix 0
+            "CAST(coalesce(__ce, 0) - coalesce(__cs, 0) AS BIGINT)"
+            " AS n_points",
+        )
+        .filter(F.col("n_points") > 0)
+    )
+    return out

@@ -14,7 +14,7 @@ from uber_data_pipeline_spark.operators import sketches
 from uber_data_pipeline_spark.operators.sessions import sessionize
 from uber_data_pipeline_spark.operators.temporal import (
     asof_attach,
-    forward_window_counts,
+    forward_window_counts_range,
 )
 
 SESSION_GAP_SECONDS = 1800
@@ -214,12 +214,18 @@ def events_asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_forward_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded range join: per event, how many same-user events land
-    strictly within the next 5 minutes (operators/temporal.
-    forward_window_counts — horizon-width bucketing turns the
-    inequality join into an equality join probing two buckets)."""
+    """Bounded forward-window count: per event, how many same-user
+    events land strictly within the next 5 minutes.
+
+    r10: ONE RANGE-frame window (operators/temporal.
+    forward_window_counts_range) — Spark's sliding range-frame
+    accumulator counts matches in O(n log n) total even when the
+    match count itself grows quadratically with density, which is
+    what made the former binned equi-join density-bound (the
+    bucketed technique remains in operators/temporal.
+    forward_window_counts for row-attaching joins)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    out = forward_window_counts(
+    out = forward_window_counts_range(
         ev, "user_id", "ts", "event_id", FORWARD_HORIZON_SECONDS
     )
     return out.select(
