@@ -1,0 +1,207 @@
+"""Unit tests for the r10 second-batch operators: the degree-census
+join forecast, the tokenizer-fertility census, and the code-switching
+detector — each pinned against hand-computed expectations on tiny
+synthetic relations (the oracle parity sweep covers them on the real
+tables; these pin the SEMANTICS)."""
+
+from __future__ import annotations
+
+from uber_data_pipeline_spark.operators import dedup, shares, similarity, textops
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# ------------------------------------------------ join_size_forecast
+
+
+def test_join_forecast_matches_executed_join(spark):
+    left = _df(
+        spark,
+        [(k,) for k in [1, 1, 1, 2, 2, 3, 7]],
+        "k bigint",
+    )
+    right = _df(
+        spark,
+        [(k,) for k in [1, 2, 2, 2, 4]],
+        "k bigint",
+    )
+    rep = shares.join_size_forecast(left, "k", right, "k").collect()[0]
+    actual = left.join(right, "k").count()
+    assert rep.join_rows == actual == 3 * 1 + 2 * 3
+    assert rep.n_left == 7 and rep.n_right == 5
+    assert rep.n_keys_left == 4 and rep.n_keys_right == 3
+    assert rep.n_matched_keys == 2
+    assert rep.max_key_rows == 6  # key 2: 2 * 3
+    assert abs(rep.top1_share - round(6 / 9, 6)) < 1e-9
+    # tiny right side -> broadcast before any skew consideration
+    assert rep.plan_hint == "broadcast-right"
+
+
+def test_join_forecast_salt_hint_on_hot_key(spark, monkeypatch):
+    # drop the broadcast threshold so the skew branch is reachable
+    monkeypatch.setattr(shares, "JOIN_FORECAST_BROADCAST_ROWS", 0)
+    left = _df(spark, [(1,)] * 50 + [(2,), (3,)], "k bigint")
+    rep = shares.join_size_forecast(left, "k", left, "k").collect()[0]
+    # self-join forecast: sum of squared degrees
+    assert rep.join_rows == 50 * 50 + 1 + 1
+    assert rep.plan_hint == "salt-hot-keys"
+    assert rep.top1_share > 0.99
+
+
+def test_join_forecast_disjoint_keys(spark, monkeypatch):
+    monkeypatch.setattr(shares, "JOIN_FORECAST_BROADCAST_ROWS", 0)
+    left = _df(spark, [(1,), (2,)], "k bigint")
+    right = _df(spark, [(3,), (4,)], "k bigint")
+    rep = shares.join_size_forecast(left, "k", right, "k").collect()[0]
+    assert rep.join_rows == 0 and rep.n_matched_keys == 0
+    assert rep.top1_share == 0.0
+    assert rep.plan_hint == "hash-shuffle"
+
+
+# --------------------------------------------- tokenizer_fertility
+
+
+def test_tokenizer_fertility_oov_against_tiny_vocab(spark):
+    # 'aa' occurs 3x (vocab winner at k=1); 'b1' tokenizes to 2 regex
+    # tokens; every doc is 1 lang
+    docs = _df(
+        spark,
+        [
+            (1, "aa aa b1", "en", 8),
+            (2, "aa cc", "de", 5),
+        ],
+        "doc_id bigint, text string, lang string, n_chars bigint",
+    )
+    out = {
+        r.lang: r
+        for r in textops.tokenizer_fertility(docs, k=1).collect()
+    }
+    en, de = out["en"], out["de"]
+    assert en.n_words == 3 and de.n_words == 2
+    # regex tokens: 'aa'(1) 'aa'(1) 'b1'(2 -> letter run + digit run)
+    assert en.n_regex_tokens == 4
+    assert abs(en.fertility - round(4 / 3, 6)) < 1e-9
+    # vocab = {'aa'}: en has 2 of 3 occurrences in-vocab
+    assert abs(en.oov_share - round(1 - 2 / 3, 6)) < 1e-9
+    assert abs(de.oov_share - 0.5) < 1e-9
+
+
+# ----------------------------------------------- code_switch_report
+
+
+def test_code_switch_detects_mixed_document(spark):
+    en = " ".join(["the"] * 32)
+    de = " ".join(["der"] * 32)
+    docs = _df(
+        spark,
+        [
+            (1, f"{en} {de}", "en", 0),
+            (2, en, "en", 0),
+        ],
+        "doc_id bigint, text string, lang string, n_chars bigint",
+    )
+    out = {r.doc_id: r for r in textops.code_switch_report(docs).collect()}
+    mixed, pure = out[1], out[2]
+    assert mixed.n_chunks == 2 and mixed.n_langs == 2
+    assert mixed.n_switches == 1
+    assert mixed.is_code_switched
+    # en/de tie on chunk counts -> fixed en-first priority
+    assert mixed.dominant_lang == "en"
+    assert abs(mixed.dominant_share - 0.5) < 1e-9
+    assert pure.n_chunks == 1 and pure.n_langs == 1
+    assert pure.n_switches == 0 and not pure.is_code_switched
+
+
+def test_code_switch_switch_count_is_order_aware(spark):
+    # en | de | en = 2 switches but only 2 distinct langs
+    en = " ".join(["the"] * 32)
+    de = " ".join(["der"] * 32)
+    docs = _df(
+        spark,
+        [(1, f"{en} {de} {en}", "en", 0)],
+        "doc_id bigint, text string, lang string, n_chars bigint",
+    )
+    row = textops.code_switch_report(docs).collect()[0]
+    assert row.n_chunks == 3
+    assert row.n_langs == 2
+    assert row.n_switches == 2
+    assert row.dominant_lang == "en"
+    assert abs(row.dominant_share - round(2 / 3, 6)) < 1e-9
+
+
+# ------------------------------------------ sorted_neighborhood_pairs
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+
+
+def test_snm_finds_prefix_adjacent_near_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    neardup = base + " lambda"
+    # filler docs share no prefix with the pair
+    rows = [(1, base, "en", "web", len(base)), (2, neardup, "en", "web", len(neardup))]
+    rows += [
+        (10 + i, f"zz{i} yy{i} xx{i} ww{i} vv{i} uu{i}", "en", "web", 30)
+        for i in range(10)
+    ]
+    out = dedup.sorted_neighborhood_pairs(_docs_df(spark, rows), 0.5).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    assert (1, 2) in pairs
+    row = next(r for r in out if (r.doc_a, r.doc_b) == (1, 2))
+    # shingle sets: 8 shingles vs 9, 8 common -> J = 8/9
+    assert abs(row.jaccard - round(8 / 9, 6)) < 1e-9
+
+
+def test_snm_misses_pairs_outside_window(spark):
+    """The documented SNM tradeoff: a true near-dup whose sort-order
+    distance exceeds the window is NOT found (here: >window docs with
+    the same first-3-token prefix sort between the pair)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base + " aaa", "en", "web", 60), (99, base + " aaa", "en", "web", 60)]
+    # 6 > SNM_WINDOW docs share the prefix and sort between doc 1 and 99
+    rows += [
+        (10 + i, base + f" mid{i} only{i} here{i}", "en", "web", 70)
+        for i in range(6)
+    ]
+    out = dedup.sorted_neighborhood_pairs(_docs_df(spark, rows), 0.5).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    assert (1, 99) not in pairs  # identical texts, but 6 rows apart
+
+
+def test_snm_candidate_volume_is_linear_in_window(spark):
+    """Candidate pairs (pre-verify) are exactly n*w - w*(w+1)/2 for n
+    sorted rows — pinned via a threshold-0 run where every candidate
+    verifies (identical texts everywhere)."""
+    n = 12
+    rows = [(i, "same text for every doc here", "en", "web", 28) for i in range(n)]
+    out = dedup.sorted_neighborhood_pairs(_docs_df(spark, rows), 0.0).collect()
+    w = dedup.SNM_WINDOW
+    assert len(out) == n * w - w * (w + 1) // 2
+
+
+# -------------------------------------------------- knn_outliers
+
+
+def test_knn_outlier_flags_planted_far_vector(spark):
+    import math
+
+    # 20 vectors tightly clustered near e1, one orthogonal outlier
+    dim = 8
+    rows = []
+    for i in range(20):
+        v = [1.0] + [0.001 * ((i % 5) + 1) if j == 1 + (i % (dim - 1)) else 0.0 for j in range(1, dim)]
+        rows.append((i, v))
+    rows.append((999, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.vec_id: r for r in similarity.knn_outliers(emb, k=3).collect()}
+    assert len(out) == 21  # sample modulus 1 at this size: every vector scored
+    assert out[999].is_outlier
+    # the planted vector's 3rd-NN cosine is ~0 -> score ~1
+    assert out[999].outlier_score > 0.9
+    flagged = [v for v in out.values() if v.is_outlier]
+    assert len(flagged) <= 2  # cluster members stay unflagged

@@ -1295,3 +1295,170 @@ def sql_lsh_tuning_report(
         FROM stacked
         GROUP BY 1, 2
     """
+
+
+# ---- sorted-neighborhood method (Hernandez & Stolfo 1995) ---------------
+
+SNM_WINDOW = 4
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    window: int = SNM_WINDOW,
+) -> DataFrame:
+    """Sorted-neighborhood dedup/ER (Hernandez & Stolfo 1995): sort
+    the corpus by a CONTENT-PREFIX key (first three tokens, then
+    doc_id), slide a ``window``-row neighborhood over the sorted
+    order, verify candidate pairs with exact shingle Jaccard —
+    candidate volume is O(n * window) BY CONSTRUCTION, independent of
+    how skewed the similarity distribution is (the classic complement
+    to LSH banding: SNM never explodes on a hot key, at the price of
+    only finding pairs the sort key places near each other; the
+    content prefix recovers 25/25 true tau=0.5 pairs on this corpus
+    where a metadata/length key finds 1 — near-dups share prefixes,
+    not byte lengths).
+
+    The global rank over the sort order is computed WITHOUT a
+    corpus-sized window partition (the distributed-rank pattern):
+    repartitionByRange clusters rows by sort-key range into
+    shuffle-partition-count ranges (each a bounded slice of the
+    corpus), row_number runs per physical range, and per-range
+    offsets come from a window over the REDUCED per-range count
+    relation (n_partitions rows — control-plane sized). Range
+    boundaries affect only which executor ranks which slice, never
+    the rank itself (the sort key is a total order: doc_id breaks
+    ties), so the result is partitioning-invariant. Neighborhood
+    pairs are then ONE equi-join on pos_b = pos_a + j (j exploded
+    1..window); Jaccard is row-local set arithmetic on the pair's
+    (already joined) shingle arrays.
+
+    Output: doc_a, doc_b (doc_a earlier in sort order), window_dist,
+    jaccard >= ``threshold``."""
+    from pyspark.sql import Window
+
+    sh = docs.selectExpr(
+        "doc_id",
+        f"{TOKENS_SPARK} AS tokens",
+    ).selectExpr(
+        "doc_id",
+        # coalesce: short docs yield NULL prefix tokens, and the two
+        # engines disagree on NULL sort placement (Spark NULLS FIRST,
+        # DuckDB NULLS LAST) — '' sorts first in both
+        # try_element_at: plain element_at throws on out-of-bounds
+        # under Spark 4's default ANSI mode (1-token documents)
+        *[
+            f"coalesce(try_element_at(tokens, {i}), '') AS k{i}"
+            for i in (1, 2, 3)
+        ],
+        f"array_distinct({shingles_spark('tokens')}) AS sh",
+    )
+    key = [F.col("k1"), F.col("k2"), F.col("k3"), F.col("doc_id")]
+    ranged = sh.repartitionByRange(*key).withColumn(
+        "part", F.spark_partition_id()
+    )
+    # CACHE is load-bearing, not a performance hint: local ranks and
+    # per-range offsets both consume this relation, and without a
+    # materialization boundary each branch re-executes the range
+    # exchange independently — AQE may coalesce the two executions
+    # into DIFFERENT partition layouts, so 'part' in the offsets
+    # branch no longer names the same range as 'part' in the rank
+    # branch and global positions silently skew (caught by the sf1
+    # gate: 106 vs 2560 pairs at 10x rows; both branches reading one
+    # materialized partitioning restores exactness at any scale)
+    local = ranged.withColumn(
+        "local_rank",
+        F.row_number().over(Window.partitionBy("part").orderBy(*key)),
+    ).cache()
+    offsets = (
+        local.groupBy("part")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("part").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("part", "offset")
+    )
+    pos = local.join(F.broadcast(offsets), "part").selectExpr(
+        "doc_id", "sh",
+        "offset + local_rank AS pos",
+    )
+    left = pos.selectExpr(
+        "doc_id AS doc_a",
+        "sh AS sh_a",
+        "pos",
+        f"explode(sequence(1, {window})) AS j",
+    ).selectExpr("doc_a", "sh_a", "pos + j AS pos_b")
+    right = pos.selectExpr(
+        "doc_id AS doc_b", "sh AS sh_b", "pos AS pos_b"
+    )
+    return (
+        left.join(right, "pos_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "size(array_intersect(sh_a, sh_b)) AS n_common",
+            "size(sh_a) AS sz_a",
+            "size(sh_b) AS sz_b",
+        )
+        .filter("sz_a > 0 AND sz_b > 0")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "round(n_common / CAST(sz_a + sz_b - n_common AS DOUBLE), 6)"
+            " AS jaccard",
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def sql_sorted_neighborhood_pairs(
+    table: str = "documents",
+    threshold: float = 0.5,
+    window: int = SNM_WINDOW,
+) -> str:
+    """DuckDB twin of :func:`sorted_neighborhood_pairs` (one global
+    row_number window — the single-node replay of the distributed
+    rank)."""
+    from uber_data_pipeline_spark.functions.text import (
+        TOKENS_DUCK,
+        shingles_duck,
+    )
+
+    jac = (
+        "len(list_intersect(sh_a, sh_b))"
+        " / CAST(len(sh_a) + len(sh_b)"
+        " - len(list_intersect(sh_a, sh_b)) AS DOUBLE)"
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, {TOKENS_DUCK} AS tokens FROM {table}
+        ), sh AS (
+            SELECT doc_id,
+                   COALESCE(tokens[1], '') AS k1,
+                   COALESCE(tokens[2], '') AS k2,
+                   COALESCE(tokens[3], '') AS k3,
+                   list_distinct({shingles_duck()}) AS sh
+            FROM tok
+        ), r AS (
+            SELECT *, row_number() OVER (
+                ORDER BY k1, k2, k3, doc_id) AS pos
+            FROM sh
+        ), cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sh AS sh_a, b.sh AS sh_b
+            FROM r a JOIN r b
+              ON b.pos > a.pos AND b.pos <= a.pos + {window}
+            WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        )
+        SELECT doc_a, doc_b, ROUND({jac}, 6) AS jaccard
+        FROM cand
+        WHERE ROUND({jac}, 6) >= {threshold}
+    """

@@ -150,6 +150,129 @@ def sql_corr_matrix(
     return f"WITH m AS (SELECT {', '.join(moms)} FROM {table}) {arms}"
 
 
+JOIN_FORECAST_BROADCAST_ROWS = 1_000_000
+JOIN_FORECAST_SALT_SHARE = 0.01
+JOIN_FORECAST_BLOWUP = 16.0
+
+
+def join_size_forecast(left, lkey: str, right, rkey: str):
+    """Exact join-size + skew forecast WITHOUT executing the join —
+    the planner instrument you run before committing a 100 TB shuffle
+    join (or a dedup/attribution self-join).
+
+    The output cardinality of ``left JOIN right ON lkey = rkey`` is
+    exactly sum over matched keys of d_left(k) * d_right(k).  Both
+    degree censuses are map-side partial aggregates; the full-outer
+    join that lines the two distributions up runs over the REDUCED
+    per-key relations (|keys| rows, not |rows|), so the forecast costs
+    O(|keys|) while the join it predicts can cost billions of output
+    rows.  For a self-join pass the same relation twice: join_rows is
+    then the candidate-pair volume (ordered, incl. self-pairs) that the
+    dedup family's banding exists to avoid.
+
+    The 1-row report drives the strategy choice the repo implements
+    elsewhere: `broadcast` (operators/joins.py hints) when the right
+    side is dim-sized, `salt-hot-keys` (operators/joins.py salting)
+    when one key contributes >= 1% of the output, and
+    `pre-aggregate` when the forecast blows up past 16x the input —
+    otherwise a plain hash shuffle with AQE.
+
+    Counts are BIGINT: max per-key degree product sum fits until
+    ~9.2e18 output rows; beyond that widen the two SUMs to
+    DECIMAL(38,0) (a report that large is itself the finding).
+
+    Output (1 row): n_left, n_right, n_keys_left, n_keys_right,
+    n_matched_keys, join_rows, max_key_rows, top1_share, blowup,
+    skew_ratio, plan_hint."""
+    dl = left.groupBy(F.col(lkey).alias("k")).agg(
+        F.count("*").alias("dl")
+    )
+    dr = right.groupBy(F.col(rkey).alias("k")).agg(
+        F.count("*").alias("dr")
+    )
+    j = dl.join(dr, "k", "full_outer")
+    rep = j.agg(
+        F.sum("dl").alias("n_left"),
+        F.sum("dr").alias("n_right"),
+        F.count("dl").alias("n_keys_left"),
+        F.count("dr").alias("n_keys_right"),
+        F.count(
+            F.when(F.col("dl").isNotNull() & F.col("dr").isNotNull(), 1)
+        ).alias("n_matched_keys"),
+        F.sum(F.col("dl") * F.col("dr")).alias("join_rows"),
+        F.max(F.col("dl") * F.col("dr")).alias("max_key_rows"),
+    )
+    return rep.selectExpr(
+        "n_left",
+        "n_right",
+        "n_keys_left",
+        "n_keys_right",
+        "n_matched_keys",
+        "CAST(coalesce(join_rows, 0) AS BIGINT) AS join_rows",
+        "CAST(coalesce(max_key_rows, 0) AS BIGINT) AS max_key_rows",
+        "round(coalesce(max_key_rows / join_rows, 0.0D), 6) AS top1_share",
+        "round(coalesce(join_rows / (n_left + n_right), 0.0D), 6)"
+        " AS blowup",
+        # divide BEFORE multiplying: (max * n_matched_keys) as a
+        # bigint product overflows long before the double ratio does
+        "round(coalesce(max_key_rows / CAST(join_rows AS DOUBLE), 0.0D)"
+        " * n_matched_keys, 6) AS skew_ratio",
+        f"CASE WHEN n_right <= {JOIN_FORECAST_BROADCAST_ROWS}"
+        f" THEN 'broadcast-right'"
+        f" WHEN round(coalesce(max_key_rows / join_rows, 0.0D), 6)"
+        f" >= {JOIN_FORECAST_SALT_SHARE} THEN 'salt-hot-keys'"
+        f" WHEN round(coalesce(join_rows / (n_left + n_right), 0.0D), 6)"
+        f" >= {JOIN_FORECAST_BLOWUP} THEN 'pre-aggregate'"
+        f" ELSE 'hash-shuffle' END AS plan_hint",
+    )
+
+
+def sql_join_size_forecast(
+    ltable: str, lkey: str, rtable: str, rkey: str
+) -> str:
+    """DuckDB twin of :func:`join_size_forecast`."""
+    return f"""
+        WITH dl AS (
+            SELECT {lkey} AS k, COUNT(*) AS dl FROM {ltable} GROUP BY 1
+        ), dr AS (
+            SELECT {rkey} AS k, COUNT(*) AS dr FROM {rtable} GROUP BY 1
+        ), j AS (
+            SELECT dl.dl, dr.dr
+            FROM dl FULL OUTER JOIN dr ON dl.k = dr.k
+        ), rep AS (
+            SELECT CAST(SUM(dl) AS BIGINT) AS n_left,
+                   CAST(SUM(dr) AS BIGINT) AS n_right,
+                   COUNT(dl) AS n_keys_left,
+                   COUNT(dr) AS n_keys_right,
+                   COUNT(CASE WHEN dl IS NOT NULL AND dr IS NOT NULL
+                         THEN 1 END) AS n_matched_keys,
+                   CAST(COALESCE(SUM(dl * dr), 0) AS BIGINT) AS join_rows,
+                   CAST(COALESCE(MAX(dl * dr), 0) AS BIGINT) AS max_key_rows
+            FROM j
+        )
+        SELECT n_left, n_right, n_keys_left, n_keys_right,
+               n_matched_keys, join_rows, max_key_rows,
+               ROUND(COALESCE(max_key_rows / CAST(join_rows AS DOUBLE),
+                              0.0), 6) AS top1_share,
+               ROUND(join_rows / CAST(n_left + n_right AS DOUBLE), 6)
+                   AS blowup,
+               ROUND(COALESCE(max_key_rows / CAST(join_rows AS DOUBLE),
+                              0.0) * n_matched_keys, 6) AS skew_ratio,
+               CASE WHEN n_right <= {JOIN_FORECAST_BROADCAST_ROWS}
+                    THEN 'broadcast-right'
+                    WHEN ROUND(COALESCE(max_key_rows
+                               / CAST(join_rows AS DOUBLE), 0.0), 6)
+                         >= {JOIN_FORECAST_SALT_SHARE}
+                    THEN 'salt-hot-keys'
+                    WHEN ROUND(join_rows
+                               / CAST(n_left + n_right AS DOUBLE), 6)
+                         >= {JOIN_FORECAST_BLOWUP}
+                    THEN 'pre-aggregate'
+                    ELSE 'hash-shuffle' END AS plan_hint
+        FROM rep
+    """
+
+
 def key_skew_report(df, key: str):
     """Partition-skew diagnostics for a join/agg key — the report that
     decides whether a key needs salting (operators/joins.py) or can

@@ -2376,3 +2376,97 @@ def sql_norms_arrow(table: str = "embeddings") -> str:
         FROM per_vec
         GROUP BY label
     """
+
+
+# ---- kth-NN-distance outlier scoring ------------------------------------
+
+KNN_OUTLIER_K = 5
+KNN_OUTLIER_Z = 2.0
+
+
+def knn_outliers(
+    emb: DataFrame,
+    k: int = KNN_OUTLIER_K,
+    z: float = KNN_OUTLIER_Z,
+    query_sample_target: int | None = QUERY_SAMPLE_TARGET,
+) -> DataFrame:
+    """kth-NN-distance outlier scores (the classic distance-based
+    outlier detector, Ramaswamy et al. 2000) — the embedding-lake
+    curation step that flags corrupt/off-manifold vectors before they
+    poison ANN indexes and semantic dedup: a vector whose k-th nearest
+    neighbor is far away sits in a sparse region.
+
+    score = round(1 - cos_k, 6) where cos_k is the k-th largest
+    cosine (exact, via the tiled-gemm brute_force_topk engine over
+    the deterministic :func:`query_sample` — O(target * n) at
+    production scale, every vector at driver-gate SFs). The flag
+    threshold is mean + z * std over the SAMPLE's scores, computed
+    from decimal-exact sums (order-invariant under any partitioning;
+    the final mean/sqrt are identical double ops on identical
+    decimals in both engines).
+
+    Output: vec_id, cos_k, outlier_score, threshold, is_outlier."""
+    kth = (
+        brute_force_topk(emb, k, queries=query_sample(emb, query_sample_target))
+        .filter(F.col("rank") == k)
+        .selectExpr(
+            "query_id AS vec_id",
+            "round(cosine, 6) AS cos_k",
+            "CAST(round(1.0D - round(cosine, 6), 6) AS decimal(12,6))"
+            " AS score_d",
+        )
+    )
+    stats = kth.agg(
+        F.count("*").alias("n_q"),
+        F.sum("score_d").alias("s1"),
+        F.sum(F.expr("CAST(score_d * score_d AS decimal(25,12))")).alias(
+            "s2"
+        ),
+    )
+    mean = "(CAST(s1 AS DOUBLE) / n_q)"
+    thr = (
+        f"({mean} + {z} * sqrt(greatest(0.0D,"
+        f" CAST(s2 AS DOUBLE) / n_q - {mean} * {mean})))"
+    )
+    return kth.join(F.broadcast(stats)).selectExpr(
+        "vec_id",
+        "cos_k",
+        "CAST(score_d AS DOUBLE) AS outlier_score",
+        f"round({thr}, 6) AS threshold",
+        f"CAST(score_d AS DOUBLE) > {thr} AS is_outlier",
+    )
+
+
+def sql_knn_outliers(
+    exact_topk_sql: str,
+    k: int = KNN_OUTLIER_K,
+    z: float = KNN_OUTLIER_Z,
+) -> str:
+    """DuckDB twin of :func:`knn_outliers`; ``exact_topk_sql`` is the
+    composed exact top-k oracle (query-gated _sql_ann_exact) whose
+    rank-k row supplies cos_k."""
+    mean = "(CAST(s1 AS DOUBLE) / n_q)"
+    thr = (
+        f"({mean} + {z} * sqrt(GREATEST(CAST(0.0 AS DOUBLE),"
+        f" CAST(s2 AS DOUBLE) / n_q - {mean} * {mean})))"
+    )
+    return f"""
+        WITH {sql_query_sample_cte()},
+        exact AS ({exact_topk_sql}),
+        kth AS (
+            SELECT query_id AS vec_id,
+                   ROUND(cosine, 6) AS cos_k,
+                   CAST(ROUND(1.0 - ROUND(cosine, 6), 6)
+                        AS DECIMAL(12,6)) AS score_d
+            FROM exact WHERE rank = {k}
+        ), stats AS (
+            SELECT COUNT(*) AS n_q, SUM(score_d) AS s1,
+                   SUM(CAST(score_d * score_d AS DECIMAL(25,12))) AS s2
+            FROM kth
+        )
+        SELECT vec_id, cos_k,
+               CAST(score_d AS DOUBLE) AS outlier_score,
+               ROUND({thr}, 6) AS threshold,
+               CAST(score_d AS DOUBLE) > {thr} AS is_outlier
+        FROM kth, stats
+    """

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from uber_data_pipeline_spark.functions.text import (
     DIGITS_ONLY_SPARK,
     PUNCT_STRIPPED_SPARK,
+    REGEX_TOKEN_COUNT_DUCK,
     REGEX_TOKEN_COUNT_SPARK,
     TOKENS_DUCK,
     TOKENS_SPARK,
@@ -1475,4 +1476,269 @@ def sql_chunk_windows(
                CAST(len(chunk) AS BIGINT) AS n_tokens,
                md5(array_to_string(chunk, ' ')) AS chunk_hash
         FROM chunks
+    """
+
+
+# ---- tokenizer fertility / vocabulary coverage --------------------------
+
+FERTILITY_VOCAB_K = 64
+
+
+def tokenizer_fertility(docs: DataFrame, k: int = FERTILITY_VOCAB_K) -> DataFrame:
+    """Per-language tokenizer-fit report — the census run before
+    committing a tokenizer to a multilingual corpus: fertility (BPE-ish
+    regex tokens per whitespace word — high fertility means the
+    tokenizer shreds that language into fragments), chars per word,
+    and the OOV occurrence share against the corpus-global top-k
+    vocabulary (the fraction of token occurrences a k-entry vocab
+    would miss, per language).
+
+    Plan shape at 100 TB: ONE explode feeds a map-side partial
+    aggregate to the (lang, token) relation — hot tokens combine
+    before the shuffle, so the shuffle carries distinct (lang, token)
+    rows, not occurrences. The global vocab is a TakeOrdered over the
+    further-reduced token relation and joins back BROADCAST (k rows);
+    everything downstream runs on reduced relations. Ties at the
+    vocab boundary break on the token string in both engines.
+
+    Output (1 row per lang): lang, n_docs, n_words, n_regex_tokens,
+    n_chars, fertility, chars_per_word, oov_share."""
+    base = docs.selectExpr(
+        "doc_id",
+        "lang",
+        "n_chars",
+        f"size({TOKENS_SPARK}) AS n_words",
+        f"{REGEX_TOKEN_COUNT_SPARK} AS n_regex",
+    )
+    per_lang = base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_regex").alias("n_regex_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    tokc = (
+        docs.selectExpr("lang", f"explode({TOKENS_SPARK}) AS token")
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("occ"))
+    )
+    vocab = (
+        tokc.groupBy("token")
+        .agg(F.sum("occ").alias("occ"))
+        .orderBy(F.desc("occ"), F.asc("token"))
+        .limit(k)
+        .select("token")
+    )
+    in_vocab = (
+        tokc.join(F.broadcast(vocab), "token")
+        .groupBy("lang")
+        .agg(F.sum("occ").alias("n_in_vocab"))
+    )
+    return (
+        per_lang.join(in_vocab, "lang", "left")
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_regex_tokens",
+            "n_chars",
+            "round(n_regex_tokens / CAST(n_words AS DOUBLE), 6) AS fertility",
+            "round(n_chars / CAST(n_words AS DOUBLE), 6) AS chars_per_word",
+            "round(1.0D - coalesce(n_in_vocab, 0) / CAST(n_words AS DOUBLE), 6)"
+            " AS oov_share",
+        )
+    )
+
+
+def sql_tokenizer_fertility(
+    table: str = "documents", k: int = FERTILITY_VOCAB_K
+) -> str:
+    """DuckDB twin of :func:`tokenizer_fertility`."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lang, n_chars,
+                   len({TOKENS_DUCK}) AS n_words,
+                   {REGEX_TOKEN_COUNT_DUCK} AS n_regex
+            FROM {table}
+        ), per_lang AS (
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS n_words,
+                   CAST(SUM(n_regex) AS BIGINT) AS n_regex_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars
+            FROM base GROUP BY 1
+        ), tokc AS (
+            SELECT lang, t.token AS token, COUNT(*) AS occ
+            FROM {table}, unnest({TOKENS_DUCK}) AS t(token)
+            GROUP BY 1, 2
+        ), vocab AS (
+            SELECT token FROM tokc
+            GROUP BY token
+            ORDER BY SUM(occ) DESC, token ASC
+            LIMIT {k}
+        ), in_vocab AS (
+            SELECT lang, CAST(SUM(occ) AS BIGINT) AS n_in_vocab
+            FROM tokc JOIN vocab USING (token)
+            GROUP BY 1
+        )
+        SELECT p.lang, p.n_docs, p.n_words, p.n_regex_tokens, p.n_chars,
+               ROUND(p.n_regex_tokens / CAST(p.n_words AS DOUBLE), 6)
+                   AS fertility,
+               ROUND(p.n_chars / CAST(p.n_words AS DOUBLE), 6)
+                   AS chars_per_word,
+               ROUND(1.0 - COALESCE(v.n_in_vocab, 0)
+                     / CAST(p.n_words AS DOUBLE), 6) AS oov_share
+        FROM per_lang p LEFT JOIN in_vocab v ON v.lang = p.lang
+    """
+
+
+# ---- code-switching / chunk-level language mixture ----------------------
+
+CS_CHUNK_TOKENS = 32
+
+
+def code_switch_report(docs: DataFrame, size: int = CS_CHUNK_TOKENS) -> DataFrame:
+    """Document-level code-switching census: language-ID every
+    non-overlapping ``size``-token window, then report per document
+    how mixed the language stream is — the filter a multilingual
+    training pipeline runs before routing documents to per-language
+    pipelines (doc-level langid alone mislabels mixed documents).
+
+    Plan shape: the chunker is a row-local explode (no shuffle, same
+    as chunk_windows), the per-chunk langid is the stopword-marker
+    argmax (language_id above), and the per-document rollup is ONE
+    groupBy doc_id whose collect_list is bounded by chunks-per-
+    document (doc length / size) — never corpus-sized. Chunk order is
+    restored with sort_array over (chunk_idx, pred) structs, so the
+    switch count is deterministic under any partitioning.
+
+    Output: doc_id, labeled_lang, n_chunks, n_langs, dominant_lang,
+    dominant_share, n_switches, is_code_switched."""
+    langs = ("en", "de", "fr", "es")
+    scored = (
+        docs.selectExpr(
+            "doc_id",
+            "lang AS labeled_lang",
+            f"{TOKENS_SPARK} AS toks",
+        )
+        .selectExpr(
+            "doc_id",
+            "labeled_lang",
+            "toks",
+            f"greatest(1, CAST(ceil(size(toks) / CAST({size} AS DOUBLE))"
+            f" AS INT)) AS n_chunks",
+        )
+        .selectExpr(
+            "doc_id",
+            "labeled_lang",
+            "toks",
+            "explode(sequence(0, n_chunks - 1)) AS chunk_idx",
+        )
+        .selectExpr(
+            "doc_id",
+            "labeled_lang",
+            "chunk_idx",
+            f"slice(toks, chunk_idx * {size} + 1, {size}) AS chunk",
+        )
+        .selectExpr(
+            "doc_id",
+            "labeled_lang",
+            "chunk_idx",
+            *[
+                f"{stopword_count_spark(lg, 'chunk')} AS s_{lg}"
+                for lg in langs
+            ],
+        )
+        .selectExpr(
+            "doc_id",
+            "labeled_lang",
+            "chunk_idx",
+            f"{langid_case({lg: f's_{lg}' for lg in langs})} AS pred",
+        )
+    )
+    agg = scored.groupBy("doc_id", "labeled_lang").agg(
+        F.count("*").alias("n_chunks"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(chunk_idx, pred))),"
+            " s -> s.pred)"
+        ).alias("preds"),
+    )
+    cnt = ", ".join(
+        f"size(filter(preds, x -> x = '{lg}'))" for lg in langs
+    )
+    return agg.selectExpr(
+        "doc_id",
+        "labeled_lang",
+        "CAST(n_chunks AS BIGINT) AS n_chunks",
+        f"CAST(size(filter(array({cnt}), c -> c > 0)) AS INT) AS n_langs",
+        langid_case(
+            {lg: f"size(filter(preds, x -> x = '{lg}'))" for lg in langs}
+        )
+        + " AS dominant_lang",
+        f"round(greatest({cnt}) / CAST(n_chunks AS DOUBLE), 6)"
+        " AS dominant_share",
+        "CAST(CASE WHEN size(preds) <= 1 THEN 0 ELSE"
+        " size(filter(sequence(1, size(preds) - 1),"
+        " i -> element_at(preds, CAST(i AS INT))"
+        " != element_at(preds, CAST(i + 1 AS INT)))) END AS INT)"
+        " AS n_switches",
+        f"size(filter(array({cnt}), c -> c > 0)) > 1 AS is_code_switched",
+    )
+
+
+def sql_code_switch_report(
+    table: str = "documents", size: int = CS_CHUNK_TOKENS
+) -> str:
+    """DuckDB twin of :func:`code_switch_report`."""
+    from uber_data_pipeline_spark.functions.text import stopword_count_duck
+
+    langs = ("en", "de", "fr", "es")
+    score_cols = ", ".join(
+        f"{stopword_count_duck(lg, 'chunk')} AS s_{lg}" for lg in langs
+    )
+    cnt = ", ".join(
+        f"len(list_filter(preds, x -> x = '{lg}'))" for lg in langs
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang AS labeled_lang,
+                   {TOKENS_DUCK} AS toks
+            FROM {table}
+        ), counted AS (
+            SELECT doc_id, labeled_lang, toks,
+                   GREATEST(1, CAST(ceil(len(toks)
+                       / CAST({size} AS DOUBLE)) AS INT)) AS n_chunks
+            FROM toks
+        ), chunks AS (
+            SELECT doc_id, labeled_lang, g.i AS chunk_idx,
+                   list_slice(toks, g.i * {size} + 1,
+                              g.i * {size} + {size}) AS chunk
+            FROM counted, unnest(range(0, n_chunks)) AS g(i)
+        ), scored AS (
+            SELECT doc_id, labeled_lang, chunk_idx, {score_cols}
+            FROM chunks
+        ), pred AS (
+            SELECT doc_id, labeled_lang, chunk_idx,
+                   {langid_case({lg: f's_{lg}' for lg in langs})} AS pred
+            FROM scored
+        ), agg AS (
+            SELECT doc_id, labeled_lang, COUNT(*) AS n_chunks,
+                   list(pred ORDER BY chunk_idx) AS preds
+            FROM pred GROUP BY 1, 2
+        )
+        SELECT doc_id, labeled_lang,
+               CAST(n_chunks AS BIGINT) AS n_chunks,
+               CAST(len(list_filter([{cnt}], c -> c > 0)) AS INT)
+                   AS n_langs,
+               {langid_case({
+                   lg: f"len(list_filter(preds, x -> x = '{lg}'))"
+                   for lg in langs
+               })} AS dominant_lang,
+               ROUND(GREATEST({cnt}) / CAST(n_chunks AS DOUBLE), 6)
+                   AS dominant_share,
+               CAST(CASE WHEN len(preds) <= 1 THEN 0 ELSE
+                    len(list_filter(range(1, len(preds)),
+                        i -> preds[i] != preds[i + 1])) END AS INT)
+                   AS n_switches,
+               len(list_filter([{cnt}], c -> c > 0)) > 1
+                   AS is_code_switched
+        FROM agg
     """

@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from uber_data_pipeline_spark.catalog import load_table
 from uber_data_pipeline_spark.operators import layout, sketches
-from uber_data_pipeline_spark.operators.shares import key_skew_report, sql_key_skew_report
+from uber_data_pipeline_spark.operators.shares import (
+    join_size_forecast,
+    key_skew_report,
+    sql_join_size_forecast,
+    sql_key_skew_report,
+)
 
 BLOOM_BUILD_PRIORITY = "1-URGENT"
 
@@ -59,7 +64,18 @@ def orders_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(load_table(spark, sf_dir, "orders"), "o_custkey")
 
 
+def events_selfjoin_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-cardinality + skew forecast for the events-on-user_id
+    self-join (the shape behind attribution/sessionization pair joins
+    and the dedup candidate volume) — computed from the per-key degree
+    census WITHOUT running the join (operators/shares.py
+    join_size_forecast)."""
+    ev = load_table(spark, sf_dir, "events")
+    return join_size_forecast(ev, "user_id", ev, "user_id")
+
+
 QUERIES = {
+    "events_selfjoin_forecast": events_selfjoin_forecast,
     "orders_bloom_semi_join": orders_bloom_semi_join,
     "orders_range_layout": orders_range_layout,
     "orders_key_skew_report": orders_key_skew_report,
@@ -67,6 +83,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_selfjoin_forecast": sql_join_size_forecast(
+        "events", "user_id", "events", "user_id"
+    ),
     "orders_range_layout": layout.sql_range_layout_audit(),
     "orders_key_skew_report": sql_key_skew_report("orders", "o_custkey"),
     "orders_bloom_semi_join": sketches.sql_bloom_semi_join(

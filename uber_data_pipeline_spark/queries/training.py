@@ -274,6 +274,13 @@ QUERIES = {
     .groupBy("labeled_lang", "pred_lang")
     .agg(F.count("*").cast("long").alias("n_docs")),
     "dedup_exact": lambda spark, sf: dedup.exact_duplicates(_docs(spark, sf)),
+    # sorted-neighborhood method (Hernandez & Stolfo): O(n*window)
+    # candidates by construction — the skew-immune complement to LSH
+    # banding; distributed rank via repartitionByRange, no
+    # corpus-sized window partitions
+    "dedup_sorted_neighborhood": lambda spark, sf: dedup.sorted_neighborhood_pairs(
+        _docs(spark, sf), JACCARD_THRESHOLD
+    ),
     # cross-source contamination census over the exact-Jaccard pairs
     "dedup_source_overlap": lambda spark, sf: dedup.cross_source_overlap(
         _docs(spark, sf),
@@ -375,6 +382,13 @@ QUERIES = {
     "ann_knn_classify": lambda spark, sf: similarity.knn_classify(
         _emb(spark, sf), ANN_K
     ),
+    # kth-NN-distance outlier scores (Ramaswamy et al. 2000): flag
+    # off-manifold/corrupt vectors before they poison indexes; exact
+    # gemm over the deterministic query sample, decimal-exact
+    # mean + 2*std threshold
+    "embeddings_outlier_knn": lambda spark, sf: similarity.knn_outliers(
+        _emb(spark, sf)
+    ),
     # lexical + vector reciprocal-rank fusion (integer RRF units)
     "text_hybrid_search": lambda spark, sf: search.hybrid_rrf_search(
         _docs(spark, sf), _emb(spark, sf)
@@ -401,6 +415,17 @@ QUERIES = {
     ),
     "text_topk_tokens": lambda spark, sf: textops.token_frequencies(
         _docs(spark, sf), TOPK_TOKENS
+    ),
+    # tokenizer-fit census: per-lang fertility + OOV mass vs the
+    # corpus-global top-k vocabulary (run before committing a
+    # tokenizer to a multilingual corpus)
+    "text_tokenizer_fertility": lambda spark, sf: textops.tokenizer_fertility(
+        _docs(spark, sf)
+    ),
+    # chunk-level language-mixture census (code-switching detector):
+    # langid every 32-token window, roll up mixture + switch count
+    "text_code_switch": lambda spark, sf: textops.code_switch_report(
+        _docs(spark, sf)
     ),
     "training_data_prep": lambda spark, sf: textops.training_data_prep(
         _docs(spark, sf), PREP_MIN_QUALITY, PREP_MIN_TOKENS
@@ -892,6 +917,14 @@ def _sql_cc_clusters(
 
 
 ORACLES = {
+    "text_tokenizer_fertility": textops.sql_tokenizer_fertility(),
+    "text_code_switch": textops.sql_code_switch_report(),
+    "dedup_sorted_neighborhood": dedup.sql_sorted_neighborhood_pairs(
+        threshold=JACCARD_THRESHOLD
+    ),
+    "embeddings_outlier_knn": similarity.sql_knn_outliers(
+        _sql_ann_exact(similarity.KNN_OUTLIER_K, query_gate="qgate")
+    ),
     "embeddings_gram_matrix": similarity.sql_gram_matrix(),
     "embeddings_power_iteration": similarity.sql_power_iteration_step(),
     "text_bpe_merge_step": textops.sql_bpe_merge_step(),
