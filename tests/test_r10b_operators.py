@@ -6,6 +6,8 @@ tables; these pin the SEMANTICS)."""
 
 from __future__ import annotations
 
+import pytest
+
 from uber_data_pipeline_spark.operators import dedup, shares, similarity, textops
 
 
@@ -205,3 +207,90 @@ def test_knn_outlier_flags_planted_far_vector(spark):
     assert out[999].outlier_score > 0.9
     flagged = [v for v in out.values() if v.is_outlier]
     assert len(flagged) <= 2  # cluster members stay unflagged
+
+
+# ------------------------------------------------- snapshot branches
+
+
+def test_branch_shares_history_and_diverges(spark, tmp_path):
+    from uber_data_pipeline_spark.sources import snapshots
+
+    root = str(tmp_path / "lake")
+    base = spark.range(5).withColumnRenamed("id", "k")
+    mid = spark.range(5, 8).withColumnRenamed("id", "k")
+    late = spark.range(100, 104).withColumnRenamed("id", "k")
+    m0 = snapshots.commit_snapshot(base, root, 0)
+    snapshots.commit_snapshot(mid, root, 1, mode="append")
+    snapshots.create_branch(root, "exp", 0)
+    m2 = snapshots.commit_to_branch(late, root, "exp", 2, mode="append")
+    # branch inherits v0's files verbatim (no copy), not v1's
+    assert set(m0["files"]) <= set(m2["files"])
+    assert m2["parent"] == 0
+    # main unchanged by the branch commit; branch = base + late
+    assert snapshots.read_snapshot(spark, root, 1).count() == 8
+    got = {r.k for r in snapshots.read_branch(spark, root, "exp").collect()}
+    assert got == set(range(5)) | set(range(100, 104))
+    assert snapshots.branch_head(root, "exp") == 2
+
+
+def test_branch_overwrite_starts_fresh(spark, tmp_path):
+    from uber_data_pipeline_spark.sources import snapshots
+
+    root = str(tmp_path / "lake")
+    snapshots.commit_snapshot(
+        spark.range(5).withColumnRenamed("id", "k"), root, 0
+    )
+    snapshots.create_branch(root, "exp", 0)
+    snapshots.commit_to_branch(
+        spark.range(50, 52).withColumnRenamed("id", "k"),
+        root, "exp", 1, mode="overwrite",
+    )
+    got = {r.k for r in snapshots.read_branch(spark, root, "exp").collect()}
+    assert got == {50, 51}
+
+
+def test_create_branch_refuses_dangling_target(spark, tmp_path):
+    from uber_data_pipeline_spark.sources import snapshots
+
+    root = str(tmp_path / "lake")
+    snapshots.commit_snapshot(
+        spark.range(3).withColumnRenamed("id", "k"), root, 0
+    )
+    with pytest.raises(FileNotFoundError):
+        snapshots.create_branch(root, "exp", 7)
+
+
+def test_vacuum_keeps_branch_reffed_version(spark, tmp_path):
+    """expire_snapshots is ref-aware: a manifest a branch points at
+    (and its files) survives retention even when its version falls
+    outside keep_last."""
+    from uber_data_pipeline_spark.sources import snapshots
+
+    root = str(tmp_path / "lake")
+    snapshots.commit_snapshot(
+        spark.range(4).withColumnRenamed("id", "k"), root, 0
+    )
+    snapshots.create_branch(root, "old", 0)
+    for v in (1, 2, 3):
+        snapshots.commit_snapshot(
+            spark.range(v * 10, v * 10 + 2).withColumnRenamed("id", "k"),
+            root, v, mode="overwrite",
+        )
+    rep = snapshots.expire_snapshots(root, keep_last=1)
+    assert rep["kept"] == [0, 3]  # 0 pinned by the ref, 3 by recency
+    assert rep["expired"] == [1, 2]
+    # the ref'd version still reads back intact post-vacuum
+    assert snapshots.read_branch(spark, root, "old").count() == 4
+
+
+def test_vacuum_without_refs_unchanged(spark, tmp_path):
+    from uber_data_pipeline_spark.sources import snapshots
+
+    root = str(tmp_path / "lake")
+    for v in (0, 1, 2):
+        snapshots.commit_snapshot(
+            spark.range(v * 10, v * 10 + 2).withColumnRenamed("id", "k"),
+            root, v, mode="overwrite",
+        )
+    rep = snapshots.expire_snapshots(root, keep_last=2)
+    assert rep["kept"] == [1, 2] and rep["expired"] == [0]

@@ -923,6 +923,104 @@ def _stage_time_travel_lake(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+BRANCH_CUTOFF = "2001-01-01 00:00:00"
+
+
+def _stage_branch_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once) the branching lake: main chain v0 (base load,
+    overwrite) -> v1 (mid-period append); branch 'exp' created AT v0,
+    then a branch commit v2 appends the late period to exp only — the
+    two refs share v0's files (a branch is one tiny ref file, no data
+    copied) and diverge after it."""
+    import json as _json
+
+    from uber_data_pipeline_spark.sources.snapshots import (
+        commit_snapshot,
+        commit_to_branch,
+        create_branch,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    c1 = F.lit(CDC_CUTOFF).cast("timestamp_ntz")
+    c2 = F.lit(BRANCH_CUTOFF).cast("timestamp_ntz")
+    root = os.path.join(
+        _ARTIFACT_DIR, "branching", os.path.basename(sf_dir.rstrip("/"))
+    )
+    marker_params = {
+        "entry": "branch",
+        "cutoffs": [CDC_CUTOFF, BRANCH_CUTOFF],
+        "v": 3,
+        "src": source_fingerprint(os.path.join(sf_dir, "orders.parquet")),
+    }
+    marker = os.path.join(root, "_STAGED.json")
+    with _STAGE_LOCK:
+        if os.path.exists(marker):
+            try:
+                with open(marker) as fh:
+                    if _json.load(fh) == marker_params:
+                        return root
+            except ValueError:
+                pass  # corrupt marker -> restage
+        shutil.rmtree(root, ignore_errors=True)
+        commit_snapshot(
+            orders.filter(F.col("o_orderdate") < c1).repartition(4),
+            root, 0, mode="overwrite",
+        )
+        commit_snapshot(
+            orders.filter(
+                (F.col("o_orderdate") >= c1) & (F.col("o_orderdate") < c2)
+            ).repartition(4),
+            root, 1, mode="append",
+        )
+        create_branch(root, "exp", 0)
+        commit_to_branch(
+            orders.filter(F.col("o_orderdate") >= c2).repartition(4),
+            root, "exp", 2, mode="append",
+        )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(marker_params, fh)
+        os.replace(tmp, marker)
+    return root
+
+
+def snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branching on the manifest lake (sources/snapshots.py refs —
+    the Iceberg branch / Delta shallow-clone role): main advances
+    v0 -> v1 while branch 'exp' forks at v0 and takes its own commit
+    v2, so the two refs SHARE v0's data files and diverge after it —
+    a branch costs one ref file, never a data copy, because manifests
+    are immutable. Reads resolve strictly through the refs; the
+    oracle recomputes both refs' expected contents relationally from
+    `orders` (main = base + mid period; exp = base + late period)."""
+    from uber_data_pipeline_spark.functions.numeric import dsum
+    from uber_data_pipeline_spark.sources.snapshots import (
+        read_branch,
+        read_snapshot,
+    )
+
+    root = _stage_branch_lake(spark, sf_dir)
+
+    def _agg(df: DataFrame, ref: str, version: int) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+            F.countDistinct("o_orderstatus").cast("long").alias("n_statuses"),
+        ).select(
+            F.lit(ref).alias("ref"),
+            F.lit(version).alias("version"),
+            "n_rows",
+            "total_price",
+            "n_statuses",
+        )
+
+    return _agg(read_snapshot(spark, root, 1), "main", 1).unionByName(
+        _agg(read_branch(spark, root, "exp"), "exp", 2)
+    )
+
+
 def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-based snapshot versioning + time travel
     (sources/snapshots.py — the Delta/Iceberg/BigQuery-snapshot role
@@ -1240,6 +1338,7 @@ QUERIES = {
     "snapshot_skipping_read": snapshot_skipping_read,
     "orders_observed_load": orders_observed_load,
     "snapshot_time_travel": snapshot_time_travel,
+    "snapshot_branch": snapshot_branch,
     "snapshot_python_datasource": snapshot_python_datasource,
     "snapshot_stream_python_datasource": snapshot_stream_python_datasource,
     "dq_quarantine_split": dq_quarantine_split,
@@ -1527,6 +1626,20 @@ ORACLES = {
                               where=f"WHERE o_orderdate < TIMESTAMP '{CDC_CUTOFF}'")}
         UNION ALL
         {_SQL_SNAP_AGG.format(v=1, price=_SQL_SNAP_PRICE, where="")}
+    """,
+    "snapshot_branch": f"""
+        SELECT 'main' AS ref, 1 AS version,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {_SQL_SNAP_PRICE} AS total_price,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+        FROM orders WHERE o_orderdate < TIMESTAMP '{BRANCH_CUTOFF}'
+        UNION ALL
+        SELECT 'exp' AS ref, 2 AS version,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {_SQL_SNAP_PRICE} AS total_price,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+        FROM orders WHERE o_orderdate < TIMESTAMP '{CDC_CUTOFF}'
+           OR o_orderdate >= TIMESTAMP '{BRANCH_CUTOFF}'
     """,
     "dq_quarantine_split": _SQL_QUARANTINE,
     "snapshot_skipping_read": f"""

@@ -171,7 +171,21 @@ def expire_snapshots(root: str, keep_last: int = 2) -> dict:
         for f in os.listdir(mdir)
         if f.startswith("v") and f.endswith(".json")
     )
-    kept, expired = versions[-keep_last:], versions[:-keep_last]
+    # ref-aware retention (the Iceberg rule: a snapshot a ref points
+    # at is never expired): branch refs pin their head manifest (and
+    # its files) regardless of age, else expiring by version number
+    # alone would leave a branch ref dangling and vacuum its shared
+    # files out from under it
+    reffed: set[int] = set()
+    rdir = os.path.join(root, "refs")
+    if os.path.isdir(rdir):
+        for f in os.listdir(rdir):
+            if f.endswith(".json") and not f.endswith(".tmp"):
+                with open(os.path.join(rdir, f)) as fh:
+                    reffed.add(json.load(fh)["version"])
+    keep = set(versions[-keep_last:]) | (reffed & set(versions))
+    kept = sorted(keep)
+    expired = [v for v in versions if v not in keep]
     live: set[str] = set()
     for v in kept:
         with open(_manifest_path(root, v)) as fh:
@@ -229,3 +243,88 @@ def latest_version(root: str, default: int | None = None) -> int:
             return default
         raise FileNotFoundError(f"no committed manifests under {mdir}")
     return max(versions)
+
+
+# ---- branches (Iceberg-style refs on the same manifest lake) -----------
+
+
+def _ref_path(root: str, name: str) -> str:
+    return os.path.join(root, "refs", f"{name}.json")
+
+
+def create_branch(root: str, name: str, at_version: int) -> dict:
+    """Create branch ``name`` pointing at committed ``at_version`` —
+    the Iceberg branch / Delta shallow-clone role: a branch is ONE
+    tiny ref file; no data or manifest is copied, because manifests
+    are immutable and commits never mutate in place, so any number of
+    refs can share history for free. The ref publishes atomically
+    (tmp + rename), same protocol as the manifests. Fails if the
+    target manifest does not exist (a ref must never dangle)."""
+    with open(_manifest_path(root, at_version)) as fh:
+        json.load(fh)  # existence + readability check
+    ref = {"name": name, "version": at_version}
+    os.makedirs(os.path.join(root, "refs"), exist_ok=True)
+    tmp = _ref_path(root, name) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(ref, fh)
+    os.replace(tmp, _ref_path(root, name))
+    return ref
+
+
+def branch_head(root: str, name: str) -> int:
+    """Version the branch ref currently points at."""
+    with open(_ref_path(root, name)) as fh:
+        return json.load(fh)["version"]
+
+
+def commit_to_branch(
+    df: "DataFrame",
+    root: str,
+    name: str,
+    version: int,
+    mode: str = "append",
+) -> dict:
+    """Commit ``df`` on branch ``name``: identical write-ahead publish
+    protocol as :func:`commit_snapshot`, except the parent is the
+    BRANCH HEAD (not version-1), so histories can diverge — ``mode=
+    'append'`` inherits the head manifest's files, ``'overwrite'``
+    starts the branch's list fresh. ``version`` must be globally
+    unique across all refs (manifests share one namespace; Iceberg's
+    snapshot-id role). Publish order: data files, then the manifest,
+    then the ref — a reader racing the commit sees the old head until
+    the ref flips, and the flip is atomic."""
+    head = branch_head(root, name)
+    data_dir = os.path.join(root, "data", f"commit-{version}")
+    df.write.mode("overwrite").parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    stats: dict[str, dict] = {}
+    if mode == "append":
+        with open(_manifest_path(root, head)) as fh:
+            pm = json.load(fh)
+        files = pm["files"] + files
+        stats = dict(pm.get("stats", {}))
+    manifest = {
+        "version": version,
+        "parent": head,
+        "files": files,
+        "stats": stats,
+    }
+    tmp = _manifest_path(root, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(root, version))
+    ref = {"name": name, "version": version}
+    rtmp = _ref_path(root, name) + ".tmp"
+    with open(rtmp, "w") as fh:
+        json.dump(ref, fh)
+    os.replace(rtmp, _ref_path(root, name))
+    return manifest
+
+
+def read_branch(spark: "SparkSession", root: str, name: str) -> "DataFrame":
+    """Read the table as of branch ``name``'s current head."""
+    return read_snapshot(spark, root, branch_head(root, name))
