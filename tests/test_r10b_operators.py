@@ -294,3 +294,26 @@ def test_vacuum_without_refs_unchanged(spark, tmp_path):
         )
     rep = snapshots.expire_snapshots(root, keep_last=2)
     assert rep["kept"] == [1, 2] and rep["expired"] == [0]
+
+
+# ---------------------------------------------- label propagation
+
+
+def test_lpa_separates_disjoint_baskets(spark):
+    """Two disjoint co-purchase triangles + one isolated part: LPA
+    converges each triangle to its min label; the isolated vertex
+    keeps its own."""
+    from uber_data_pipeline_spark.queries.tpch_extra import _lpa_from_lineitem
+
+    rows = (
+        [(100, p) for p in (1, 2, 3)]
+        + [(200, p) for p in (10, 11, 12)]
+        + [(300, 99)]
+    )
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    out = {r.part_key: r for r in _lpa_from_lineitem(li).collect()}
+    assert {out[p].community for p in (1, 2, 3)} == {1}
+    assert {out[p].community for p in (10, 11, 12)} == {10}
+    assert out[99].community == 99
+    assert out[1].community_size == 3
+    assert out[99].community_size == 1

@@ -848,6 +848,126 @@ def parts_pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ITERS = 4
+
+
+def parts_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph via
+    SYNCHRONOUS label propagation (Raghavan et al. 2007), LPA_ITERS
+    fixed rounds: every vertex starts as its own label; each round it
+    adopts the most frequent label among its neighbors, ties broken
+    by the smallest label; isolated vertices keep their own. Fixed
+    synchronized rounds + a total tie order make the (normally
+    randomized) algorithm bit-deterministic, so the oracle replays
+    all rounds as chained CTEs — the third graph duty next to ranking
+    (parts_pagerank_*) and reachability (dedup_clusters).
+
+    Iteration mechanics: the pagerank_iterated recipe — loop-invariant
+    adjacency ARRAYS cached once (|V| rows, not |E|), each round's
+    label relation localCheckpointed (lineage stays one step deep) and
+    broadcast back onto the adjacency (|V|-row relation, the same
+    justified broadcast as the rank loop). Per-round work: one
+    broadcast join + explode + map-side-combined (v, label) count +
+    a per-vertex window over that vertex's OWN label counts (bounded
+    by its degree — never corpus-partitioned).
+
+    Columns: part_key, community (final label), community_size."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return _lpa_from_lineitem(li)
+
+
+def _lpa_from_lineitem(li: DataFrame, iters: int | None = None) -> DataFrame:
+    sets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = sets.selectExpr(
+        "explode(flatten(transform(ps, x -> "
+        "transform(filter(ps, y -> y != x), "
+        "y -> struct(x AS src, y AS dst))))) AS e"
+    ).select("e.src", "e.dst")
+    adj = (
+        pairs.distinct()
+        .groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .cache()
+    )
+    labels = (
+        li.select(F.col("l_partkey").alias("v"))
+        .distinct()
+        .selectExpr("v", "v AS label")
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(LPA_ITERS if iters is None else iters):
+        nbr = adj.join(
+            F.broadcast(labels), adj["src"] == labels["v"]
+        ).selectExpr("explode(nbrs) AS v", "label")
+        best = (
+            nbr.groupBy("v", "label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("v", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "v", "left")
+            .selectExpr("v", "coalesce(new_label, label) AS label")
+            .localCheckpoint()
+        )
+    adj.unpersist()
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("community_size")
+    )
+    return labels.join(F.broadcast(sizes), "label").selectExpr(
+        "v AS part_key", "label AS community", "community_size"
+    )
+
+
+def _label_propagation_oracle(iters: int = LPA_ITERS) -> str:
+    ctes = [
+        """pairs AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey != b.l_partkey
+        )""",
+        # every l{k} is MATERIALIZED: each round's labels feed BOTH
+        # the next round's count join and the next carry-forward left
+        # join — inlined, DuckDB re-expands the chain into both
+        # consumers per level (2^k plan growth; timed out past 240 s
+        # at sf1, instant materialized)
+        """l0 AS MATERIALIZED (
+            SELECT DISTINCT l_partkey AS v, l_partkey AS label
+            FROM lineitem
+        )""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(f"""c{k} AS (
+            SELECT p.dst AS v, l.label, COUNT(*) AS c
+            FROM pairs p JOIN l{k - 1} l ON l.v = p.src
+            GROUP BY 1, 2
+        )""")
+        ctes.append(f"""b{k} AS (
+            SELECT v, label FROM (
+                SELECT v, label, ROW_NUMBER() OVER (
+                    PARTITION BY v ORDER BY c DESC, label ASC) AS rn
+                FROM c{k}
+            ) WHERE rn = 1
+        )""")
+        ctes.append(f"""l{k} AS MATERIALIZED (
+            SELECT l.v, COALESCE(b.label, l.label) AS label
+            FROM l{k - 1} l LEFT JOIN b{k} b ON b.v = l.v
+        )""")
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT l.v AS part_key, l.label AS community, s.community_size
+        FROM l{iters} l JOIN (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+            FROM l{iters} GROUP BY 1
+        ) s ON s.label = l.label
+    """
+
+
 def _pagerank_iterated_oracle(iters: int = PAGERANK_ITERS) -> str:
     ctes = [
         # MATERIALIZED: deg feeds all `iters` recurrence joins — left
@@ -1177,6 +1297,7 @@ QUERIES = {
     "orders_yoy_growth": orders_yoy_growth,
     "parts_pagerank_step": parts_pagerank_step,
     "parts_pagerank_iterated": parts_pagerank_iterated,
+    "parts_label_propagation": parts_label_propagation,
     "basket_association_rules": basket_association_rules,
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q8_market_share": tpch_q8_market_share,
@@ -1309,6 +1430,7 @@ ORACLES = {
         LIMIT {RULES_TOPK}
     """,
     "parts_pagerank_iterated": _pagerank_iterated_oracle(),
+    "parts_label_propagation": _label_propagation_oracle(),
     "parts_pagerank_step": """
         WITH pairs AS (
             SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
