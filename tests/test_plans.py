@@ -124,6 +124,10 @@ SCALAR_BROADCAST_OK = {
     "documents_lm_fit_tiers",
     # r9: 1-row COUNT broadcast deriving the epoch-shard count
     "training_epoch_shuffle",
+    # r10: 1-row COUNT broadcast deriving the query-sample modulus +
+    # the 1-row decimal-exact (n, s1, s2) stats broadcast for the
+    # outlier threshold
+    "embeddings_outlier_knn",
 }
 
 
@@ -365,3 +369,34 @@ def test_stratum_sample_broadcasts_counts(spark):
     plan = plan_of(spark, "training_stratum_target_sample")
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_snm_rank_is_range_partitioned(spark):
+    """dedup_sorted_neighborhood's global rank must run on a RANGE
+    exchange (the distributed-rank pattern) — a corpus-sized single
+    window partition would serialize the sort on one reducer."""
+    plan = plan_of(spark, "dedup_sorted_neighborhood")
+    assert "rangepartitioning" in plan.lower(), plan[:2000]
+    # the neighborhood pair join is an equi-join on pos, never a
+    # nested-loop band join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tokenizer_fertility_vocab_joins_broadcast(spark):
+    """The top-k vocab (k rows) must come back as a broadcast join
+    onto the (lang, token) relation, not a shuffle of the exploded
+    token stream."""
+    plan = plan_of(spark, "text_tokenizer_fertility")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_join_forecast_joins_reduced_relations(spark):
+    """events_selfjoin_forecast's full-outer join must line up the
+    two REDUCED per-key degree relations — both join inputs carry a
+    partial_count aggregate below them, so the shuffle moves |keys|
+    rows, never |rows|."""
+    plan = explain_formatted(spark, "events_selfjoin_forecast")
+    # the degree censuses partial-aggregate before any join
+    assert plan.count("HashAggregate") >= 4, plan[:3000]
+    assert "CartesianProduct" not in plan
