@@ -128,6 +128,8 @@ SCALAR_BROADCAST_OK = {
     # the 1-row decimal-exact (n, s1, s2) stats broadcast for the
     # outlier threshold
     "embeddings_outlier_knn",
+    # r10: 1-row corpus-total broadcast onto the |sources| card rows
+    "documents_dataset_card",
 }
 
 

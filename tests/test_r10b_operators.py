@@ -336,3 +336,39 @@ def test_seasonal_hourly_scores_against_own_slot(spark, duck):
     # residuals within each slot sum to ~0 (mean-centered by slot)
     resid = sdf.groupby("hod")["residual"].sum()
     assert (resid.abs() < 1e-3 * sdf.groupby("hod").size()).all()
+
+
+# ------------------------------------------- documents_dataset_card
+
+
+def test_dataset_card_rates_on_planted_corpus(spark):
+    from uber_data_pipeline_spark.queries.training import _dataset_card
+
+    rows = [
+        (1, "the quick brown fox jumps over it", "en", "web", 33),
+        (2, "the quick brown fox jumps over it", "en", "web", 33),  # exact dup
+        (3, "contact me at a@b.com for info now", "en", "web", 34),  # PII
+        (4, "der hund und die katze sind da", "de", "books", 30),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    import types
+
+    # _dataset_card loads via _docs(spark, sf); call its body directly
+    # by monkey-wiring the loader
+    from uber_data_pipeline_spark.queries import training as tr
+
+    orig = tr._docs
+    tr._docs = lambda s, sf: docs
+    try:
+        out = {r.source: r for r in _dataset_card(spark, "unused").collect()}
+    finally:
+        tr._docs = orig
+    web, books = out["web"], out["books"]
+    assert web.n_docs == 3 and books.n_docs == 1
+    assert abs(web.dup_rate - round(2 / 3, 6)) < 1e-9  # docs 1,2 are copies
+    assert abs(web.pii_rate - round(1 / 3, 6)) < 1e-9  # doc 3
+    assert books.dup_rate == 0.0 and books.pii_rate == 0.0
+    assert abs(web.doc_share - 0.75) < 1e-9
+    assert web.n_langs == 1

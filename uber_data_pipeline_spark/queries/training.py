@@ -16,10 +16,16 @@ from pyspark.sql import functions as F
 from uber_data_pipeline_spark.catalog import load_table
 from uber_data_pipeline_spark.functions.text import (
     DIGITS_ONLY_DUCK,
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
     PUNCT_STRIPPED_DUCK,
     REGEX_TOKEN_COUNT_DUCK,
     TOKENS_DUCK,
+    TOKENS_SPARK,
     langid_case,
+    pii_count_duck,
+    pii_count_spark,
     rolling_hash_duck,
     shingles_duck,
     stopword_count_duck,
@@ -237,7 +243,102 @@ def _lsh_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source dataset card — the datasheet a training-data lake
+    publishes per ingest source (Gebru et al. 2021's 'datasheets for
+    datasets' duty): volume (docs/tokens/chars), language breadth,
+    corpus share, mean heuristic quality, exact-duplicate rate, and
+    PII incidence, each from signals the repo already computes
+    (quality_scores, the exact-dup hash census, the PII patterns).
+
+    Scale shape: ONE metadata pass computes hash/PII/token counts
+    row-locally; the dup census is the exact_duplicates groupBy
+    joined back on text_hash (shuffle carries distinct hashes);
+    everything aggregates to |sources| rows before the 1-row corpus
+    total broadcasts on for shares. Mean quality goes through davg
+    (decimal-exact, order-invariant)."""
+    from uber_data_pipeline_spark.functions.numeric import davg
+
+    docs = _docs(spark, sf)
+    base = docs.selectExpr(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        f"size({TOKENS_SPARK}) AS n_tokens",
+        "md5(lower(trim(text))) AS text_hash",
+        f"CAST({pii_count_spark('text', PII_EMAIL_RE)}"
+        f" + {pii_count_spark('text', PII_PHONE_RE)}"
+        f" + {pii_count_spark('text', PII_IPV4_RE)} > 0 AS INT) AS has_pii",
+    )
+    dupc = base.groupBy("text_hash").agg(F.count("*").alias("n_copies"))
+    quality = textops.quality_scores(docs).select("doc_id", "quality_score")
+    per_source = (
+        base.join(dupc, "text_hash")
+        .join(quality, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            davg(F.col("quality_score")).alias("mean_quality"),
+            F.sum(F.expr("CAST(n_copies > 1 AS INT)")).alias("n_dup_docs"),
+            F.sum("has_pii").alias("n_pii_docs"),
+        )
+    )
+    total = per_source.agg(F.sum("n_docs").alias("total_docs"))
+    return per_source.join(F.broadcast(total)).selectExpr(
+        "source",
+        "n_docs",
+        "n_langs",
+        "n_tokens",
+        "n_chars",
+        "round(n_docs / CAST(total_docs AS DOUBLE), 6) AS doc_share",
+        "mean_quality",
+        "round(n_dup_docs / CAST(n_docs AS DOUBLE), 6) AS dup_rate",
+        "round(n_pii_docs / CAST(n_docs AS DOUBLE), 6) AS pii_rate",
+    )
+
+
+_SQL_DATASET_CARD_TAIL = """
+    meta AS (
+        SELECT doc_id, source, lang, n_chars,
+               len({tokens}) AS n_tokens,
+               md5(lower(trim(text))) AS text_hash,
+               CAST(({pii_email} + {pii_phone} + {pii_ip}) > 0 AS INT)
+                   AS has_pii
+        FROM documents
+    ), dupc AS (
+        SELECT text_hash, COUNT(*) AS n_copies FROM meta GROUP BY 1
+    ), joined AS (
+        SELECT m.*, d.n_copies, q.quality_score
+        FROM meta m
+        JOIN dupc d USING (text_hash)
+        JOIN quality q USING (doc_id)
+    ), per_source AS (
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT lang) AS n_langs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               {davg_quality} AS mean_quality,
+               CAST(SUM(CAST(n_copies > 1 AS INT)) AS BIGINT) AS n_dup_docs,
+               CAST(SUM(has_pii) AS BIGINT) AS n_pii_docs
+        FROM joined GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM per_source
+    )
+    SELECT source, n_docs, n_langs, n_tokens, n_chars,
+           ROUND(n_docs / CAST(total_docs AS DOUBLE), 6) AS doc_share,
+           mean_quality,
+           ROUND(n_dup_docs / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+           ROUND(n_pii_docs / CAST(n_docs AS DOUBLE), 6) AS pii_rate
+    FROM per_source, tot
+"""
+
+
 QUERIES = {
+    "documents_dataset_card": _dataset_card,
     # one-pass decimal-exact X^T X (the covariance/PCA/OPQ base step)
     "embeddings_gram_matrix": lambda spark, sf: similarity.gram_matrix(
         _emb(spark, sf)
@@ -917,6 +1018,18 @@ def _sql_cc_clusters(
 
 
 ORACLES = {
+    "documents_dataset_card": (
+        "WITH " + QUALITY_CTE + ", " + _SQL_DATASET_CARD_TAIL.format(
+            tokens=TOKENS_DUCK,
+            pii_email=pii_count_duck("text", PII_EMAIL_RE),
+            pii_phone=pii_count_duck("text", PII_PHONE_RE),
+            pii_ip=pii_count_duck("text", PII_IPV4_RE),
+            davg_quality=(
+                "ROUND(CAST(SUM(CAST((quality_score) AS DECIMAL(25,6)))"
+                " AS DOUBLE) / COUNT(*), 6)"
+            ),
+        )
+    ),
     "text_tokenizer_fertility": textops.sql_tokenizer_fertility(),
     "text_code_switch": textops.sql_code_switch_report(),
     "dedup_sorted_neighborhood": dedup.sql_sorted_neighborhood_pairs(
