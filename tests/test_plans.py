@@ -130,6 +130,9 @@ SCALAR_BROADCAST_OK = {
     "embeddings_outlier_knn",
     # r10: 1-row corpus-total broadcast onto the |sources| card rows
     "documents_dataset_card",
+    # r10: power-iteration's 1-row norm + the 1-row 64-float v1 array
+    # broadcast onto the projection scan
+    "embeddings_pca_project",
 }
 
 

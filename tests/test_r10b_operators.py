@@ -372,3 +372,52 @@ def test_dataset_card_rates_on_planted_corpus(spark):
     assert books.dup_rate == 0.0 and books.pii_rate == 0.0
     assert abs(web.doc_share - 0.75) < 1e-9
     assert web.n_langs == 1
+
+
+# --------------------------------------------- rake / pca_project
+
+
+def test_rake_scores_multiword_phrase_over_fragments(spark):
+    """RAKE's signature behavior: a cohesive multi-word phrase
+    outscores its constituent words appearing alone (deg rewards
+    co-occurrence in long runs)."""
+    rows = [
+        (1, "the deep learning model and the deep learning pipeline", "en", "web", 0),
+        (2, "the model is small and the pipeline is fast", "en", "web", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    out = textops.rake_keywords(docs, k=25).collect()
+    scores = {r.phrase: r.score for r in out}
+    # 'deep learning model' / 'deep learning pipeline' are top phrases
+    top = max(scores, key=lambda p: (scores[p], p))
+    assert "deep learning" in top
+    assert scores[top] > scores.get("small", 0.0)
+    counts = {r.phrase: r.n_occurrences for r in out}
+    assert counts["deep learning model"] == 1
+
+
+def test_pca_project_consistent_with_power_iteration(spark):
+    """pc1 must equal the dot product of each embedding with the
+    registered power-iteration direction (cross-entry consistency)."""
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR
+
+    qs = E.queries()
+    v1 = {
+        r.i: r.v1
+        for r in qs["embeddings_power_iteration"](spark, SF_DIR).collect()
+    }
+    vec = [v1[i] for i in sorted(v1)]
+    proj = qs["embeddings_pca_project"](spark, SF_DIR).limit(50).collect()
+    emb = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .limit(0)
+        .sparkSession.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .collect()
+    }
+    for r in proj[:10]:
+        expect = round(sum(a * b for a, b in zip(emb[r.vec_id], vec)), 6)
+        assert abs(r.pc1 - expect) < 2e-6, (r.vec_id, r.pc1, expect)

@@ -2470,3 +2470,55 @@ def sql_knn_outliers(
                CAST(score_d AS DOUBLE) > {thr} AS is_outlier
         FROM kth, stats
     """
+
+
+# ---- PCA projection (dimensionality-reduction serving step) -------------
+
+
+def pca_project(emb: DataFrame) -> DataFrame:
+    """Project every embedding onto the one-step power-iteration
+    principal direction — the dimensionality-reduction SERVING step
+    that pairs with :func:`power_iteration_step` (expose one
+    deterministic step; iterate outside for convergence): pc1 scores
+    drive layout ordering, stratified-by-geometry sampling, and the
+    1-D pre-filter before expensive pairwise work.
+
+    Determinism: v1 is power_iteration_step's bit-replayable output;
+    the per-row projection is the same fixed-order dot fold both
+    engines already share for cosine (functions/vectors.py), rounded
+    at 6.
+
+    Scale shape: the gram pass reduces the corpus to a d x d relation
+    once; v1 re-assembles into ONE 64-float array row that broadcasts
+    onto a row-local projection scan — vectors never shuffle.
+
+    Output: vec_id, label, pc1."""
+    from uber_data_pipeline_spark.functions.vectors import dot_spark
+
+    v1 = power_iteration_step(emb)
+    varr = v1.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(i, v1))),"
+            " s -> s.v1) AS varr"
+        )
+    )
+    return emb.join(F.broadcast(varr)).selectExpr(
+        "vec_id",
+        "label",
+        f"round({dot_spark('embedding', 'varr')}, 6) AS pc1",
+    )
+
+
+def sql_pca_project(table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`pca_project`."""
+    from uber_data_pipeline_spark.functions.vectors import dot_duck
+
+    return f"""
+        WITH pis AS ({sql_power_iteration_step(table)}),
+        varr AS (
+            SELECT list(v1 ORDER BY i) AS varr FROM pis
+        )
+        SELECT e.vec_id, e.label,
+               ROUND({dot_duck("e.embedding", "varr")}, 6) AS pc1
+        FROM {table} e, varr
+    """

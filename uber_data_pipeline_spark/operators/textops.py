@@ -1742,3 +1742,139 @@ def sql_code_switch_report(
                    AS is_code_switched
         FROM agg
     """
+
+
+# ---- RAKE keyword extraction -------------------------------------------
+
+RAKE_TOP_K = 25
+
+
+def rake_keywords(docs: DataFrame, k: int = RAKE_TOP_K) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    deg(w)/freq(w) over the candidate corpus (deg = sum of the
+    lengths of phrases containing the word, freq = occurrence count),
+    a phrase scores the sum of its words' scores, and the report is
+    the corpus-global top-k phrase types — the keyword/tag-mining
+    step of a corpus curation pipeline.
+
+    Determinism: deg and freq are exact integers; each word score is
+    ONE double division rounded to 6 and cast to DECIMAL(18,6), so
+    the per-phrase SUM is exact decimal (order-invariant) and the
+    final tie order (score DESC, phrase ASC) is total.
+
+    Scale shape: phrase segmentation is a per-document running count
+    of stopword boundaries (posexplode + a window partitioned by
+    doc_id — bounded by document length, never corpus-partitioned);
+    word stats and phrase scores are map-side-combined groupBys on
+    word/phrase keys; top-k is a TakeOrdered over the reduced phrase
+    relation."""
+    from uber_data_pipeline_spark.functions.text import STOPWORDS
+
+    stop_list = ", ".join(
+        f"'{w}'" for lang in ("en", "de", "fr", "es")
+        for w in STOPWORDS[lang]
+    )
+    tok = (
+        docs.selectExpr("doc_id", f"{TOKENS_SPARK} AS tokens")
+        .selectExpr("doc_id", "posexplode(tokens) AS (pos, w)")
+        .selectExpr(
+            "doc_id",
+            "pos",
+            "lower(w) AS w",
+            f"CAST(array_contains(array({stop_list}), lower(w)) AS INT)"
+            " AS is_stop",
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    seg = tok.withColumn(
+        "phrase_id", F.sum("is_stop").over(w_doc)
+    ).filter("is_stop = 0")
+    phrases = seg.groupBy("doc_id", "phrase_id").agg(
+        F.expr(
+            "concat_ws(' ', transform(sort_array(collect_list("
+            "struct(pos, w))), s -> s.w))"
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    words = seg.select("doc_id", "phrase_id", "w").join(
+        phrases.select("doc_id", "phrase_id", "plen"),
+        ["doc_id", "phrase_id"],
+    )
+    stats = words.groupBy("w").agg(
+        F.count("*").alias("freq"),
+        F.sum("plen").alias("deg"),
+    ).selectExpr(
+        "w",
+        "CAST(round(deg / CAST(freq AS DOUBLE), 6) AS DECIMAL(18,6))"
+        " AS wscore",
+    )
+    scored = (
+        words.join(stats, "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("wscore").alias("pscore"))
+        .join(phrases, ["doc_id", "phrase_id"])
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.expr(
+                "CAST(round(max(pscore), 6) AS DOUBLE)"
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(k)
+    )
+
+
+def sql_rake_keywords(table: str = "documents", k: int = RAKE_TOP_K) -> str:
+    """DuckDB twin of :func:`rake_keywords`."""
+    from uber_data_pipeline_spark.functions.text import STOPWORDS
+
+    stop_list = ", ".join(
+        f"'{w}'" for lang in ("en", "de", "fr", "es")
+        for w in STOPWORDS[lang]
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, r.i AS pos, lower(tokens[r.i]) AS w,
+                   CAST(list_contains([{stop_list}], lower(tokens[r.i]))
+                        AS INT) AS is_stop
+            FROM (
+                SELECT doc_id, {TOKENS_DUCK} AS tokens FROM {table}
+            ), unnest(range(1, len(tokens) + 1)) AS r(i)
+        ), seg AS (
+            SELECT doc_id, pos, w,
+                   SUM(is_stop) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS phrase_id
+            FROM tok
+            QUALIFY is_stop = 0
+        ), phrases AS (
+            SELECT doc_id, phrase_id,
+                   array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+                   COUNT(*) AS plen
+            FROM seg GROUP BY 1, 2
+        ), words AS (
+            SELECT s.doc_id, s.phrase_id, s.w, p.plen
+            FROM seg s JOIN phrases p
+              ON p.doc_id = s.doc_id AND p.phrase_id = s.phrase_id
+        ), stats AS (
+            SELECT w,
+                   CAST(ROUND(SUM(plen) / CAST(COUNT(*) AS DOUBLE), 6)
+                        AS DECIMAL(18,6)) AS wscore
+            FROM words GROUP BY 1
+        ), scored AS (
+            SELECT wd.doc_id, wd.phrase_id, SUM(st.wscore) AS pscore
+            FROM words wd JOIN stats st ON st.w = wd.w
+            GROUP BY 1, 2
+        )
+        SELECT p.phrase,
+               COUNT(*) AS n_occurrences,
+               CAST(ROUND(MAX(s.pscore), 6) AS DOUBLE) AS score
+        FROM scored s JOIN phrases p
+          ON p.doc_id = s.doc_id AND p.phrase_id = s.phrase_id
+        GROUP BY 1
+        ORDER BY score DESC, phrase ASC
+        LIMIT {k}
+    """

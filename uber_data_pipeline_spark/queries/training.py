@@ -351,6 +351,11 @@ QUERIES = {
     "embeddings_power_iteration": lambda spark, sf: similarity.power_iteration_step(
         _emb(spark, sf)
     ),
+    # project every vector onto that principal direction (the
+    # dimensionality-reduction serving step; vectors never shuffle)
+    "embeddings_pca_project": lambda spark, sf: similarity.pca_project(
+        _emb(spark, sf)
+    ),
     # one BPE-training pair count over the word-frequency dictionary
     "text_bpe_merge_step": lambda spark, sf: textops.bpe_merge_step(
         _docs(spark, sf)
@@ -526,6 +531,11 @@ QUERIES = {
     # chunk-level language-mixture census (code-switching detector):
     # langid every 32-token window, roll up mixture + switch count
     "text_code_switch": lambda spark, sf: textops.code_switch_report(
+        _docs(spark, sf)
+    ),
+    # RAKE keyword extraction: stopword-free phrase runs scored by
+    # corpus deg/freq word statistics, global top-k phrase types
+    "text_rake_keywords": lambda spark, sf: textops.rake_keywords(
         _docs(spark, sf)
     ),
     "training_data_prep": lambda spark, sf: textops.training_data_prep(
@@ -1032,6 +1042,7 @@ ORACLES = {
     ),
     "text_tokenizer_fertility": textops.sql_tokenizer_fertility(),
     "text_code_switch": textops.sql_code_switch_report(),
+    "text_rake_keywords": textops.sql_rake_keywords(),
     "dedup_sorted_neighborhood": dedup.sql_sorted_neighborhood_pairs(
         threshold=JACCARD_THRESHOLD
     ),
@@ -1040,6 +1051,7 @@ ORACLES = {
     ),
     "embeddings_gram_matrix": similarity.sql_gram_matrix(),
     "embeddings_power_iteration": similarity.sql_power_iteration_step(),
+    "embeddings_pca_project": similarity.sql_pca_project(),
     "text_bpe_merge_step": textops.sql_bpe_merge_step(),
     "text_bpe_encode": textops.sql_bpe_encode(),
     "text_bigram_lm": textops.sql_bigram_typicality(),
