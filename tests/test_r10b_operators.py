@@ -421,3 +421,78 @@ def test_pca_project_consistent_with_power_iteration(spark):
     for r in proj[:10]:
         expect = round(sum(a * b for a, b in zip(emb[r.vec_id], vec)), 6)
         assert abs(r.pc1 - expect) < 2e-6, (r.vec_id, r.pc1, expect)
+
+
+# ------------------------------------------ rfm / holt forecast
+
+
+def test_rfm_scores_and_segments(spark):
+    """Quintile scoring on a hand-built order set: customer 1 is
+    recent+frequent+big (champion), customer 5 ordered once long ago
+    (hibernating)."""
+    import datetime as dt
+
+    from uber_data_pipeline_spark.queries.tpch import customer_rfm_segments
+    from uber_data_pipeline_spark.queries import tpch as tp
+
+    rows = []
+    base = dt.datetime(2000, 1, 1)
+    # customers 1..5 with decreasing recency/frequency/monetary
+    for c in range(1, 6):
+        for j in range(6 - c):
+            rows.append((len(rows), c, "O",
+                         1000.0 * (6 - c),
+                         base + dt.timedelta(days=-40 * c + j)))
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp",
+    )
+    orig = tp.load_table
+    tp.load_table = lambda s, sf, name: orders
+    try:
+        out = {r.c_custkey: r for r in
+               customer_rfm_segments(spark, "unused").collect()}
+    finally:
+        tp.load_table = orig
+    assert out[1].r_score == 5 and out[1].f_score == 5 and out[1].m_score == 5
+    assert out[1].segment == "champion"
+    assert out[5].r_score == 1 and out[5].segment == "hibernating"
+    assert out[1].frequency == 5 and out[5].frequency == 1
+
+
+def test_holt_recurrence_hand_computed(spark):
+    """alpha=beta=1/2 recurrence on y = [10, 20, 40]: l1=10, b1=10,
+    l2 = .5*40 + .5*(10+10) = 30, b2 = .5*(30-10) + .5*10 = 15 ->
+    fitted(m3) = 20, forecast(m4) = 45."""
+    import datetime as dt
+
+    from uber_data_pipeline_spark.queries import tpch_extra as tx
+
+    rows = [
+        (i, 1, "O", y, dt.datetime(2000, m, 1))
+        for i, (m, y) in enumerate([(1, 10.0), (2, 20.0), (3, 40.0)])
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp",
+    )
+    orig = tx.load_table
+    tx.load_table = lambda s, sf, name: orders
+    try:
+        out = sorted(
+            tx.orders_forecast_holt(spark, "unused").collect(),
+            key=lambda r: r.month,
+        )
+    finally:
+        tx.load_table = orig
+    assert len(out) == 2
+    fit, fc = out
+    assert not fit.is_forecast and fit.revenue == 40.0
+    assert abs(fit.fitted - 20.0) < 1e-9
+    assert abs(fit.residual - 20.0) < 1e-9
+    assert fc.is_forecast and fc.revenue is None
+    assert abs(fc.fitted - 45.0) < 1e-9
+    # union with the timestamp fitted rows coerces the DATE to ts
+    assert fc.month == dt.datetime(2000, 4, 1)

@@ -343,6 +343,148 @@ def orders_recency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic CRM scoring every
+    warehouse eventually runs: per customer, Recency (days since last
+    order, against the corpus max date), Frequency (order count), and
+    Monetary (decimal-exact revenue sum), each scored 1-5 against
+    corpus quintile cutoffs, with a rule-based segment label.
+
+    Determinism: metrics are exact (integer day diff, integer count,
+    decimal sum cast to double); cutoffs are the established
+    percentile == quantile_cont parity (orders_price_quantiles)
+    rounded at 6; scores are integer comparison counts against those
+    cutoffs, so every boundary is identical cross-engine.
+
+    Scale shape: one map-side-combined per-customer aggregate reduces
+    the fact table; the corpus max date and the 12 quintile cutoffs
+    are 1-row broadcasts onto the REDUCED customer relation (exact
+    percentile collects per reducer — at 100 TB swap in
+    approx_percentile, same call shape). Customers with no orders are
+    out of scope (no RFM without a purchase; customers_without_orders
+    is the census for them).
+
+    Output: c_custkey, recency_days, frequency, monetary, r_score,
+    f_score, m_score, segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_dt"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("max_dt"))
+    base = per_cust.join(F.broadcast(maxd)).selectExpr(
+        "c_custkey",
+        "datediff(CAST(max_dt AS DATE), CAST(last_dt AS DATE))"
+        " AS recency_days",
+        "frequency",
+        "monetary",
+    )
+    cut_aggs = []
+    for col in ("recency_days", "frequency", "monetary"):
+        for q in RFM_QS:
+            cut_aggs.append(
+                F.round(F.expr(f"percentile({col}, {q})"), 6).alias(
+                    f"{col[0]}c{int(q * 10)}"
+                )
+            )
+    cuts = base.agg(*cut_aggs)
+
+    def _ups(col: str, p: str) -> str:
+        return " + ".join(
+            f"CAST({col} > {p}c{int(q * 10)} AS INT)" for q in RFM_QS
+        )
+
+    return base.join(F.broadcast(cuts)).selectExpr(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        # recency inverts: fewer days since last order = better
+        f"5 - ({_ups('recency_days', 'r')}) AS r_score",
+        f"1 + ({_ups('frequency', 'f')}) AS f_score",
+        f"1 + ({_ups('monetary', 'm')}) AS m_score",
+    ).selectExpr(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        "CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4"
+        " THEN 'champion'"
+        " WHEN f_score >= 4 THEN 'loyal'"
+        " WHEN m_score >= 4 THEN 'big_spender'"
+        " WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'"
+        " WHEN r_score <= 2 THEN 'hibernating'"
+        " ELSE 'regular' END AS segment",
+    )
+
+
+SQL_RFM = """
+    WITH per_cust AS (
+        SELECT o_custkey AS c_custkey,
+               MAX(o_orderdate) AS last_dt,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY 1
+    ), maxd AS (
+        SELECT MAX(o_orderdate) AS max_dt FROM orders
+    ), base AS (
+        SELECT c_custkey,
+               date_diff('day', CAST(last_dt AS DATE),
+                         CAST(max_dt AS DATE)) AS recency_days,
+               frequency, monetary
+        FROM per_cust, maxd
+    ), cuts AS (
+        SELECT {cut_cols} FROM base
+    ), scored AS (
+        SELECT c_custkey, recency_days, frequency, monetary,
+               5 - ({r_ups}) AS r_score,
+               1 + ({f_ups}) AS f_score,
+               1 + ({m_ups}) AS m_score
+        FROM base, cuts
+    )
+    SELECT c_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                THEN 'champion'
+                WHEN f_score >= 4 THEN 'loyal'
+                WHEN m_score >= 4 THEN 'big_spender'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored
+"""
+
+
+def _sql_rfm() -> str:
+    cut_cols = ", ".join(
+        f"ROUND(quantile_cont({col}, {q}), 6) AS {col[0]}c{int(q * 10)}"
+        for col in ("recency_days", "frequency", "monetary")
+        for q in RFM_QS
+    )
+
+    def ups(col: str, p: str) -> str:
+        return " + ".join(
+            f"CAST({col} > {p}c{int(q * 10)} AS INT)" for q in RFM_QS
+        )
+
+    return SQL_RFM.format(
+        cut_cols=cut_cols,
+        r_ups=ups("recency_days", "r"),
+        f_ups=ups("frequency", "f"),
+        m_ups=ups("monetary", "m"),
+    )
+
+
 def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles of order value per status —
     median-class stats the BI layer asks of any fact table. EXACT
@@ -373,6 +515,7 @@ QUERIES = {
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "orders_rollup": orders_rollup,
     "customer_ltv_window": customer_ltv_window,
+    "customer_rfm_segments": customer_rfm_segments,
     "tpch_q4_order_priority": tpch_q4_order_priority,
     "customers_without_orders": customers_without_orders,
     "salted_revenue_by_priority": salted_revenue_by_priority,
@@ -450,6 +593,7 @@ ORACLES = {
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
+    "customer_rfm_segments": _sql_rfm(),
     "customer_ltv_window": """
         SELECT o_custkey AS cust_key,
                o_orderkey AS order_key,

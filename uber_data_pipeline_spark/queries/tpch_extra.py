@@ -848,6 +848,135 @@ def parts_pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOLT_RECURRENCE = """
+    WITH RECURSIVE s AS (
+        SELECT m, y,
+               CAST(ROW_NUMBER() OVER (ORDER BY m) AS INT) AS t
+        FROM {src}
+    ), holt (t, l, b) AS (
+        SELECT CAST(2 AS INT),
+               CAST(MAX(CASE WHEN t = 1 THEN y END) AS DECIMAL(25,6)),
+               CAST(MAX(CASE WHEN t = 2 THEN y END)
+                    - MAX(CASE WHEN t = 1 THEN y END) AS DECIMAL(25,6))
+        FROM s WHERE t <= 2
+        UNION ALL
+        SELECT h.t + 1,
+               CAST(ROUND(0.5 * sn.y + 0.5 * (h.l + h.b), 6)
+                    AS DECIMAL(25,6)),
+               CAST(ROUND(0.5 * (CAST(ROUND(0.5 * sn.y
+                          + 0.5 * (h.l + h.b), 6) AS DECIMAL(25,6))
+                          - h.l) + 0.5 * h.b, 6) AS DECIMAL(25,6))
+        FROM holt h JOIN s sn ON sn.t = h.t + 1
+    ), fitted AS (
+        SELECT sn.m AS month,
+               CAST(sn.y AS DOUBLE) AS revenue,
+               CAST(h.l + h.b AS DOUBLE) AS fitted,
+               CAST(sn.y - (h.l + h.b) AS DOUBLE) AS residual,
+               FALSE AS is_forecast
+        FROM holt h JOIN s sn ON sn.t = h.t + 1
+    ), last_state AS (
+        SELECT h.l, h.b, s.m AS last_m
+        FROM holt h JOIN s ON s.t = h.t
+        WHERE h.t = (SELECT MAX(t) FROM s)
+    )
+    SELECT month, revenue, fitted, residual, is_forecast FROM fitted
+    UNION ALL
+    SELECT {next_month} AS month,
+           CAST(NULL AS DOUBLE) AS revenue,
+           CAST(l + b AS DOUBLE) AS fitted,
+           CAST(NULL AS DOUBLE) AS residual,
+           TRUE AS is_forecast
+    FROM last_state
+"""
+
+
+def orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (alpha = beta = 1/2)
+    over the corpus monthly revenue series — the time-series
+    FORECASTING duty (one-step-ahead fitted values + the next-month
+    forecast) next to the gapfill/window/seasonal family.
+
+    Determinism: the level/trend recurrence is all-decimal — revenue
+    is the decimal-exact monthly sum, every term rounds to 6 and
+    CASTs back to DECIMAL(25,6) (a fixed point per step, so precision
+    cannot creep and Spark's precision-loss path never fires), and
+    alpha = 1/2 is exactly representable. The Spark side runs the
+    recurrence as ONE ordered higher-order aggregate() fold over the
+    sorted (month, y) array; the DuckDB oracle runs it as a recursive
+    CTE — identical rounding at every step makes the two
+    bit-equal. (Spark's own WITH RECURSIVE computes the same values —
+    orders_gapfill_rcte proves the surface — but pays a whole
+    job per recursion level: measured 17 s for the 80-level chain vs
+    milliseconds for the fold; an un-materialized source even
+    re-aggregated the full fact per level, 175 s at sf1. The fold is
+    the plan a bounded per-key recurrence deserves.)
+
+    Scale shape: the fact table reduces to one row per month FIRST
+    (map-side partial aggregate); the collect_list/fold runs on that
+    span-bounded series — control-plane sized at any corpus scale.
+    Output: month, revenue, fitted, residual, is_forecast (months
+    3..T plus one forecast row)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")), 2
+        ).alias("y")
+    )
+    new_l = "CAST(round(0.5 * x.y + 0.5 * (acc.l + acc.b), 6) AS DECIMAL(25,6))"
+    state = monthly.agg(
+        F.expr("sort_array(collect_list(struct(m, y))) AS s")
+    ).selectExpr(
+        f"""aggregate(
+            slice(s, 3, greatest(size(s) - 2, 0)),
+            named_struct(
+              'l', CAST(try_element_at(s, 1).y AS DECIMAL(25,6)),
+              'b', CAST(try_element_at(s, 2).y - try_element_at(s, 1).y
+                        AS DECIMAL(25,6)),
+              'fits', CAST(array() AS array<struct<
+                  m: timestamp, y: decimal(32,2), fit: decimal(26,6)>>)),
+            (acc, x) -> named_struct(
+              'l', {new_l},
+              'b', CAST(round(0.5 * ({new_l} - acc.l) + 0.5 * acc.b, 6)
+                        AS DECIMAL(25,6)),
+              'fits', concat(acc.fits, array(named_struct(
+                  'm', x.m, 'y', x.y,
+                  'fit', CAST(acc.l + acc.b AS DECIMAL(26,6))))))
+        ) AS st""",
+        "element_at(s, -1).m AS last_m",
+    ).localCheckpoint()
+    fitted = state.selectExpr("inline(st.fits)").selectExpr(
+        "m AS month",
+        "CAST(y AS DOUBLE) AS revenue",
+        "CAST(fit AS DOUBLE) AS fitted",
+        "CAST(y - fit AS DOUBLE) AS residual",
+        "FALSE AS is_forecast",
+    )
+    forecast = state.selectExpr(
+        "CAST(add_months(CAST(last_m AS DATE), 1) AS TIMESTAMP) AS month",
+        "CAST(NULL AS DOUBLE) AS revenue",
+        "CAST(st.l + st.b AS DOUBLE) AS fitted",
+        "CAST(NULL AS DOUBLE) AS residual",
+        "TRUE AS is_forecast",
+    )
+    return fitted.unionByName(forecast)
+
+
+def sql_orders_forecast_holt() -> str:
+    return (
+        "WITH RECURSIVE monthly AS MATERIALIZED ("
+        "SELECT date_trunc('month', o_orderdate) AS m, "
+        "ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS y "
+        "FROM orders GROUP BY 1), "
+        + _HOLT_RECURRENCE.format(
+            src="monthly",
+            next_month="CAST(CAST(last_m AS DATE) + INTERVAL 1 MONTH"
+            " AS DATE)",
+        ).replace("WITH RECURSIVE ", "", 1)
+    )
+
+
 LPA_ITERS = 4
 
 
@@ -1298,6 +1427,7 @@ QUERIES = {
     "parts_pagerank_step": parts_pagerank_step,
     "parts_pagerank_iterated": parts_pagerank_iterated,
     "parts_label_propagation": parts_label_propagation,
+    "orders_forecast_holt": orders_forecast_holt,
     "basket_association_rules": basket_association_rules,
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q8_market_share": tpch_q8_market_share,
@@ -1431,6 +1561,7 @@ ORACLES = {
     """,
     "parts_pagerank_iterated": _pagerank_iterated_oracle(),
     "parts_label_propagation": _label_propagation_oracle(),
+    "orders_forecast_holt": sql_orders_forecast_holt(),
     "parts_pagerank_step": """
         WITH pairs AS (
             SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
