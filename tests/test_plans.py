@@ -50,90 +50,12 @@ def test_dim_joins_broadcast(spark):
         assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast:\n{plan[:2000]}"
 
 
-# bounded broadcast nested-loops: the broadcast side is an aggregate
-# of fixed tiny cardinality — one scalar row (q22's threshold) or the
-# label-cardinality IVF centroid table — O(n * constant), not a pair
-# blow-up.
-SCALAR_BROADCAST_OK = {
-    "tpch_q22_global_sales_opportunity",
-    "ann_ivf_topk",
-    # same k-row centroid broadcast, via the embedded ivf_topk side
-    "ann_ivf_recall",
-    # same coarse-quantizer centroid broadcast + the 32-row PQ
-    # codebook broadcast (both fixed model cardinality)
-    "ann_ivfpq_topk",
-    "ann_ivfpq_recall",
-    # the same centroid broadcast feeding the cell assignment
-    "dedup_semantic_cluster",
-    # 32-row PQ codebook broadcast onto the subvector scan
-    "embeddings_pq_encode",
-    # one-row mean-value threshold broadcast onto the reduced per-part agg
-    "tpch_q11_important_stock",
-    # k-row centroid model broadcast onto the vector scan (same shape
-    # as ann_ivf_topk's coarse-quantizer assignment)
-    "embeddings_kmeans_step",
-    # 1-row corpus stats (N, avgdl) broadcast onto term/tf relations
-    "text_bm25_search",
-    "text_tfidf_topk",
-    # 1-row corpus total broadcast onto the 12-bucket histogram
-    "documents_length_histogram",
-    # 1-row tertile-cutpoint broadcast onto the quality scan
-    "documents_quality_buckets",
-    # 1-row corpus-total-tokens broadcast onto the per-doc aggregate
-    "text_unigram_lm",
-    # 1-row (total_raw, total_tgt, vocab_size) broadcast onto the
-    # token-scored relation
-    "documents_dsir_weights",
-    # 1-row total-orders broadcast onto the reduced pair relation
-    "basket_association_rules",
-    # 1-row (total, n_domains) broadcast onto the fact scan; the
-    # per-domain counts join stays a BroadcastHashJoin
-    "documents_domain_mixture",
-    # 1-row (n_build, m) filter-sizing broadcast onto build and probe
-    # key scans; the set-bit probe itself is a BroadcastHashJoin
-    "orders_bloom_semi_join",
-    # fixed 50-row head-segment broadcast for the bounded pairwise
-    # profile comparison (all-pairs-over-everyone is the LSH path)
-    "events_profile_similarity",
-    # four 1-row aggregates (exact union, group-sum, two sketch
-    # estimates) crossJoined into the single report row
-    "events_hll_union",
-    # 1-row norm broadcast onto the 64-row matvec result
-    "embeddings_power_iteration",
-    # three 1-row aggregates (nodes+wedges, edges, triangles)
-    # crossJoined into the single census row
-    "copurchase_triangle_census",
-    # 1-row merge-list array broadcast onto the word dictionary
-    "text_bpe_encode",
-    # seven 1-row sketch/exact aggregates crossJoined into the report
-    "events_kmv_intersection",
-    # bm25's 1-row (N, avgdl) stats + the 1-row query embedding
-    # broadcast onto bounded candidate relations
-    "text_hybrid_search",
-    # 1-row date-bounds aggregate crossJoined onto the 1-row
-    # footer-audit frame
-    "orders_range_layout",
-    # 1-row totals aggregate (sum of alpha-weighted domain masses)
-    # crossJoined onto the per-domain relation to normalize weights
-    "documents_mixture_alpha",
-    # r9: 1-row COUNT broadcast deriving the recall-gate query-sample
-    # modulus in-plan (ann_ivf/ivfpq_recall already listed above)
-    "ann_lsh_recall",
-    "embeddings_matryoshka_recall",
-    # r9: 1-row COUNT broadcast deriving the cutoff-fit sample modulus
-    "documents_lm_fit_tiers",
-    # r9: 1-row COUNT broadcast deriving the epoch-shard count
-    "training_epoch_shuffle",
-    # r10: 1-row COUNT broadcast deriving the query-sample modulus +
-    # the 1-row decimal-exact (n, s1, s2) stats broadcast for the
-    # outlier threshold
-    "embeddings_outlier_knn",
-    # r10: 1-row corpus-total broadcast onto the |sources| card rows
-    "documents_dataset_card",
-    # r10: power-iteration's 1-row norm + the 1-row 64-float v1 array
-    # broadcast onto the projection scan
-    "embeddings_pca_project",
-}
+# Scalar-broadcast plans are declared registry-side, next to each
+# module's QUERIES dict (queries/<mod>.py SCALAR_BROADCAST) — a new
+# entry cannot ship without tagging itself where it is registered.
+from uber_data_pipeline_spark import queries as _qreg
+
+SCALAR_BROADCAST_OK = _qreg.all_scalar_broadcast()
 
 
 def test_no_cartesian_products(spark):
@@ -141,12 +63,26 @@ def test_no_cartesian_products(spark):
     CartesianProduct or BroadcastNestedLoopJoin in any plan means an
     O(n^2) blow-up at scale — except a declared 1-row scalar
     broadcast. applyInPandas kernels (FlatMapCoGroups*) are the
-    sanctioned dense-block path."""
+    sanctioned dense-block path.  The tag set is enforced in BOTH
+    directions: an untagged BNLJ plan fails (new entry shipped without
+    declaring itself), and a stale tag with no BNLJ in its plan fails
+    (tag rot)."""
+    bnlj: set[str] = set()
     for name in sorted(QUERIES):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
-        if name not in SCALAR_BROADCAST_OK:
-            assert "BroadcastNestedLoopJoin" not in plan, name
+        if "BroadcastNestedLoopJoin" in plan:
+            bnlj.add(name)
+    untagged = bnlj - SCALAR_BROADCAST_OK
+    assert not untagged, (
+        "BroadcastNestedLoopJoin in plans not declared SCALAR_BROADCAST "
+        f"in their queries/<mod>.py: {sorted(untagged)}"
+    )
+    stale = SCALAR_BROADCAST_OK - bnlj
+    assert not stale, (
+        "SCALAR_BROADCAST tags whose plans no longer contain a "
+        f"BroadcastNestedLoopJoin (remove the tag): {sorted(stale)}"
+    )
 
 
 def test_aggregates_are_partial(spark):
@@ -405,3 +341,45 @@ def test_join_forecast_joins_reduced_relations(spark):
     # the degree censuses partial-aggregate before any join
     assert plan.count("HashAggregate") >= 4, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_rfm_is_reduced_agg_plus_scalar_broadcasts(spark):
+    """customer_rfm_segments (r10): ONE map-side-combined per-customer
+    HashAggregate reduces the fact table, then exactly two 1-row
+    broadcasts (corpus max date; quintile cutoffs) attach via
+    BroadcastNestedLoopJoin onto the REDUCED relation — no
+    corpus-sized window, no extra shuffle."""
+    plan = plan_of(spark, "customer_rfm_segments")
+    # the fact reduction partial-aggregates before its shuffle
+    assert "partial_max" in plan and "partial_count" in plan, plan[:3000]
+    # the two declared scalar broadcasts (the cutoff subtree repeats
+    # the max-date broadcast, so the node count can exceed 2) — every
+    # BNLJ must be a 1-row identity-broadcast build, one per node
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj >= 2, plan[:3000]
+    assert plan.count("IdentityBroadcastMode") == n_bnlj, plan[:3000]
+    # both build sides are global (keys=[]) aggregates -> one row
+    assert "HashAggregate(keys=[], functions=[max(" in plan, plan[:3000]
+    assert "percentile(" in plan, plan[:3000]
+    # scoring is row-local CASE arithmetic, never a window
+    assert "Window" not in plan, plan[:3000]
+
+
+def test_holt_recursion_input_is_reduced_series(spark):
+    """orders_forecast_holt (r10): the level/trend recurrence must run
+    over the REDUCED monthly series (a checkpointed 1-row fold state),
+    never the fact table — the post-checkpoint plan is a pure Union of
+    ExistingRDD scans with no join, no window, no shuffle, and the
+    result cardinality is bounded by the month span (+1 forecast
+    row)."""
+    df = QUERIES["orders_forecast_holt"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    for marker in ("Join", "Window", "Exchange", "FileScan"):
+        assert marker not in plan, f"{marker} in post-checkpoint plan:\n{plan[:2000]}"
+    n_months = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .selectExpr("count(DISTINCT date_trunc('month', o_orderdate)) AS n")
+        .first()["n"]
+    )
+    assert df.count() <= n_months + 1

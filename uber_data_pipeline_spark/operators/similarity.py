@@ -1153,12 +1153,29 @@ def _pq_subs(emb: DataFrame) -> DataFrame:
 
 def _pq_init_book(emb: DataFrame) -> DataFrame:
     """(s, code, csub): the deterministic seed codebook — subvectors
-    of the 8 lowest-vec_id embeddings (oracle-replayable without any
-    training state)."""
+    of the 8 embeddings ranked FIRST by the :func:`train_sample`
+    affine hash (ties -> lowest vec_id), codes 0..7 in hash order.
+
+    r11 (VERDICT r10 item 3, finishing commit 745090e's trainer
+    migration): the former ``vec_id < 8`` prefix is uniform only when
+    ids are dense and uncorrelated with content — at a real lake
+    vec_id order tracks ingest time/domain, so the book quantized the
+    oldest shard.  Hash order is a uniform deterministic draw over
+    the whole corpus, replayable in the oracle with the same
+    expression.  Scale shape: a global top-8 by hash compiles to
+    TakeOrderedAndProject (tree-reduce, no full sort); the 8-row
+    rank window runs on those 8 rows only."""
+    h = (
+        f"(({QS_HASH_A} * (vec_id % {QS_HASH_MOD}) + {TR_HASH_B})"
+        f" % {QS_HASH_MOD})"
+    )
     return (
-        emb.filter(F.col("vec_id") < PQ_CODEBOOK)
+        emb.selectExpr("vec_id", "embedding", f"{h} AS h")
+        .orderBy("h", "vec_id")
+        .limit(PQ_CODEBOOK)
         .selectExpr(
-            "vec_id AS code",
+            "CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT)"
+            " AS code",
             f"explode(sequence(0, {PQ_SUBSPACES - 1})) AS s",
             "embedding",
         )
@@ -1231,11 +1248,21 @@ def sql_pq_encode() -> str:
             SELECT vec_id, s.s, embedding[{lo}:{hi}] AS sub
             FROM embeddings,
                  (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s) AS s
+        ), seeds AS (
+            -- 8 hash-first embeddings (train_sample's affine hash),
+            -- codes 0..7 in hash order — the Spark twin's seed draw
+            SELECT vec_id, embedding,
+                   (({QS_HASH_A} * (vec_id % {QS_HASH_MOD})
+                     + {TR_HASH_B}) % {QS_HASH_MOD}) AS h
+            FROM embeddings
+            ORDER BY h, vec_id
+            LIMIT {PQ_CODEBOOK}
         ), book AS (
-            SELECT vec_id AS code, s.s, embedding[{lo}:{hi}] AS csub
-            FROM embeddings,
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1
+                        AS BIGINT) AS code,
+                   s.s, embedding[{lo}:{hi}] AS csub
+            FROM seeds,
                  (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s) AS s
-            WHERE vec_id < {PQ_CODEBOOK}
         ), scored AS (
             SELECT vec_id, s, code,
                    round({_sq_l2_duck("sub", "csub")}, {PQ_DIST_ROUND}) AS d2

@@ -137,6 +137,29 @@ def all_oracles() -> dict[str, str]:
     return _rotated(out)
 
 
+def all_scalar_broadcast() -> set[str]:
+    """Union of the modules' SCALAR_BROADCAST tag sets — the entries
+    whose executed plans legitimately contain a BroadcastNestedLoopJoin
+    because every broadcast side is a fixed-cardinality aggregate
+    (usually one scalar row).  Tags live NEXT TO each module's QUERIES
+    dict so a new scalar-broadcast entry declares itself where it is
+    registered; tests/test_plans.py::test_no_cartesian_products asserts
+    this set matches the actual plan scan in BOTH directions (untagged
+    BNLJ fails, stale tag fails).  A tag naming a key absent from its
+    module's QUERIES is an error here, not a silent no-op."""
+    out: set[str] = set()
+    for mod in _modules():
+        tags = set(getattr(mod, "SCALAR_BROADCAST", ()))
+        unknown = tags - set(mod.QUERIES)
+        if unknown:
+            raise ValueError(
+                f"{mod.__name__}.SCALAR_BROADCAST names unknown entries: "
+                f"{sorted(unknown)}"
+            )
+        out |= tags
+    return out
+
+
 def _modules():
     from uber_data_pipeline_spark.queries import (
         pipeline,

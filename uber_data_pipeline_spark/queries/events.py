@@ -982,6 +982,19 @@ QUERIES = {
     "events_median_udaf": events_median_udaf,
 }
 
+# Declared scalar-broadcast plans (see queries/tpch.py for the
+# contract; tests/test_plans.py enforces tag set == plan scan).
+SCALAR_BROADCAST = {
+    # fixed 50-row head-segment broadcast for the bounded pairwise
+    # profile comparison (all-pairs-over-everyone is the LSH path)
+    "events_profile_similarity",
+    # four 1-row aggregates (exact union, group-sum, two sketch
+    # estimates) crossJoined into the single report row
+    "events_hll_union",
+    # seven 1-row sketch/exact aggregates crossJoined into the report
+    "events_kmv_intersection",
+}
+
 def _profile_similarity_oracle() -> str:
     from uber_data_pipeline_spark.functions.vectors import cosine_duck
 

@@ -82,6 +82,17 @@ QUERIES = {
     "orders_zorder_layout": orders_zorder_layout,
 }
 
+# Declared scalar-broadcast plans (see queries/tpch.py for the
+# contract; tests/test_plans.py enforces tag set == plan scan).
+SCALAR_BROADCAST = {
+    # 1-row (n_build, m) filter-sizing broadcast onto build and probe
+    # key scans; the set-bit probe itself is a BroadcastHashJoin
+    "orders_bloom_semi_join",
+    # 1-row date-bounds aggregate crossJoined onto the 1-row
+    # footer-audit frame
+    "orders_range_layout",
+}
+
 ORACLES = {
     "events_selfjoin_forecast": sql_join_size_forecast(
         "events", "user_id", "events", "user_id"

@@ -530,6 +530,19 @@ QUERIES = {
     ),
 }
 
+# Entries whose plans legitimately contain a BroadcastNestedLoopJoin:
+# every broadcast side is a fixed-cardinality aggregate (usually one
+# scalar row), so the nested loop is O(n * constant), not a pair
+# blow-up.  tests/test_plans.py::test_no_cartesian_products asserts
+# the union of the modules' SCALAR_BROADCAST sets matches the plan
+# scan EXACTLY — a new scalar-broadcast entry must tag itself here
+# (next to its QUERIES line), and a stale tag fails the suite.
+SCALAR_BROADCAST = {
+    # 1-row max-orderdate anchor + 1-row quintile-cutoff row, both
+    # broadcast onto the per-customer RFM aggregate
+    "customer_rfm_segments",
+}
+
 ORACLES = {
     "tpch_q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,

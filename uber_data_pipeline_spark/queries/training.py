@@ -654,6 +654,61 @@ QUERIES = {
     "dedup_containment": lambda spark, sf: dedup.containment_pairs(_docs(spark, sf)),
 }
 
+# Declared scalar-broadcast plans (see queries/tpch.py for the
+# contract; tests/test_plans.py enforces tag set == plan scan).
+SCALAR_BROADCAST = {
+    # k-row coarse-quantizer centroid broadcast (fixed model
+    # cardinality) onto the query-sample scan; the _topk variants'
+    # centroid/codebook broadcasts plan as BroadcastHashJoin since the
+    # r10 train_sample rewrite and are deliberately NOT tagged
+    "ann_ivf_recall",
+    "ann_ivfpq_recall",
+    # k-row centroid model broadcast onto the vector scan
+    "embeddings_kmeans_step",
+    # 1-row corpus stats (N, avgdl) broadcast onto term/tf relations
+    "text_bm25_search",
+    "text_tfidf_topk",
+    # 1-row corpus total broadcast onto the 12-bucket histogram
+    "documents_length_histogram",
+    # 1-row tertile-cutpoint broadcast onto the quality scan
+    "documents_quality_buckets",
+    # 1-row corpus-total-tokens broadcast onto the per-doc aggregate
+    "text_unigram_lm",
+    # 1-row (total_raw, total_tgt, vocab_size) broadcast onto the
+    # token-scored relation
+    "documents_dsir_weights",
+    # 1-row (total, n_domains) broadcast onto the fact scan; the
+    # per-domain counts join stays a BroadcastHashJoin
+    "documents_domain_mixture",
+    # 1-row norm broadcast onto the 64-row matvec result
+    "embeddings_power_iteration",
+    # 1-row merge-list array broadcast onto the word dictionary
+    "text_bpe_encode",
+    # bm25's 1-row (N, avgdl) stats + the 1-row query embedding
+    # broadcast onto bounded candidate relations
+    "text_hybrid_search",
+    # 1-row totals aggregate crossJoined onto the per-domain relation
+    # to normalize weights
+    "documents_mixture_alpha",
+    # 1-row COUNT broadcast deriving the recall-gate query-sample
+    # modulus in-plan
+    "ann_lsh_recall",
+    "embeddings_matryoshka_recall",
+    # 1-row COUNT broadcast deriving the cutoff-fit sample modulus
+    "documents_lm_fit_tiers",
+    # 1-row COUNT broadcast deriving the epoch-shard count
+    "training_epoch_shuffle",
+    # 1-row COUNT broadcast deriving the query-sample modulus + the
+    # 1-row decimal-exact (n, s1, s2) stats broadcast for the outlier
+    # threshold
+    "embeddings_outlier_knn",
+    # 1-row corpus-total broadcast onto the |sources| card rows
+    "documents_dataset_card",
+    # power-iteration's 1-row norm + the 1-row 64-float v1 array
+    # broadcast onto the projection scan
+    "embeddings_pca_project",
+}
+
 
 # ---------------------------------------------------------------- oracles
 
