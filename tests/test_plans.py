@@ -176,6 +176,8 @@ def test_copurchase_pairs_partial_agg(spark):
         "dedup_keep_best",
         # r5: packing cumsum partitioned by (lang, salt bucket)
         "training_token_packing",
+        # r11: islands lag/cumsum partitioned by doc_id
+        "dedup_substring_spans",
     ],
 )
 def test_windows_partitioned(spark, name):

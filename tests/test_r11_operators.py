@@ -1,0 +1,108 @@
+"""r11 operators: exact-substring removal spans (suffix-array dedup
+approximation), plus round-11 regression pins."""
+
+from __future__ import annotations
+
+from uber_data_pipeline_spark.operators.dedup import (
+    SPAN_MIN_TOKENS,
+    substring_span_census,
+)
+
+PHRASE = "a b c d e f g h i j"  # 10 tokens -> 3 k=8 windows
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_span_census_hand(spark):
+    """Hand-checked fixture: cross-doc copy, in-doc repetition, a
+    unique doc, and a doc shorter than the window grain."""
+    assert SPAN_MIN_TOKENS == 8  # the arithmetic below assumes k=8
+    rows = [
+        # phrase at token positions 0-9, then 10 unique fillers
+        (0, PHRASE + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+        # 5 fillers, phrase at 5-14, 3 fillers
+        (1, "y1 y2 y3 y4 y5 " + PHRASE + " z1 z2 z3"),
+        # fully unique
+        (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        # phrase twice inside ONE doc, separated by 8 unique tokens
+        (3, PHRASE + " m1 m2 m3 m4 m5 m6 m7 m8 " + PHRASE),
+        # shorter than the grain: no windows at all
+        (4, "s1 s2 s3"),
+    ]
+    out = {r["doc_id"]: r for r in substring_span_census(_docs(spark, rows)).collect()}
+    assert len(out) == 5
+
+    a = out[0]
+    assert (a["n_tokens"], a["n_windows"]) == (20, 13)
+    # phrase windows at p=0,1,2 -> one island covering tokens 0-9
+    assert (a["n_dup_windows"], a["n_spans"]) == (3, 1)
+    assert a["dup_tokens"] == 10 and a["longest_span_tokens"] == 10
+    assert a["dup_micro"] == 10 * 1_000_000 // 20
+
+    b = out[1]
+    assert (b["n_tokens"], b["n_windows"]) == (18, 11)
+    assert (b["n_dup_windows"], b["n_spans"]) == (3, 1)
+    assert b["dup_tokens"] == 10
+    assert b["dup_micro"] == 10 * 1_000_000 // 18
+
+    c = out[2]
+    assert (c["n_dup_windows"], c["n_spans"], c["dup_tokens"]) == (0, 0, 0)
+
+    d = out[3]
+    assert (d["n_tokens"], d["n_windows"]) == (28, 21)
+    # two occurrences 16 window-positions apart (>= k) -> two islands
+    assert (d["n_dup_windows"], d["n_spans"]) == (6, 2)
+    assert d["dup_tokens"] == 20 and d["longest_span_tokens"] == 10
+    assert d["dup_micro"] == 20 * 1_000_000 // 28
+
+    e = out[4]
+    assert (e["n_tokens"], e["n_windows"]) == (3, 0)
+    assert (e["n_dup_windows"], e["n_spans"], e["dup_tokens"], e["dup_micro"]) == (
+        0,
+        0,
+        0,
+        0,
+    )
+
+
+def test_substring_span_interval_union_no_double_count(spark):
+    """Overlapping shared windows (gap < k) merge into ONE island so
+    coverage is the interval union, not the sum of window lengths."""
+    # 12-token phrase -> shared windows at p=0..4 in both docs; the
+    # 5 windows overlap heavily but cover exactly 12 tokens
+    phrase12 = PHRASE + " k l"
+    rows = [
+        (0, phrase12 + " u1 u2 u3"),
+        (1, phrase12 + " v1 v2 v3"),
+    ]
+    out = {r["doc_id"]: r for r in substring_span_census(_docs(spark, rows)).collect()}
+    for i in (0, 1):
+        r = out[i]
+        assert r["n_spans"] == 1
+        assert r["dup_tokens"] == 12  # union, not 5 * 8
+        assert r["longest_span_tokens"] == 12
+
+
+def test_bpe_train_iterated_hand(spark):
+    """Hand-replayed greedy merges: corpus 'aaab aaab ab'.
+
+    words: aaab (wc 2) -> |a|a|a|b|, ab (wc 1) -> |a|b|
+    r1: (a,a) n=4 beats (a,b) n=3 -> aaab = [aa,a,b]; total 3*2+2 = 8
+    r2: (a,b) n=3 beats (aa,a) n=2 -> aaab = [aa,ab], ab = [ab]; 5
+    r3: (aa,ab) n=2 -> aaab = [aaab]; total 3
+    r4+: no pairs left -> sentinel rows (n = -1), total stays 3
+    """
+    from uber_data_pipeline_spark.operators.textops import bpe_train_iterated
+
+    docs = spark.createDataFrame([(0, "aaab aaab ab")], "doc_id long, text string")
+    rows = {r["round"]: r for r in bpe_train_iterated(docs, rounds=4).collect()}
+    assert len(rows) == 4
+    r1, r2, r3, r4 = (rows[i] for i in (1, 2, 3, 4))
+    assert (r1["merged_unit"], r1["pair_count"], r1["total_units_after"]) == ("aa", 4, 8)
+    assert (r2["merged_unit"], r2["pair_count"], r2["total_units_after"]) == ("ab", 3, 5)
+    assert (r3["left_unit"], r3["right_unit"], r3["pair_count"]) == ("aa", "ab", 2)
+    assert r3["total_units_after"] == 3
+    # exhausted: the sentinel keeps the relation total and the state fixed
+    assert (r4["merged_unit"], r4["pair_count"], r4["total_units_after"]) == ("", -1, 3)

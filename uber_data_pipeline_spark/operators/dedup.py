@@ -970,6 +970,171 @@ def sql_substring_window_dups(
     """
 
 
+SPAN_MIN_TOKENS = 8
+
+
+def substring_span_census(docs: DataFrame, k: int = SPAN_MIN_TOKENS) -> DataFrame:
+    """Variable-length EXACT-SUBSTRING duplication spans — the
+    distributed stand-in for Lee et al. 2022's suffix-array dedup
+    ("Deduplicating Training Data Makes Language Models Better",
+    §4.1 ExactSubstr): find, per document, the maximal regions covered
+    by substrings of >= ``k`` tokens that occur elsewhere in the
+    corpus (cross-doc boilerplate or in-doc repetition), the spans the
+    suffix-array pass would slice out of the training set.
+
+    Approximation contract: a span of length m >= k is reported iff
+    every one of its k-token windows repeats somewhere in the corpus
+    — exactly the set of length-k duplicated substrings, extended by
+    interval UNION into maximal removal regions (windows < k apart
+    merge, so coverage is never double-counted). This over-reports
+    only when adjacent k-windows match DIFFERENT partners (a
+    chimera), the standard fingerprint-grain relaxation of the
+    suffix-array result; at the removal-accounting level the census
+    equals ExactSubstr for any text whose duplicated runs are
+    genuine copies.
+
+    Scale shape vs a literal suffix array (which needs a global sort
+    of every suffix of a 100 TB corpus): windows are row-local
+    (shingle transform + md5); "repeats anywhere" is ONE
+    map-side-combined count on the window hash; marking positions is
+    an equi-join on that hash; span merging is a per-DOC window
+    (partition bounded by doc length, never corpus-sized). The
+    gaps-and-islands merge is the same plan family as
+    events_sessionization.
+
+    Columns: doc_id, n_tokens, n_windows, n_dup_windows, n_spans,
+    longest_span_tokens, dup_tokens (interval-union token coverage),
+    dup_micro (coverage fraction in integer micro-units)."""
+    from pyspark.sql import Window
+
+    wins = (
+        docs.selectExpr("doc_id", f"{TOKENS_SPARK} AS tokens")
+        .selectExpr(
+            "doc_id",
+            "CAST(size(tokens) AS BIGINT) AS n_tokens",
+            f"transform({shingles_spark('tokens', k)}, w -> md5(w)) AS whs",
+        )
+        .cache()
+    )
+    pos = wins.select("doc_id", F.posexplode("whs").alias("p", "wh"))
+    shared = (
+        pos.groupBy("wh")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("wh")
+    )
+    dup = pos.join(shared, "wh").select("doc_id", "p")
+    wo = Window.partitionBy("doc_id").orderBy("p")
+    isl = (
+        dup.withColumn("prev_p", F.lag("p").over(wo))
+        .withColumn(
+            # windows closer than k tokens overlap in token space ->
+            # same removal interval
+            "brk",
+            F.when(F.col("p") - F.col("prev_p") < k, F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("p").alias("s"), F.max("p").alias("e"), F.count("*").alias("c")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + k).cast("long").alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s") + k)
+        .cast("long")
+        .alias("longest_span_tokens"),
+        F.sum("c").cast("long").alias("n_dup_windows"),
+    )
+    return (
+        wins.selectExpr(
+            "doc_id", "n_tokens", "CAST(size(whs) AS BIGINT) AS n_windows"
+        )
+        .join(per_doc, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "n_windows",
+            "CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows",
+            "CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans",
+            "CAST(coalesce(longest_span_tokens, 0) AS BIGINT)"
+            " AS longest_span_tokens",
+            "CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens",
+            "CASE WHEN n_tokens > 0 THEN "
+            "coalesce(dup_tokens, 0) * 1000000 DIV n_tokens "
+            "ELSE CAST(0 AS BIGINT) END AS dup_micro",
+        )
+    )
+
+
+def sql_substring_span_census(
+    table: str = "documents", k: int = SPAN_MIN_TOKENS
+) -> str:
+    """DuckDB twin of :func:`substring_span_census`."""
+    from uber_data_pipeline_spark.functions.text import (
+        TOKENS_DUCK,
+        shingles_duck,
+    )
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_DUCK} AS tokens FROM {table}
+        ), wins AS (
+            SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+                   list_transform({shingles_duck('tokens', k)},
+                                  w -> md5(w)) AS whs
+            FROM toks
+        ), pos AS (
+            SELECT doc_id, CAST(r.i AS BIGINT) AS p, whs[r.i + 1] AS wh
+            FROM wins, unnest(range(len(whs))) AS r(i)
+        ), shared AS (
+            SELECT wh FROM pos GROUP BY wh HAVING COUNT(*) >= 2
+        ), dup AS (
+            SELECT doc_id, p FROM pos JOIN shared USING (wh)
+        ), isl AS (
+            SELECT doc_id, p,
+                   SUM(CASE WHEN prev_p IS NOT NULL AND p - prev_p < {k}
+                            THEN 0 ELSE 1 END)
+                     OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS island
+            FROM (SELECT doc_id, p,
+                         LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                             AS prev_p
+                  FROM dup)
+        ), spans AS (
+            SELECT doc_id, island, MIN(p) AS s, MAX(p) AS e,
+                   COUNT(*) AS c
+            FROM isl GROUP BY 1, 2
+        ), per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(e - s + {k}) AS BIGINT) AS dup_tokens,
+                   CAST(MAX(e - s + {k}) AS BIGINT)
+                       AS longest_span_tokens,
+                   CAST(SUM(c) AS BIGINT) AS n_dup_windows
+            FROM spans GROUP BY 1
+        )
+        SELECT w.doc_id,
+               w.n_tokens,
+               CAST(len(w.whs) AS BIGINT) AS n_windows,
+               CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT)
+                   AS n_dup_windows,
+               CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(COALESCE(p.longest_span_tokens, 0) AS BIGINT)
+                   AS longest_span_tokens,
+               CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CASE WHEN w.n_tokens > 0 THEN
+                   COALESCE(p.dup_tokens, 0) * 1000000 // w.n_tokens
+               ELSE CAST(0 AS BIGINT) END AS dup_micro
+        FROM wins w LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
 def keep_best_per_cluster(clusters: DataFrame, quality: DataFrame) -> DataFrame:
     """Canonicalization policy over dedup clusters: instead of
     min-doc_id, keep the HIGHEST-QUALITY member of each near-dup

@@ -1878,3 +1878,177 @@ def sql_rake_keywords(table: str = "documents", k: int = RAKE_TOP_K) -> str:
         ORDER BY score DESC, phrase ASC
         LIMIT {k}
     """
+
+
+# ------------------------------------------------- iterated BPE trainer
+
+BPE_TRAIN_ROUNDS = 6
+
+
+def _bpe_units_spark(e: str = "e") -> str:
+    """Units of a boundary-guarded string '|h|e|l|l|o|' as an array
+    (multi-char units allowed after merges)."""
+    return f"filter(split({e}, '[|]'), x -> x != '')"
+
+
+def bpe_train_iterated(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS) -> DataFrame:
+    """FULL byte-pair-encoding training loop (Sennrich et al. 2016):
+    ``rounds`` greedy merges, each round picking THE most frequent
+    adjacent unit pair over the CURRENT segmentation (count DESC, then
+    pair ASC — bit-deterministic) and rewriting the dictionary, so
+    later merges combine earlier merged units ('t'+'h' then 'th'+'e').
+    `text_bpe_merge_step` is one mining pass at character grain and
+    `text_bpe_encode` applies a fixed 2-char list; this entry closes
+    the trainer/apply loop the tokenizer-fertility census measures.
+
+    Iteration mechanics: the pagerank_iterated recipe — the state is
+    the WORD-FREQUENCY DICTIONARY as boundary-guarded unit strings
+    ('|h|e|l|l|o|', wc), localCheckpointed per round (lineage one step
+    deep). Per round: adjacent-pair counts are one map-side-combined
+    aggregate over the dictionary (vocabulary-sized, never the token
+    stream), the winning pair is a 1-row TakeOrdered broadcast onto
+    the dictionary rewrite (a sentinel row with n = -1 keeps the
+    relation total when no pair remains), and the rewrite itself is
+    the BPE_FIX_PASSES replace() fixpoint of `_bpe_fold_spark`
+    generalized to multi-char units. The DuckDB oracle replays every
+    round as chained MATERIALIZED CTEs.
+
+    Columns (one row per round): round, left_unit, right_unit,
+    merged_unit, pair_count, total_units_after (corpus-wide unit
+    count, weighted by word frequency — the compression trajectory).
+    """
+    from uber_data_pipeline_spark.functions.text import TOKENS_SPARK
+
+    d = (
+        docs.selectExpr(f"explode({TOKENS_SPARK}) AS w")
+        .filter("length(w) >= 1")
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .selectExpr(
+            "concat('|', concat_ws('|', transform(sequence(1, length(w)), "
+            "i -> substring(w, i, 1))), '|') AS e",
+            "wc",
+        )
+        .localCheckpoint()
+    )
+    reports = []
+    body = "e"
+    for _ in range(BPE_FIX_PASSES):
+        body = (
+            f"replace({body}, concat('|', l, '|', r, '|'), "
+            "concat('|', l, r, '|'))"
+        )
+    for rnd in range(1, rounds + 1):
+        u = _bpe_units_spark("e")
+        pair_counts = (
+            d.selectExpr(
+                f"explode(CASE WHEN size({u}) >= 2 THEN "
+                f"transform(sequence(1, size({u}) - 1), "
+                f"i -> struct(element_at({u}, i) AS l, "
+                f"element_at({u}, i + 1) AS r)) "
+                "ELSE CAST(array() AS array<struct<l:string,r:string>>) "
+                "END) AS p",
+                "wc",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wc").alias("n"))
+        )
+        # sentinel keeps the 1-row relation total when no pair exists
+        # (its '|||' pattern can never match a non-empty unit)
+        top = (
+            pair_counts.unionByName(
+                d.sparkSession.sql(
+                    "SELECT '' AS l, '' AS r, CAST(-1 AS BIGINT) AS n"
+                )
+            )
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .localCheckpoint()
+        )
+        d = (
+            d.join(F.broadcast(top))
+            .selectExpr(f"{body} AS e", "wc")
+            .localCheckpoint()
+        )
+        units_after = d.selectExpr(
+            f"CAST(sum(size({_bpe_units_spark('e')}) * wc) AS BIGINT)"
+            " AS total_units_after"
+        )
+        reports.append(
+            top.join(F.broadcast(units_after)).selectExpr(
+                f"CAST({rnd} AS INT) AS round",
+                "l AS left_unit",
+                "r AS right_unit",
+                "concat(l, r) AS merged_unit",
+                "n AS pair_count",
+                "total_units_after",
+            )
+        )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out
+
+
+def sql_bpe_train_iterated(
+    table: str = "documents", rounds: int = BPE_TRAIN_ROUNDS
+) -> str:
+    """DuckDB twin of :func:`bpe_train_iterated` — every round is a
+    chained MATERIALIZED CTE (pair counts -> 1-row top pair with the
+    sentinel -> dictionary rewrite -> unit total)."""
+    from uber_data_pipeline_spark.functions.text import TOKENS_DUCK
+
+    units = "list_filter(string_split(e, '|'), x -> x != '')"
+    body = "e"
+    for _ in range(BPE_FIX_PASSES):
+        body = (
+            f"replace({body}, '|' || l || '|' || r || '|', "
+            "'|' || l || r || '|')"
+        )
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+            SELECT '|' || array_to_string(list_transform(
+                       range(1, length(w) + 1),
+                       i -> substring(w, i, 1)), '|') || '|' AS e,
+                   CAST(COUNT(*) AS BIGINT) AS wc
+            FROM (SELECT unnest({TOKENS_DUCK}) AS w FROM {table})
+            WHERE length(w) >= 1
+            GROUP BY w
+        )"""
+    ]
+    selects = []
+    for k in range(1, rounds + 1):
+        ctes.append(f"""p{k} AS (
+            SELECT u.l, u.r, CAST(SUM(wc) AS BIGINT) AS n
+            FROM (SELECT unnest(list_transform(
+                             range(1, len({units})),
+                             i -> struct_pack(
+                                 l := ({units})[i],
+                                 r := ({units})[i + 1]))) AS u,
+                         wc
+                  FROM w{k - 1}
+                  WHERE len({units}) >= 2)
+            GROUP BY 1, 2
+        )""")
+        ctes.append(f"""t{k} AS MATERIALIZED (
+            SELECT l, r, n FROM (
+                SELECT l, r, n FROM p{k}
+                UNION ALL SELECT '', '', CAST(-1 AS BIGINT)
+            ) ORDER BY n DESC, l, r LIMIT 1
+        )""")
+        ctes.append(f"""w{k} AS MATERIALIZED (
+            SELECT {body} AS e, wc FROM w{k - 1}, t{k}
+        )""")
+        ctes.append(f"""s{k} AS (
+            SELECT CAST(SUM(len({units}) * wc) AS BIGINT)
+                       AS total_units_after
+            FROM w{k}
+        )""")
+        selects.append(
+            f"SELECT CAST({k} AS INT) AS round, l AS left_unit, "
+            f"r AS right_unit, l || r AS merged_unit, n AS pair_count, "
+            f"total_units_after FROM t{k}, s{k}"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+    )

@@ -779,7 +779,6 @@ def parts_pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(filter(ps, y -> y != x), "
         "y -> struct(x AS src, y AS dst))))) AS e"
     ).select("e.src", "e.dst")
-    edges = pairs.distinct()
     # recip = 1/outdeg as a 12-digit decimal — the ONLY double op in
     # the whole loop (one IEEE division per source, the construct
     # step-1 validated); every iteration after this is pure decimal
@@ -791,11 +790,20 @@ def parts_pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # less cached data and regenerates the |E| contribution rows
     # row-locally with one explode. outdeg IS the deduped neighbor
     # list's size, so the whole build is ONE aggregate — no separate
-    # outdeg count, no join back. Each iteration is then exactly one
-    # broadcast join + one explode + one partial aggregate.
+    # outdeg count, no join back, and (r11) no separate distinct:
+    # collect_set dedups inside the aggregate with map-side partial
+    # sets, one |E|-row shuffle instead of two. Each iteration is
+    # then exactly one broadcast join + one explode + one partial
+    # aggregate.
+    # uncompressed cache: columnar codecs buy ~nothing on high-entropy
+    # bigint neighbor arrays but triple the materialization wall (see
+    # _lpa_from_lineitem); flag is captured at cache() call
+    spark = li.sparkSession
+    _prev = spark.conf.get("spark.sql.inMemoryColumnarStorage.compressed", "true")
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
     deg = (
-        edges.groupBy("src")
-        .agg(F.collect_list("dst").alias("dsts"))
+        pairs.groupBy("src")
+        .agg(F.collect_set("dst").alias("dsts"))
         .selectExpr(
             "src",
             "CAST(1.0 / size(dsts) AS DECIMAL(13,12)) AS recip",
@@ -803,6 +811,7 @@ def parts_pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", _prev)
     ranks = None  # r0 = 1.0 implicitly
     prev = None
     for _ in range(PAGERANK_ITERS):
@@ -1020,12 +1029,25 @@ def _lpa_from_lineitem(li: DataFrame, iters: int | None = None) -> DataFrame:
         "transform(filter(ps, y -> y != x), "
         "y -> struct(x AS src, y AS dst))))) AS e"
     ).select("e.src", "e.dst")
+    # collect_set dedups INSIDE the aggregate (partial sets merge
+    # map-side), fusing the former distinct + collect_list pair of
+    # |E|-row shuffles into one — the adjacency build was 60% of the
+    # 50x wall (r11 profile: 62.6s of 107s).  The cache is
+    # materialized UNCOMPRESSED: the columnar codecs buy ~nothing on
+    # high-entropy bigint neighbor arrays but cost 3x the build wall
+    # (52s compressed vs 18s raw at 50x, measured; localCheckpoint
+    # 33s, parquet restage 22s — the raw columnar cache wins).  The
+    # flag is captured when cache() is CALLED, so set-and-restore
+    # leaks nothing into the session.
+    spark = li.sparkSession
+    _prev = spark.conf.get("spark.sql.inMemoryColumnarStorage.compressed", "true")
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
     adj = (
-        pairs.distinct()
-        .groupBy("src")
-        .agg(F.collect_list("dst").alias("nbrs"))
+        pairs.groupBy("src")
+        .agg(F.collect_set("dst").alias("nbrs"))
         .cache()
     )
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", _prev)
     labels = (
         li.select(F.col("l_partkey").alias("v"))
         .distinct()

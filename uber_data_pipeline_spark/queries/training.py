@@ -362,8 +362,19 @@ QUERIES = {
     ),
     # apply the learned merges: dictionary-encoded higher-order fold
     "text_bpe_encode": lambda spark, sf: textops.bpe_encode(_docs(spark, sf)),
+    # r11: the FULL greedy training loop — 6 chained merges over the
+    # re-segmented dictionary (later merges combine earlier units)
+    "text_bpe_train_iterated": lambda spark, sf: textops.bpe_train_iterated(
+        _docs(spark, sf)
+    ),
     # passage-level duplication census (repeated 8-token spans)
     "dedup_substring_windows": lambda spark, sf: dedup.substring_window_dups(
+        _docs(spark, sf)
+    ),
+    # r11: variable-length exact-substring removal spans (the
+    # suffix-array dedup of Lee et al. 2022, fingerprint-grain
+    # distributed form: shared k-windows -> interval-union islands)
+    "dedup_substring_spans": lambda spark, sf: dedup.substring_span_census(
         _docs(spark, sf)
     ),
     # canonical-selection policy: keep the best-quality cluster member
@@ -684,6 +695,9 @@ SCALAR_BROADCAST = {
     "embeddings_power_iteration",
     # 1-row merge-list array broadcast onto the word dictionary
     "text_bpe_encode",
+    # r11: per-round 1-row winning-pair + 1-row unit-total broadcasts
+    # crossJoined into the per-round report rows
+    "text_bpe_train_iterated",
     # bm25's 1-row (N, avgdl) stats + the 1-row query embedding
     # broadcast onto bounded candidate relations
     "text_hybrid_search",
@@ -1109,6 +1123,7 @@ ORACLES = {
     "embeddings_pca_project": similarity.sql_pca_project(),
     "text_bpe_merge_step": textops.sql_bpe_merge_step(),
     "text_bpe_encode": textops.sql_bpe_encode(),
+    "text_bpe_train_iterated": textops.sql_bpe_train_iterated(),
     "text_bigram_lm": textops.sql_bigram_typicality(),
     "dedup_exact": """
         SELECT md5(lower(trim(text))) AS text_hash,
@@ -1595,6 +1610,7 @@ ORACLES = {
 }
 
 ORACLES["dedup_substring_windows"] = dedup.sql_substring_window_dups()
+ORACLES["dedup_substring_spans"] = dedup.sql_substring_span_census()
 
 ORACLES["text_langid_confusion"] = f"""
     WITH base AS ({ORACLES["text_langid"]})
