@@ -106,3 +106,36 @@ def test_bpe_train_iterated_hand(spark):
     assert r3["total_units_after"] == 3
     # exhausted: the sentinel keeps the relation total and the state fixed
     assert (r4["merged_unit"], r4["pair_count"], r4["total_units_after"]) == ("", -1, 3)
+
+
+def test_decontaminate_cosine_recall_on_planted_paraphrases(spark):
+    """Recall pin (exact engine => recall 1.0 over the threshold):
+    planted paraphrases of a benchmark vector — same direction plus
+    noise, no shared n-gram notion at all — must ALL be caught;
+    orthogonal training vectors must not. Tie-break: highest cosine,
+    then lowest benchmark id."""
+    from uber_data_pipeline_spark.operators.similarity import decontaminate_cosine
+
+    dim = 8
+    u = [1.0] + [0.0] * (dim - 1)          # benchmark direction (id 0 and 20)
+    para1 = [1.0, 0.3] + [0.0] * (dim - 2)  # cos(u, para1) ~ 0.958
+    para2 = [1.0, 0.0, 0.4] + [0.0] * (dim - 3)  # cos ~ 0.928
+    ortho = [0.0, 0.0, 0.0, 1.0] + [0.0] * (dim - 4)
+    rows = [
+        (0, u),        # bench (0 % 20 == 0)
+        (20, u),       # second identical bench vector
+        (1, para1),    # train paraphrase
+        (2, para2),    # train paraphrase
+        (3, ortho),    # train, unrelated
+        (21, [0.0, 1.0] + [0.0] * (dim - 2)),  # train, cos ~ 0.287 to u
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in decontaminate_cosine(emb, 0.8).collect()}
+    # recall: every planted paraphrase caught, nothing else
+    assert set(out) == {1, 2}
+    # both bench copies matched; tie at equal cosine -> LOWEST bench id
+    assert out[1]["n_matched_bench"] == 2
+    assert out[1]["top_bench_id"] == 0
+    assert out[2]["n_matched_bench"] == 2
+    assert out[2]["top_bench_id"] == 0
+    assert out[1]["top_cosine"] > out[2]["top_cosine"] > 0.8

@@ -139,7 +139,10 @@ def _blocked(
     return emb.select(
         F.col("vec_id").alias(f"{prefix}id"),
         F.col("embedding").alias(f"{prefix}emb"),
-        (F.col("vec_id") % n_blocks).cast("int").alias(mod_col),
+        # pmod, not %: Spark's % follows the dividend's sign, so a
+        # negative id (the planted sentinel) would land in block -1
+        # and never meet the opposite side's 0..n_blocks-1 fan-out
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias(mod_col),
         F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias(explode_col),
     )
 
@@ -2548,4 +2551,136 @@ def sql_pca_project(table: str = "embeddings") -> str:
         SELECT e.vec_id, e.label,
                ROUND({dot_duck("e.embedding", "varr")}, 6) AS pc1
         FROM {table} e, varr
+    """
+
+
+# ------------------------------------------- embedding decontamination
+
+DECONTAM_BENCH_MOD = 20
+
+
+def decontaminate_cosine(
+    emb: DataFrame,
+    tau: float,
+    bench_mod: int = DECONTAM_BENCH_MOD,
+    n_blocks: int = DEFAULT_BLOCKS,
+) -> DataFrame:
+    """EMBEDDING-space benchmark decontamination — the semantic twin
+    of the lexical ``decontaminate_ngrams`` (textops.
+    benchmark_contamination): a training vector is contaminated when
+    its cosine to ANY held-out benchmark vector (vec_id % bench_mod
+    == 0, the lexical op's split) reaches ``tau`` — this catches
+    PARAPHRASED benchmark leakage that shares no n-gram.
+
+    Exactness: this is the exact blocked-gemm engine (the
+    ann_bruteforce tiling, :func:`_blocked` + cogroup), so recall
+    over the threshold is 1.0 by construction; the banded-SRP path
+    (:func:`cosine_pairs_banded`) is the swap-in when the "benchmark"
+    side is itself corpus-sized AND tau sits in srp_band_plan's
+    prunable range. At the realistic shape — a bounded benchmark
+    suite against an unbounded corpus — exact scoring is LINEAR in
+    the corpus (n_train x n_bench flops, n_bench a constant) and
+    pruning would only sacrifice recall where it matters most.
+
+    Determinism: per-cell numpy gemm rounded at COSINE_ROUND (the
+    cosine_pairs parity contract with the DuckDB lambda-fold cosine);
+    the cross-block merge ranks max(struct(cosine, -bench_id)) —
+    highest cosine, then LOWEST benchmark id — a total order.
+
+    Columns: vec_id (contaminated training vectors only),
+    n_matched_bench, top_bench_id, top_cosine."""
+    bench = emb.filter(F.col("vec_id") % bench_mod == 0)
+    train = emb.filter(F.col("vec_id") % bench_mod != 0)
+    left = _blocked(train, n_blocks, explode_col="cb", mod_col="qb", prefix="q")
+    right = _blocked(bench, n_blocks, explode_col="qb", mod_col="cb", prefix="n")
+
+    def kernel(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "n_matched": pd.Series([], dtype="int64"),
+                "best_id": pd.Series([], dtype="int64"),
+                "best_cos": pd.Series([], dtype="float64"),
+            }
+        )
+        if lpdf.empty or rpdf.empty:
+            return empty
+        # benchmark columns sorted by id ASC so argmax (first max)
+        # lands on the lowest id among tied cosines
+        order = np.argsort(rpdf["nid"].to_numpy(), kind="stable")
+        nids = rpdf["nid"].to_numpy()[order]
+        qm = _normalize(_stack(lpdf["qemb"]))
+        nm = _normalize(_stack(rpdf["nemb"]))[order]
+        sims = np.round(qm @ nm.T, COSINE_ROUND)
+        mask = sims >= tau
+        counts = mask.sum(axis=1)
+        hit = counts > 0
+        if not hit.any():
+            return empty
+        masked = np.where(mask, sims, -2.0)
+        best_col = np.argmax(masked[hit], axis=1)
+        return pd.DataFrame(
+            {
+                "query_id": lpdf["qid"].to_numpy()[hit],
+                "n_matched": counts[hit].astype("int64"),
+                "best_id": nids[best_col],
+                "best_cos": masked[hit][np.arange(hit.sum()), best_col],
+            }
+        )
+
+    cells = (
+        left.groupBy("qb", "cb")
+        .cogroup(right.groupBy("qb", "cb"))
+        .applyInPandas(
+            kernel, "query_id long, n_matched long, best_id long, best_cos double"
+        )
+    )
+    return (
+        cells.groupBy("query_id")
+        .agg(
+            F.sum("n_matched").cast("long").alias("n_matched_bench"),
+            F.max(
+                F.struct(F.col("best_cos"), (-F.col("best_id")).alias("nb"))
+            ).alias("m"),
+        )
+        .selectExpr(
+            "query_id AS vec_id",
+            "n_matched_bench",
+            "-m.nb AS top_bench_id",
+            "m.best_cos AS top_cosine",
+        )
+    )
+
+
+def sql_decontaminate_cosine(
+    tau: float,
+    bench_mod: int = DECONTAM_BENCH_MOD,
+    src_cte: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`decontaminate_cosine` over ``src_cte``
+    (pass the sentinel-widened CTE name to match the Spark feed)."""
+    from uber_data_pipeline_spark.functions.vectors import cosine_duck
+
+    cos = cosine_duck("t.embedding", "b.embedding")
+    return f"""
+        pairs AS (
+            SELECT t.vec_id AS vec_id, b.vec_id AS bench_id,
+                   {cos} AS cos
+            FROM {src_cte} t JOIN {src_cte} b
+              ON t.vec_id % {bench_mod} != 0
+             AND b.vec_id % {bench_mod} = 0
+        ), hits AS (
+            SELECT vec_id, bench_id, cos FROM pairs WHERE cos >= {tau}
+        ), m AS (
+            SELECT vec_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_matched_bench,
+                   MAX(cos) AS mc
+            FROM hits GROUP BY 1
+        )
+        SELECT m.vec_id,
+               m.n_matched_bench,
+               CAST(MIN(h.bench_id) AS BIGINT) AS top_bench_id,
+               m.mc AS top_cosine
+        FROM m JOIN hits h ON h.vec_id = m.vec_id AND h.cos = m.mc
+        GROUP BY 1, 2, 4
     """

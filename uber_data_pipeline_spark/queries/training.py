@@ -663,6 +663,14 @@ QUERIES = {
         _docs(spark, sf), "lang"
     ),
     "dedup_containment": lambda spark, sf: dedup.containment_pairs(_docs(spark, sf)),
+    # r11: semantic decontamination — cosine-threshold twin of
+    # decontaminate_ngrams over the sentinel-widened embeddings (the
+    # planted vec -1 = copy of bench vec 0 guarantees one catch at
+    # any SF; tau in the organic Gaussian tail keeps the row set
+    # discriminating)
+    "decontaminate_embedding": lambda spark, sf: similarity.decontaminate_cosine(
+        _emb_with_sentinel(spark, sf), COSINE_NEAR_DUP
+    ),
 }
 
 # Declared scalar-broadcast plans (see queries/tpch.py for the
@@ -1611,6 +1619,10 @@ ORACLES = {
 
 ORACLES["dedup_substring_windows"] = dedup.sql_substring_window_dups()
 ORACLES["dedup_substring_spans"] = dedup.sql_substring_span_census()
+ORACLES["decontaminate_embedding"] = f"""
+    WITH {_EMBX_CTE},
+    {similarity.sql_decontaminate_cosine(COSINE_NEAR_DUP, src_cte="embx")}
+"""
 
 ORACLES["text_langid_confusion"] = f"""
     WITH base AS ({ORACLES["text_langid"]})
