@@ -139,3 +139,54 @@ def test_decontaminate_cosine_recall_on_planted_paraphrases(spark):
     assert out[2]["n_matched_bench"] == 2
     assert out[2]["top_bench_id"] == 0
     assert out[1]["top_cosine"] > out[2]["top_cosine"] > 0.8
+
+
+# ------------------------------------------- snapshot chain retention
+
+
+def test_vacuum_keeps_main_head_despite_higher_branch_version(spark, tmp_path):
+    """ADVICE r10 (medium): branch commits share the version
+    namespace, so merged-list recency let a branch commit with the
+    highest version displace MAIN's head out of keep_last — deleting
+    the manifest latest-version readers resolve. Retention is now
+    per-chain: v0,v1 on main, v2 on 'exp', keep_last=1 must keep
+    main's head v1 (and the branch head v2)."""
+    from uber_data_pipeline_spark.sources import snapshots
+
+    root = str(tmp_path / "lake")
+    snapshots.commit_snapshot(
+        spark.range(3).withColumnRenamed("id", "k"), root, 0
+    )
+    snapshots.commit_snapshot(
+        spark.range(10, 12).withColumnRenamed("id", "k"), root, 1,
+        mode="overwrite",
+    )
+    snapshots.create_branch(root, "exp", 0)
+    snapshots.commit_to_branch(
+        spark.range(100, 102).withColumnRenamed("id", "k"),
+        root, "exp", 2, mode="append",
+    )
+    rep = snapshots.expire_snapshots(root, keep_last=1)
+    assert 1 in rep["kept"], rep  # main's head survives
+    assert 2 in rep["kept"], rep  # branch head survives
+    # main still reads back through latest_version post-vacuum
+    v = snapshots.latest_version(root)
+    assert {r.k for r in snapshots.read_snapshot(spark, root, 1).collect()} == {10, 11}
+
+
+def test_commit_to_branch_refuses_version_collision(spark, tmp_path):
+    """ADVICE r10 (low): a colliding version number must fail fast,
+    not silently clobber another chain's committed manifest."""
+    import pytest
+    from uber_data_pipeline_spark.sources import snapshots
+
+    root = str(tmp_path / "lake")
+    snapshots.commit_snapshot(
+        spark.range(3).withColumnRenamed("id", "k"), root, 0
+    )
+    snapshots.create_branch(root, "exp", 0)
+    with pytest.raises(FileExistsError):
+        snapshots.commit_to_branch(
+            spark.range(5).withColumnRenamed("id", "k"),
+            root, "exp", 0, mode="overwrite",
+        )

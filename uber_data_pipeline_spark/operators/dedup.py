@@ -1522,19 +1522,25 @@ def sorted_neighborhood_pairs(
     ranged = sh.repartitionByRange(*key).withColumn(
         "part", F.spark_partition_id()
     )
-    # CACHE is load-bearing, not a performance hint: local ranks and
-    # per-range offsets both consume this relation, and without a
-    # materialization boundary each branch re-executes the range
+    # The materialization boundary is load-bearing, not a performance
+    # hint: local ranks and per-range offsets both consume this
+    # relation, and without it each branch re-executes the range
     # exchange independently — AQE may coalesce the two executions
     # into DIFFERENT partition layouts, so 'part' in the offsets
     # branch no longer names the same range as 'part' in the rank
     # branch and global positions silently skew (caught by the sf1
     # gate: 106 vs 2560 pairs at 10x rows; both branches reading one
-    # materialized partitioning restores exactness at any scale)
+    # materialized partitioning restores exactness at any scale).
+    # localCheckpoint, not cache (ADVICE r10): a cache() here could
+    # never be unpersisted inside the operator (the caller triggers
+    # the action after we return) and leaked a corpus-sized relation
+    # in executor memory per invocation; the checkpointed RDD's
+    # lifecycle is GC-bounded and the single-materialization (and
+    # fixed-layout) guarantee is strictly stronger
     local = ranged.withColumn(
         "local_rank",
         F.row_number().over(Window.partitionBy("part").orderBy(*key)),
-    ).cache()
+    ).localCheckpoint()
     offsets = (
         local.groupBy("part")
         .agg(F.count("*").alias("cnt"))

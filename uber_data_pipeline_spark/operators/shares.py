@@ -250,22 +250,32 @@ def sql_join_size_forecast(
                    CAST(COALESCE(MAX(dl * dr), 0) AS BIGINT) AS max_key_rows
             FROM j
         )
+        -- NULLIF, not bare division (ADVICE r10): with disjoint or
+        -- empty keys join_rows is 0 and DuckDB's IEEE 0/0.0 yields
+        -- NaN, which COALESCE passes through — NULLIF restores the
+        -- Spark side's 0.0 parity; same guard on the blowup
+        -- denominator for empty inputs
         SELECT n_left, n_right, n_keys_left, n_keys_right,
                n_matched_keys, join_rows, max_key_rows,
-               ROUND(COALESCE(max_key_rows / CAST(join_rows AS DOUBLE),
+               ROUND(COALESCE(max_key_rows
+                              / CAST(NULLIF(join_rows, 0) AS DOUBLE),
                               0.0), 6) AS top1_share,
-               ROUND(join_rows / CAST(n_left + n_right AS DOUBLE), 6)
-                   AS blowup,
-               ROUND(COALESCE(max_key_rows / CAST(join_rows AS DOUBLE),
+               ROUND(COALESCE(join_rows
+                              / CAST(NULLIF(n_left + n_right, 0) AS DOUBLE),
+                              0.0), 6) AS blowup,
+               ROUND(COALESCE(max_key_rows
+                              / CAST(NULLIF(join_rows, 0) AS DOUBLE),
                               0.0) * n_matched_keys, 6) AS skew_ratio,
                CASE WHEN n_right <= {JOIN_FORECAST_BROADCAST_ROWS}
                     THEN 'broadcast-right'
                     WHEN ROUND(COALESCE(max_key_rows
-                               / CAST(join_rows AS DOUBLE), 0.0), 6)
+                               / CAST(NULLIF(join_rows, 0) AS DOUBLE),
+                               0.0), 6)
                          >= {JOIN_FORECAST_SALT_SHARE}
                     THEN 'salt-hot-keys'
-                    WHEN ROUND(join_rows
-                               / CAST(n_left + n_right AS DOUBLE), 6)
+                    WHEN ROUND(COALESCE(join_rows
+                               / CAST(NULLIF(n_left + n_right, 0) AS DOUBLE),
+                               0.0), 6)
                          >= {JOIN_FORECAST_BLOWUP}
                     THEN 'pre-aggregate'
                     ELSE 'hash-shuffle' END AS plan_hint

@@ -2445,6 +2445,12 @@ def knn_outliers(
             "CAST(round(1.0D - round(cosine, 6), 6) AS decimal(12,6))"
             " AS score_d",
         )
+        # materialization boundary (ADVICE r10): kth feeds BOTH the
+        # stats aggregate and the final scored join — without the cut
+        # the O(target * n) brute-force gemm executes twice per run;
+        # localCheckpoint (bounded lifecycle) over cache(), matching
+        # the sample-bounded relation size
+        .localCheckpoint()
     )
     stats = kth.agg(
         F.count("*").alias("n_q"),

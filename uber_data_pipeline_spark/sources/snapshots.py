@@ -183,7 +183,23 @@ def expire_snapshots(root: str, keep_last: int = 2) -> dict:
             if f.endswith(".json") and not f.endswith(".tmp"):
                 with open(os.path.join(rdir, f)) as fh:
                     reffed.add(json.load(fh)["version"])
-    keep = set(versions[-keep_last:]) | (reffed & set(versions))
+    # PER-CHAIN recency (ADVICE r10): branch commits share the version
+    # namespace, so a merged versions[-keep_last:] window lets a
+    # branch commit with the highest number displace MAIN's head out
+    # of retention entirely — deleting the manifest that
+    # latest_version/read_snapshot resolve. Manifests record which
+    # ref committed them (commit_to_branch stamps "ref"; absent =
+    # main), and keep_last applies to EACH chain independently — the
+    # main head is thereby implicitly reffed, like Iceberg's main ref.
+    chains: dict[str, list[int]] = {}
+    for v in versions:
+        with open(_manifest_path(root, v)) as fh:
+            chain = json.load(fh).get("ref", "main")
+        chains.setdefault(chain, []).append(v)
+    keep = (reffed & set(versions)) | {
+        v for chain_versions in chains.values()
+        for v in chain_versions[-keep_last:]
+    }
     kept = sorted(keep)
     expired = [v for v in versions if v not in keep]
     live: set[str] = set()
@@ -294,6 +310,15 @@ def commit_to_branch(
     then the ref — a reader racing the commit sees the old head until
     the ref flips, and the flip is atomic."""
     head = branch_head(root, name)
+    # fail fast on a version collision: manifests share one namespace
+    # across all refs, and os.replace below would otherwise silently
+    # clobber another chain's committed history (ADVICE r10 —
+    # create_branch validates its invariant; this one must too)
+    if os.path.exists(_manifest_path(root, version)):
+        raise FileExistsError(
+            f"manifest v{version} already exists; branch commits need a "
+            "globally unique version"
+        )
     data_dir = os.path.join(root, "data", f"commit-{version}")
     df.write.mode("overwrite").parquet(data_dir)
     files = sorted(
@@ -310,6 +335,9 @@ def commit_to_branch(
     manifest = {
         "version": version,
         "parent": head,
+        # chain tag: expire_snapshots computes keep_last recency per
+        # chain, so branch commits can never displace main's head
+        "ref": name,
         "files": files,
         "stats": stats,
     }
