@@ -178,6 +178,7 @@ def test_copurchase_pairs_partial_agg(spark):
         "training_token_packing",
         # r11: islands lag/cumsum partitioned by doc_id
         "dedup_substring_spans",
+        "documents_gopher_repetition",
     ],
 )
 def test_windows_partitioned(spark, name):

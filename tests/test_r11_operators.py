@@ -190,3 +190,36 @@ def test_commit_to_branch_refuses_version_collision(spark, tmp_path):
             spark.range(5).withColumnRenamed("id", "k"),
             root, "exp", 0, mode="overwrite",
         )
+
+
+def test_gopher_repetition_hand(spark):
+    """Hand-computed repetition signals: an in-doc repeated phrase
+    (dup-5 coverage fires), a degenerate loop doc (top-2 mass fires),
+    and a clean doc (nothing fires)."""
+    from uber_data_pipeline_spark.operators.textops import gopher_repetition
+
+    # P twice with 8 unique separators: dup-5 islands [0,9] and
+    # [18,27] -> 20 of 28 tokens covered
+    rep_doc = PHRASE + " m1 m2 m3 m4 m5 m6 m7 m8 " + PHRASE
+    loop_doc = " ".join(["x"] * 10)  # 'x x' count 9, mass 27 of 19 chars
+    clean_doc = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    docs = spark.createDataFrame(
+        [(0, rep_doc), (1, loop_doc), (2, clean_doc)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+
+    r = out[0]
+    assert r["n_tokens"] == 28 and r["n_chars"] == len(rep_doc)
+    assert r["dup5_cover_micro"] == 20 * 1_000_000 // 28
+    # top-2 mass: 'a b' style grams, count 2 * 3 chars = 6
+    assert r["top2_mass_micro"] == 6 * 1_000_000 // len(rep_doc)
+    assert r["is_repetitive"]  # via dup5 > 0.15
+
+    l = out[1]
+    assert l["top2_mass_micro"] == 27 * 1_000_000 // 19
+    assert l["dup5_cover_micro"] == 1_000_000  # all 10 tokens covered
+    assert l["is_repetitive"]
+
+    c = out[2]
+    assert (c["dup5_cover_micro"], c["is_repetitive"]) == (0, False)

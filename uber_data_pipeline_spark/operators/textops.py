@@ -2052,3 +2052,204 @@ def sql_bpe_train_iterated(
     return (
         "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
     )
+
+
+# --------------------------------------- Gopher repetition filters
+
+GOPHER_TOP2_MAX_MICRO = 200_000   # 0.20 top-2-gram char fraction
+GOPHER_TOP3_MAX_MICRO = 180_000   # 0.18 top-3-gram char fraction
+GOPHER_DUP5_MAX_MICRO = 150_000   # 0.15 dup-5-gram coverage
+
+
+def gopher_repetition(docs: DataFrame) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, §A1.1 "repetitious
+    text") — the quality gate that removes boilerplate- and
+    loop-generated documents before training: per document, the
+    character MASS of the heaviest repeated 2-/3-gram and the
+    token coverage of duplicated 5-grams, each against the paper's
+    removal thresholds (0.20 / 0.18 / 0.15).
+
+    Deterministic variants of the paper's signals (it leaves ties
+    unspecified): top-n mass = max over the doc's REPEATED n-grams
+    (count >= 2 — a single occurrence is not repetition, and counting
+    it would auto-flag every short document) of count *
+    char_length(gram) — the joined gram includes its inner spaces,
+    denominators are length(text) — and dup-5 coverage is the
+    INTERVAL UNION of [p, p+4] over positions whose 5-gram occurs >= 2
+    times in the doc (the dedup_substring_spans islands trick, so
+    overlapping duplicates never double-count), denominator n_tokens.
+    Everything is integer until the final micro-unit intdiv.
+
+    Scale shape: ONE tagged explode (n in {2,3,5}) feeds one
+    map-side-combined (doc, n, gram) count; top masses reduce per
+    doc; dup-5 marks its position stream through an equi-join on the
+    reduced counts and merges islands in a doc-bounded window. No
+    corpus-global state at all — every aggregate is keyed by doc_id.
+
+    Columns: doc_id, n_tokens, n_chars, top2_mass_micro,
+    top3_mass_micro, dup5_cover_micro, is_repetitive."""
+    from uber_data_pipeline_spark.functions.text import TOKENS_SPARK
+
+    def tagged(n: int) -> str:
+        return (
+            f"CASE WHEN size(tokens) >= {n} THEN "
+            f"transform(sequence(1, size(tokens) - {n - 1}), "
+            f"i -> struct({n} AS n, i - 1 AS p, "
+            f"concat_ws(' ', slice(tokens, i, {n})) AS gram)) "
+            "ELSE CAST(array() AS "
+            "array<struct<n:int,p:int,gram:string>>) END"
+        )
+
+    toks = docs.selectExpr(
+        "doc_id",
+        f"{TOKENS_SPARK} AS tokens",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    ).selectExpr(
+        "doc_id",
+        "tokens",
+        "CAST(size(tokens) AS BIGINT) AS n_tokens",
+        "n_chars",
+    )
+    pos = toks.selectExpr(
+        "doc_id",
+        f"explode(concat({tagged(2)}, {tagged(3)}, {tagged(5)})) AS g",
+    ).select("doc_id", "g.n", "g.p", "g.gram")
+    cnt = pos.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+    top = (
+        cnt.filter("n IN (2, 3) AND c >= 2")
+        .selectExpr("doc_id", "n", "c * length(gram) AS mass")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("n") == 2, F.col("mass"))).alias("m2"),
+            F.max(F.when(F.col("n") == 3, F.col("mass"))).alias("m3"),
+        )
+    )
+    dup5 = (
+        pos.filter("n = 5")
+        .join(
+            cnt.filter("n = 5 AND c >= 2").select("doc_id", "gram"),
+            ["doc_id", "gram"],
+        )
+        .select("doc_id", "p")
+    )
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("doc_id").orderBy("p")
+    isl = (
+        dup5.withColumn("prev_p", F.lag("p").over(wo))
+        .withColumn(
+            "brk",
+            F.when(F.col("p") - F.col("prev_p") < 5, F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    cover = (
+        isl.groupBy("doc_id", "island")
+        .agg((F.max("p") - F.min("p") + 5).alias("span"))
+        .groupBy("doc_id")
+        .agg(F.sum("span").cast("long").alias("dup5_tokens"))
+    )
+    return (
+        toks.select("doc_id", "n_tokens", "n_chars")
+        .join(top, "doc_id", "left")
+        .join(cover, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "n_chars",
+            "CAST(coalesce(m2, 0) * 1000000 DIV n_chars AS BIGINT)"
+            " AS top2_mass_micro",
+            "CAST(coalesce(m3, 0) * 1000000 DIV n_chars AS BIGINT)"
+            " AS top3_mass_micro",
+            "CASE WHEN n_tokens > 0 THEN "
+            "CAST(coalesce(dup5_tokens, 0) * 1000000 DIV n_tokens AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END AS dup5_cover_micro",
+        )
+        .selectExpr(
+            "*",
+            f"top2_mass_micro > {GOPHER_TOP2_MAX_MICRO} OR "
+            f"top3_mass_micro > {GOPHER_TOP3_MAX_MICRO} OR "
+            f"dup5_cover_micro > {GOPHER_DUP5_MAX_MICRO} AS is_repetitive",
+        )
+    )
+
+
+def sql_gopher_repetition(table: str = "documents") -> str:
+    """DuckDB twin of :func:`gopher_repetition`."""
+    from uber_data_pipeline_spark.functions.text import TOKENS_DUCK
+
+    def tagged(n: int) -> str:
+        return (
+            f"list_transform(range(1, greatest(len(tokens) - {n - 1}, 0) + 1), "
+            f"i -> struct_pack(n := {n}, p := i - 1, "
+            f"gram := array_to_string(list_slice(tokens, i, i + {n - 1}), ' ')))"
+        )
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_DUCK} AS tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM {table}
+        ), base AS (
+            SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+                   n_chars, tokens
+            FROM toks
+        ), pos AS (
+            SELECT doc_id, g.n, g.p, g.gram
+            FROM (SELECT doc_id,
+                         unnest(list_concat(list_concat(
+                             {tagged(2)}, {tagged(3)}), {tagged(5)})) AS g
+                  FROM base)
+        ), cnt AS (
+            SELECT doc_id, n, gram, COUNT(*) AS c
+            FROM pos GROUP BY 1, 2, 3
+        ), top AS (
+            SELECT doc_id,
+                   MAX(CASE WHEN n = 2 THEN c * length(gram) END) AS m2,
+                   MAX(CASE WHEN n = 3 THEN c * length(gram) END) AS m3
+            FROM cnt WHERE n IN (2, 3) AND c >= 2 GROUP BY 1
+        ), dup5 AS (
+            SELECT p.doc_id, p.p
+            FROM pos p JOIN cnt ON cnt.doc_id = p.doc_id
+             AND cnt.n = 5 AND cnt.gram = p.gram AND cnt.c >= 2
+            WHERE p.n = 5
+        ), isl AS (
+            SELECT doc_id, p,
+                   SUM(CASE WHEN prev_p IS NOT NULL AND p - prev_p < 5
+                            THEN 0 ELSE 1 END)
+                     OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS island
+            FROM (SELECT doc_id, p,
+                         LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                             AS prev_p
+                  FROM dup5)
+        ), cover AS (
+            SELECT doc_id, CAST(SUM(span) AS BIGINT) AS dup5_tokens
+            FROM (SELECT doc_id, island, MAX(p) - MIN(p) + 5 AS span
+                  FROM isl GROUP BY 1, 2)
+            GROUP BY 1
+        ), micro AS (
+            SELECT b.doc_id, b.n_tokens, b.n_chars,
+                   CAST(COALESCE(t.m2, 0) * 1000000 // b.n_chars AS BIGINT)
+                       AS top2_mass_micro,
+                   CAST(COALESCE(t.m3, 0) * 1000000 // b.n_chars AS BIGINT)
+                       AS top3_mass_micro,
+                   CASE WHEN b.n_tokens > 0 THEN
+                       CAST(COALESCE(c.dup5_tokens, 0) * 1000000
+                            // b.n_tokens AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS dup5_cover_micro
+            FROM base b
+            LEFT JOIN top t ON t.doc_id = b.doc_id
+            LEFT JOIN cover c ON c.doc_id = b.doc_id
+        )
+        SELECT *,
+               top2_mass_micro > {GOPHER_TOP2_MAX_MICRO} OR
+               top3_mass_micro > {GOPHER_TOP3_MAX_MICRO} OR
+               dup5_cover_micro > {GOPHER_DUP5_MAX_MICRO} AS is_repetitive
+        FROM micro
+    """

@@ -663,6 +663,11 @@ QUERIES = {
         _docs(spark, sf), "lang"
     ),
     "dedup_containment": lambda spark, sf: dedup.containment_pairs(_docs(spark, sf)),
+    # r11: Gopher repetition quality gate (top-n-gram char mass +
+    # interval-union dup-5-gram coverage vs the paper's thresholds)
+    "documents_gopher_repetition": lambda spark, sf: textops.gopher_repetition(
+        _docs(spark, sf)
+    ),
     # r11: semantic decontamination — cosine-threshold twin of
     # decontaminate_ngrams over the sentinel-widened embeddings (the
     # planted vec -1 = copy of bench vec 0 guarantees one catch at
@@ -1619,6 +1624,7 @@ ORACLES = {
 
 ORACLES["dedup_substring_windows"] = dedup.sql_substring_window_dups()
 ORACLES["dedup_substring_spans"] = dedup.sql_substring_span_census()
+ORACLES["documents_gopher_repetition"] = textops.sql_gopher_repetition()
 ORACLES["decontaminate_embedding"] = f"""
     WITH {_EMBX_CTE},
     {similarity.sql_decontaminate_cosine(COSINE_NEAR_DUP, src_cte="embx")}
