@@ -223,3 +223,40 @@ def test_gopher_repetition_hand(spark):
 
     c = out[2]
     assert (c["dup5_cover_micro"], c["is_repetitive"]) == (0, False)
+
+
+def test_hard_negative_mining_hand(spark):
+    """Hand-checked triplets: two tight clusters plus one impostor
+    sitting between them — its cluster's hardest positive is the far
+    member, its hardest negative the near impostor; the violation
+    flag fires exactly when the impostor is closer than the
+    positive."""
+    from uber_data_pipeline_spark.operators.similarity import hard_negative_mining
+
+    d = 4
+    rows = [
+        # label 0 cluster along e1, one member rotated toward e2
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.1, 0.0, 0.0], 0),
+        (2, [1.0, 1.0, 0.0, 0.0], 0),   # far member (cos ~0.707 to vec 0)
+        # label 1 cluster along e2, one sitting near label 0's axis
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [0.8, 0.6, 0.0, 0.0], 1),   # impostor: cos 0.8 to vec 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long")
+    out = {r["vec_id"]: r for r in hard_negative_mining(emb).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+
+    v0 = out[0]
+    # hardest positive for vec 0: the rotated member vec 2 (cos .7071)
+    assert v0["pos_id"] == 2
+    # hardest negative: the impostor vec 4 (cos 0.8) beats vec 3 (0.0)
+    assert v0["neg_id"] == 4 and abs(v0["neg_cos"] - 0.8) < 1e-9
+    # violation: impostor closer than the hardest positive
+    assert v0["is_violation"] and v0["margin"] < 0
+
+    v3 = out[3]
+    assert v3["pos_id"] == 4          # only other label-1 member
+    assert v3["neg_id"] == 2          # cos ~0.707 beats vecs 0/1 (~0/0.0995)
+    assert not v3["is_violation"] or v3["margin"] <= 0  # sanity on flag shape
+    assert v3["neg_cos"] < v3["pos_cos"] or v3["is_violation"]

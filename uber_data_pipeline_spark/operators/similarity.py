@@ -2690,3 +2690,204 @@ def sql_decontaminate_cosine(
         FROM m JOIN hits h ON h.vec_id = m.vec_id AND h.cos = m.mc
         GROUP BY 1, 2, 4
     """
+
+
+# ------------------------------------------------ hard-negative mining
+
+
+def hard_negative_mining(
+    emb: DataFrame,
+    n_blocks: int = DEFAULT_BLOCKS,
+    query_sample_target: int | None = QUERY_SAMPLE_TARGET,
+) -> DataFrame:
+    """Triplet mining for embedding-model training (the FaceNet /
+    sentence-transformers batch-construction duty): per query vector,
+    the HARDEST POSITIVE (lowest cosine among its own label — the
+    in-class example the model most struggles to keep close) and the
+    HARDEST NEGATIVE (highest cosine among other labels — the
+    impostor it most struggles to push away), with the triplet margin
+    and a violation flag (negative at least as close as the
+    positive).
+
+    Exactness + determinism: the tiled-gemm engine over the
+    deterministic :func:`query_sample` (every vector at gate SFs),
+    cosines rounded at COSINE_ROUND; cross-cell merges are total
+    orders — negative = max(struct(cos, -id)) (highest cosine, lowest
+    id), positive = min(struct(cos, id)) (lowest cosine, lowest id);
+    the margin is an exact DECIMAL(12,6) subtraction of the rounded
+    scores, so no engine's double-rounding can flip a violation.
+
+    Scale shape: O(sample * n) gemm flops in bucket-local cells (the
+    ann_bruteforce tiling); per-cell extremes reduce each cell to at
+    most two rows per query before the merge shuffle, so shuffled
+    volume is O(sample * n_blocks), never O(sample * n).
+
+    Columns: vec_id, label, pos_id, pos_cos, neg_id, neg_cos, margin,
+    is_violation."""
+    qs = query_sample(emb, query_sample_target)
+    left = qs.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("label").alias("qlab"),
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("qb"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("cb"),
+    )
+    right = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nemb"),
+        F.col("label").alias("nlab"),
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("cb"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("qb"),
+    )
+
+    def kernel(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "label": pd.Series([], dtype="int64"),
+                "kind": pd.Series([], dtype="object"),
+                "cand_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if lpdf.empty or rpdf.empty:
+            return empty
+        # candidate columns sorted by id ASC: argmax/argmin return the
+        # FIRST extreme, i.e. the lowest id among ties
+        order = np.argsort(rpdf["nid"].to_numpy(), kind="stable")
+        nids = rpdf["nid"].to_numpy()[order]
+        nlabs = rpdf["nlab"].to_numpy()[order]
+        qm = _normalize(_stack(lpdf["qemb"]))
+        nm = _normalize(_stack(rpdf["nemb"]))[order]
+        sims = np.round(qm @ nm.T, COSINE_ROUND)
+        qids = lpdf["qid"].to_numpy()
+        qlabs = lpdf["qlab"].to_numpy()
+        same = qlabs[:, None] == nlabs[None, :]
+        not_self = qids[:, None] != nids[None, :]
+        frames = []
+        neg_masked = np.where(~same, sims, -2.0)
+        has_neg = (~same).any(axis=1)
+        if has_neg.any():
+            col = np.argmax(neg_masked[has_neg], axis=1)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qids[has_neg],
+                        "label": qlabs[has_neg],
+                        "kind": "neg",
+                        "cand_id": nids[col],
+                        "cosine": neg_masked[has_neg][
+                            np.arange(has_neg.sum()), col
+                        ],
+                    }
+                )
+            )
+        pos_ok = same & not_self
+        pos_masked = np.where(pos_ok, sims, 2.0)
+        has_pos = pos_ok.any(axis=1)
+        if has_pos.any():
+            col = np.argmin(pos_masked[has_pos], axis=1)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qids[has_pos],
+                        "label": qlabs[has_pos],
+                        "kind": "pos",
+                        "cand_id": nids[col],
+                        "cosine": pos_masked[has_pos][
+                            np.arange(has_pos.sum()), col
+                        ],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    cells = (
+        left.groupBy("qb", "cb")
+        .cogroup(right.groupBy("qb", "cb"))
+        .applyInPandas(
+            kernel,
+            "query_id long, label long, kind string, cand_id long,"
+            " cosine double",
+        )
+    )
+    return (
+        cells.groupBy("query_id", "label")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("kind") == "pos",
+                    F.struct(F.col("cosine"), F.col("cand_id").alias("pid")),
+                )
+            ).alias("mp"),
+            F.max(
+                F.when(
+                    F.col("kind") == "neg",
+                    F.struct(
+                        F.col("cosine"), (-F.col("cand_id")).alias("nnid")
+                    ),
+                )
+            ).alias("mn"),
+        )
+        .filter("mp IS NOT NULL AND mn IS NOT NULL")
+        .selectExpr(
+            "query_id AS vec_id",
+            "label",
+            "mp.pid AS pos_id",
+            "mp.cosine AS pos_cos",
+            "-mn.nnid AS neg_id",
+            "mn.cosine AS neg_cos",
+            "CAST(CAST(mp.cosine AS DECIMAL(12,6))"
+            " - CAST(mn.cosine AS DECIMAL(12,6)) AS DOUBLE) AS margin",
+            "CAST(mn.cosine AS DECIMAL(12,6))"
+            " >= CAST(mp.cosine AS DECIMAL(12,6)) AS is_violation",
+        )
+    )
+
+
+def sql_hard_negative_mining(
+    query_sample_target: int | None = QUERY_SAMPLE_TARGET,
+) -> str:
+    """DuckDB twin of :func:`hard_negative_mining`."""
+    from uber_data_pipeline_spark.functions.vectors import cosine_duck
+
+    cos = cosine_duck("q.embedding", "c.embedding")
+    return f"""
+        WITH {sql_query_sample_cte("qgate", query_sample_target)},
+        pairs AS (
+            SELECT q.vec_id AS qid, q.label AS qlab,
+                   c.vec_id AS nid, (c.label = q.label) AS same,
+                   {cos} AS cos
+            FROM embeddings q
+            JOIN qgate USING (vec_id)
+            JOIN embeddings c ON c.vec_id != q.vec_id
+        ), n1 AS (
+            SELECT qid, MAX(cos) AS neg_cos
+            FROM pairs WHERE NOT same GROUP BY 1
+        ), n2 AS (
+            SELECT p.qid, CAST(MIN(p.nid) AS BIGINT) AS neg_id, n1.neg_cos
+            FROM pairs p JOIN n1
+              ON n1.qid = p.qid AND p.cos = n1.neg_cos AND NOT p.same
+            GROUP BY 1, 3
+        ), p1 AS (
+            SELECT qid, MIN(cos) AS pos_cos
+            FROM pairs WHERE same GROUP BY 1
+        ), p2 AS (
+            SELECT p.qid, CAST(MIN(p.nid) AS BIGINT) AS pos_id, p1.pos_cos
+            FROM pairs p JOIN p1
+              ON p1.qid = p.qid AND p.cos = p1.pos_cos AND p.same
+            GROUP BY 1, 3
+        )
+        SELECT p.qid AS vec_id,
+               CAST(MAX(p.qlab) AS BIGINT) AS label,
+               p2.pos_id, p2.pos_cos, n2.neg_id, n2.neg_cos,
+               CAST(CAST(p2.pos_cos AS DECIMAL(12,6))
+                    - CAST(n2.neg_cos AS DECIMAL(12,6)) AS DOUBLE)
+                   AS margin,
+               CAST(n2.neg_cos AS DECIMAL(12,6))
+                   >= CAST(p2.pos_cos AS DECIMAL(12,6)) AS is_violation
+        FROM pairs p
+        JOIN n2 ON n2.qid = p.qid
+        JOIN p2 ON p2.qid = p.qid
+        GROUP BY 1, 3, 4, 5, 6
+    """

@@ -668,6 +668,11 @@ QUERIES = {
     "documents_gopher_repetition": lambda spark, sf: textops.gopher_repetition(
         _docs(spark, sf)
     ),
+    # r11: triplet mining — hardest positive + hardest negative per
+    # query vector over the exact tiled gemm
+    "embeddings_hard_negatives": lambda spark, sf: similarity.hard_negative_mining(
+        _emb(spark, sf)
+    ),
     # r11: semantic decontamination — cosine-threshold twin of
     # decontaminate_ngrams over the sentinel-widened embeddings (the
     # planted vec -1 = copy of bench vec 0 guarantees one catch at
@@ -1625,6 +1630,7 @@ ORACLES = {
 ORACLES["dedup_substring_windows"] = dedup.sql_substring_window_dups()
 ORACLES["dedup_substring_spans"] = dedup.sql_substring_span_census()
 ORACLES["documents_gopher_repetition"] = textops.sql_gopher_repetition()
+ORACLES["embeddings_hard_negatives"] = similarity.sql_hard_negative_mining()
 ORACLES["decontaminate_embedding"] = f"""
     WITH {_EMBX_CTE},
     {similarity.sql_decontaminate_cosine(COSINE_NEAR_DUP, src_cte="embx")}
