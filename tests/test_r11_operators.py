@@ -260,3 +260,48 @@ def test_hard_negative_mining_hand(spark):
     assert v3["neg_id"] == 2          # cos ~0.707 beats vecs 0/1 (~0/0.0995)
     assert not v3["is_violation"] or v3["margin"] <= 0  # sanity on flag shape
     assert v3["neg_cos"] < v3["pos_cos"] or v3["is_violation"]
+
+
+def test_benford_audit_hand(spark, tmp_path):
+    """Hand-checked digit shares on a constructed price column."""
+    from uber_data_pipeline_spark.queries.tpch_extra import orders_benford_audit
+
+    # 10 orders: first digits 1,1,1,1,2,2,3,9,9,9 (of the cents value)
+    prices = [1.00, 10.50, 150.0, 19.99, 2.50, 25.0, 3.33, 9.0, 90.0, 0.99]
+    spark.createDataFrame(
+        [(i, p) for i, p in enumerate(prices)],
+        "o_orderkey long, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r["digit"]: r for r in orders_benford_audit(spark, str(tmp_path)).collect()}
+    assert {d: out[d]["n"] for d in out} == {1: 4, 2: 2, 3: 1, 9: 3}
+    assert out[1]["share_micro"] == 400_000
+    assert out[1]["benford_micro"] == 301_030
+    assert out[1]["dev_micro"] == 98_970
+    assert out[9]["dev_micro"] == 300_000 - 45_757
+
+
+def test_drift_report_hand(spark):
+    """Hand-checked TVD: languages drift between the parity halves,
+    sources do not."""
+    from uber_data_pipeline_spark.operators.textops import drift_report
+
+    rows = [
+        # ref (even ids): 3 en, 1 de ; cur (odd ids): 1 en, 3 de
+        (0, "aaaa", "en", "s0"), (2, "bbbb", "en", "s0"),
+        (4, "cccc", "en", "s0"), (6, "dddd", "de", "s0"),
+        (1, "eeee", "en", "s0"), (3, "ffff", "de", "s0"),
+        (5, "gggg", "de", "s0"), (7, "hhhh", "de", "s0"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["dimension"]: r for r in drift_report(docs).collect()}
+    lang = out["lang"]
+    # p_en: 750000 vs 250000 -> dev 500000 each for en and de -> TVD 500000
+    assert lang["tvd_micro"] == 500_000
+    assert lang["top_drift_value"] == "de"  # tie with 'en' -> lexicographic
+    assert lang["top_drift_micro"] == 500_000
+    src = out["source"]
+    assert src["tvd_micro"] == 0
+    # all texts are 4 chars -> one len bucket, zero drift
+    assert out["len_bucket"]["tvd_micro"] == 0

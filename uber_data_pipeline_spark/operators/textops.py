@@ -2253,3 +2253,129 @@ def sql_gopher_repetition(table: str = "documents") -> str:
                dup5_cover_micro > {GOPHER_DUP5_MAX_MICRO} AS is_repetitive
         FROM micro
     """
+
+
+# ------------------------------------------------ distribution drift
+
+DRIFT_LEN_BUCKET = 100
+
+
+def drift_report(docs: DataFrame) -> DataFrame:
+    """Corpus distribution-drift report — the monitoring duty that
+    catches a broken upstream feed before it trains: total-variation
+    distance between a REFERENCE and a CURRENT slice (deterministic
+    doc_id parity split here; time windows in production) over three
+    categorical dimensions — language, source, and bucketed document
+    length — with the single most-drifted value per dimension.
+
+    TVD instead of KL/PSI on purpose: 0.5 * sum |p - q| needs no
+    logarithm (the one primitive the twin engines only probably agree
+    on) and is exact over integer micro-unit shares; the halving is a
+    floor-div both sides.
+
+    Scale shape: one tagged explode (3 dimensions) -> one
+    map-side-combined (dimension, value, side) count; per-dimension
+    totals are a values-sized broadcast join back; the report reduces
+    to 3 rows. Tie-break for the top value: largest |p - q|, then
+    lexicographically smallest value (min over struct(-dev, value)).
+
+    Columns: dimension, n_values, n_ref, n_cur, tvd_micro,
+    top_drift_value, top_drift_micro."""
+    base = docs.selectExpr(
+        "doc_id % 2 = 0 AS is_ref",
+        "lang",
+        "source",
+        f"CAST(length(text) DIV {DRIFT_LEN_BUCKET} AS STRING) AS len_bucket",
+    )
+    vals = base.selectExpr(
+        "is_ref",
+        "explode(map('lang', lang, 'source', source,"
+        " 'len_bucket', len_bucket)) AS (dimension, value)",
+    )
+    cnt = vals.groupBy("dimension", "value").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("nref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("ncur"),
+    )
+    tot = cnt.groupBy("dimension").agg(
+        F.sum("nref").alias("tref"), F.sum("ncur").alias("tcur")
+    )
+    shares = cnt.join(F.broadcast(tot), "dimension").selectExpr(
+        "dimension",
+        "value",
+        "tref",
+        "tcur",
+        "abs(CASE WHEN tref > 0 THEN nref * 1000000 DIV tref ELSE 0 END"
+        " - CASE WHEN tcur > 0 THEN ncur * 1000000 DIV tcur ELSE 0 END)"
+        " AS dev",
+    )
+    return (
+        shares.groupBy("dimension")
+        .agg(
+            F.count("*").cast("long").alias("n_values"),
+            F.max("tref").cast("long").alias("n_ref"),
+            F.max("tcur").cast("long").alias("n_cur"),
+            F.expr("sum(dev) DIV 2").cast("long").alias("tvd_micro"),
+            F.min(
+                F.struct((-F.col("dev")).alias("nd"), F.col("value"))
+            ).alias("m"),
+        )
+        .selectExpr(
+            "dimension",
+            "n_values",
+            "n_ref",
+            "n_cur",
+            "tvd_micro",
+            "m.value AS top_drift_value",
+            "CAST(-m.nd AS BIGINT) AS top_drift_micro",
+        )
+    )
+
+
+def sql_drift_report(table: str = "documents") -> str:
+    """DuckDB twin of :func:`drift_report`."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id % 2 = 0 AS is_ref, lang, source,
+                   CAST(length(text) // {DRIFT_LEN_BUCKET} AS VARCHAR)
+                       AS len_bucket
+            FROM {table}
+        ), vals AS (
+            SELECT is_ref, 'lang' AS dimension, lang AS value FROM base
+            UNION ALL
+            SELECT is_ref, 'source', source FROM base
+            UNION ALL
+            SELECT is_ref, 'len_bucket', len_bucket FROM base
+        ), cnt AS (
+            SELECT dimension, value,
+                   SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nref,
+                   SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS ncur
+            FROM vals GROUP BY 1, 2
+        ), tot AS (
+            SELECT dimension, SUM(nref) AS tref, SUM(ncur) AS tcur
+            FROM cnt GROUP BY 1
+        ), shares AS (
+            SELECT c.dimension, c.value, t.tref, t.tcur,
+                   abs(CASE WHEN t.tref > 0
+                            THEN c.nref * 1000000 // t.tref ELSE 0 END
+                     - CASE WHEN t.tcur > 0
+                            THEN c.ncur * 1000000 // t.tcur ELSE 0 END)
+                       AS dev
+            FROM cnt c JOIN tot t ON t.dimension = c.dimension
+        ), top AS (
+            SELECT dimension, value AS top_drift_value,
+                   dev AS top_drift_micro,
+                   ROW_NUMBER() OVER (PARTITION BY dimension
+                                      ORDER BY dev DESC, value ASC) AS rn
+            FROM shares
+        )
+        SELECT s.dimension,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(MAX(s.tref) AS BIGINT) AS n_ref,
+               CAST(MAX(s.tcur) AS BIGINT) AS n_cur,
+               CAST(SUM(s.dev) // 2 AS BIGINT) AS tvd_micro,
+               MAX(t.top_drift_value) AS top_drift_value,
+               CAST(MAX(t.top_drift_micro) AS BIGINT) AS top_drift_micro
+        FROM shares s
+        JOIN top t ON t.dimension = s.dimension AND t.rn = 1
+        GROUP BY 1
+    """

@@ -347,6 +347,83 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Benford's-law first-digit expectations, log10(1 + 1/d) pre-rounded
+# to 6 dp as integer micro-units — CONSTANTS, so no transcendental
+# ever runs in either engine
+BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over order totals —
+    the classic forensic-accounting screen (Nigrini 2012): naturally
+    occurring amounts put ~30.1% of first digits at 1, and fabricated
+    or capped data deviates. One row per digit 1-9 with the observed
+    share, the Benford expectation, and the absolute deviation, all
+    in integer micro-units.
+
+    Determinism: the digit is the first character of the CENTS
+    integer rendered as a string (round(price * 100) -> BIGINT ->
+    plain decimal text in both engines) — no log10, no float
+    formatting; expectations are pre-rounded literals; shares are
+    integer micro-divisions against the 1-row total broadcast.
+
+    Scale shape: one map-side-combined digit count (9 groups) + a
+    1-row COUNT broadcast onto those 9 rows. Columns: digit, n,
+    share_micro, benford_micro, dev_micro."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.selectExpr(
+        "substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+        " AS STRING), 1, 1) AS d"
+    ).groupBy(F.col("d").cast("int").alias("digit")).agg(
+        F.count("*").alias("n")
+    )
+    total = orders.agg(F.count("*").alias("tot"))
+    bexpr = "CASE digit " + " ".join(
+        f"WHEN {d} THEN CAST({m} AS BIGINT)" for d, m in BENFORD_MICRO.items()
+    ) + " END"
+    return (
+        digits.join(F.broadcast(total))
+        .selectExpr(
+            "CAST(digit AS INT) AS digit",
+            "CAST(n AS BIGINT) AS n",
+            "n * 1000000 DIV tot AS share_micro",
+            f"{bexpr} AS benford_micro",
+        )
+        .selectExpr(
+            "digit",
+            "n",
+            "share_micro",
+            "benford_micro",
+            "abs(share_micro - benford_micro) AS dev_micro",
+        )
+    )
+
+
+def sql_orders_benford_audit() -> str:
+    """DuckDB twin of :func:`orders_benford_audit`."""
+    bexpr = "CASE digit " + " ".join(
+        f"WHEN {d} THEN CAST({m} AS BIGINT)" for d, m in BENFORD_MICRO.items()
+    ) + " END"
+    return f"""
+        WITH digits AS (
+            SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        ), tot AS (
+            SELECT COUNT(*) AS tot FROM orders
+        )
+        SELECT digit, n,
+               n * 1000000 // tot AS share_micro,
+               {bexpr} AS benford_micro,
+               abs(n * 1000000 // tot - ({bexpr})) AS dev_micro
+        FROM digits, tot
+    """
+
+
 def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE(status, year) with GROUPING flags — every subtotal level
     in one pass (Spark expands grouping sets map-side; each set still
@@ -1478,6 +1555,7 @@ QUERIES = {
     "tpch_q20_excess_shippers": tpch_q20_excess_shippers,
     "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
     "orders_cube": orders_cube,
+    "orders_benford_audit": orders_benford_audit,
     "orders_daily_gapfill": orders_daily_gapfill,
     "lineitem_corr_matrix": lineitem_corr_matrix,
     "orders_gapfill_rcte": orders_gapfill_rcte,
@@ -1495,6 +1573,8 @@ SCALAR_BROADCAST = {
     # three 1-row aggregates (nodes+wedges, edges, triangles)
     # crossJoined into the single census row
     "copurchase_triangle_census",
+    # r11: 1-row COUNT broadcast onto the 9-row digit histogram
+    "orders_benford_audit",
 }
 
 ORACLES = {
@@ -1953,3 +2033,4 @@ ORACLES = {
 ORACLES["orders_gapfill_rcte"] = ORACLES["orders_daily_gapfill"]
 
 ORACLES["lineitem_corr_matrix"] = _sql_corr()
+ORACLES["orders_benford_audit"] = sql_orders_benford_audit()

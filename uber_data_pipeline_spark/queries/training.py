@@ -663,6 +663,11 @@ QUERIES = {
         _docs(spark, sf), "lang"
     ),
     "dedup_containment": lambda spark, sf: dedup.containment_pairs(_docs(spark, sf)),
+    # r11: reference-vs-current distribution drift (TVD over lang /
+    # source / length buckets — the broken-upstream-feed monitor)
+    "documents_drift_report": lambda spark, sf: textops.drift_report(
+        _docs(spark, sf)
+    ),
     # r11: Gopher repetition quality gate (top-n-gram char mass +
     # interval-union dup-5-gram coverage vs the paper's thresholds)
     "documents_gopher_repetition": lambda spark, sf: textops.gopher_repetition(
@@ -1631,6 +1636,7 @@ ORACLES["dedup_substring_windows"] = dedup.sql_substring_window_dups()
 ORACLES["dedup_substring_spans"] = dedup.sql_substring_span_census()
 ORACLES["documents_gopher_repetition"] = textops.sql_gopher_repetition()
 ORACLES["embeddings_hard_negatives"] = similarity.sql_hard_negative_mining()
+ORACLES["documents_drift_report"] = textops.sql_drift_report()
 ORACLES["decontaminate_embedding"] = f"""
     WITH {_EMBX_CTE},
     {similarity.sql_decontaminate_cosine(COSINE_NEAR_DUP, src_cte="embx")}
