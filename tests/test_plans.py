@@ -178,7 +178,6 @@ def test_copurchase_pairs_partial_agg(spark):
         "training_token_packing",
         # r11: islands lag/cumsum partitioned by doc_id
         "dedup_substring_spans",
-        "documents_gopher_repetition",
     ],
 )
 def test_windows_partitioned(spark, name):
@@ -386,3 +385,13 @@ def test_holt_recursion_input_is_reduced_series(spark):
         .first()["n"]
     )
     assert df.count() <= n_months + 1
+
+
+def test_gopher_repetition_no_shuffle(spark):
+    """r11: every Gopher repetition signal is a function of one
+    document, so the operator must be a pure row-local map — no
+    Exchange, no Window, no Join anywhere in the plan (the first
+    version shuffled the corpus gram stream three times)."""
+    plan = plan_of(spark, "documents_gopher_repetition")
+    for marker in ("Exchange", "Window", "Join"):
+        assert marker not in plan, f"{marker} in plan:\n{plan[:2000]}"

@@ -2847,47 +2847,79 @@ def hard_negative_mining(
 
 def sql_hard_negative_mining(
     query_sample_target: int | None = QUERY_SAMPLE_TARGET,
+    dim: int = 64,
 ) -> str:
-    """DuckDB twin of :func:`hard_negative_mining`."""
+    """DuckDB twin of :func:`hard_negative_mining`, in the repo's
+    native-prefilter shape (the _embd_cte / exact-top-k pattern that
+    keeps quadratic embedding oracles inside the sf1 gate budget —
+    the plain all-pairs fold version timed the gate out at 10x rows):
+    ONE vectorized ``array_inner_product`` pass computes each query's
+    native extremes for BOTH sides, the exact lambda-fold cosine
+    re-scores only candidates within 5e-6 of an extreme (fold-vs-
+    native error ~1e-13, so nothing that could win or tie after 6-dp
+    rounding is ever excluded), and the final max/min + lowest-id
+    tie-break runs on the fold values."""
     from uber_data_pipeline_spark.functions.vectors import cosine_duck
 
+    ncos = "array_inner_product(q.earr, c.earr) / (q.nrm * c.nrm)"
     cos = cosine_duck("q.embedding", "c.embedding")
     return f"""
         WITH {sql_query_sample_cte("qgate", query_sample_target)},
-        pairs AS (
-            SELECT q.vec_id AS qid, q.label AS qlab,
-                   c.vec_id AS nid, (c.label = q.label) AS same,
-                   {cos} AS cos
-            FROM embeddings q
-            JOIN qgate USING (vec_id)
-            JOIN embeddings c ON c.vec_id != q.vec_id
+        hembd AS MATERIALIZED (
+            SELECT vec_id, label, embedding,
+                   CAST(embedding AS DOUBLE[{dim}]) AS earr,
+                   sqrt(array_inner_product(
+                       CAST(embedding AS DOUBLE[{dim}]),
+                       CAST(embedding AS DOUBLE[{dim}]))) AS nrm
+            FROM embeddings
+        ), qembd AS MATERIALIZED (
+            SELECT h.* FROM hembd h JOIN qgate USING (vec_id)
+        ), ext AS MATERIALIZED (
+            SELECT q.vec_id AS qid,
+                   MAX(CASE WHEN c.label != q.label
+                            THEN {ncos} END) AS nneg,
+                   MIN(CASE WHEN c.label = q.label
+                            THEN {ncos} END) AS npos
+            FROM qembd q JOIN hembd c ON c.vec_id != q.vec_id
+            GROUP BY 1
+        ), negs AS (
+            SELECT q.vec_id AS qid, c.vec_id AS nid, {cos} AS cos
+            FROM qembd q
+            JOIN ext ON ext.qid = q.vec_id
+            JOIN hembd c ON c.vec_id != q.vec_id
+             AND c.label != q.label
+            WHERE {ncos} >= ext.nneg - 5e-6
         ), n1 AS (
-            SELECT qid, MAX(cos) AS neg_cos
-            FROM pairs WHERE NOT same GROUP BY 1
+            SELECT qid, MAX(cos) AS neg_cos FROM negs GROUP BY 1
         ), n2 AS (
-            SELECT p.qid, CAST(MIN(p.nid) AS BIGINT) AS neg_id, n1.neg_cos
-            FROM pairs p JOIN n1
-              ON n1.qid = p.qid AND p.cos = n1.neg_cos AND NOT p.same
+            SELECT g.qid, CAST(MIN(g.nid) AS BIGINT) AS neg_id, n1.neg_cos
+            FROM negs g JOIN n1
+              ON n1.qid = g.qid AND g.cos = n1.neg_cos
             GROUP BY 1, 3
+        ), poss AS (
+            SELECT q.vec_id AS qid, c.vec_id AS nid, {cos} AS cos
+            FROM qembd q
+            JOIN ext ON ext.qid = q.vec_id
+            JOIN hembd c ON c.vec_id != q.vec_id
+             AND c.label = q.label
+            WHERE {ncos} <= ext.npos + 5e-6
         ), p1 AS (
-            SELECT qid, MIN(cos) AS pos_cos
-            FROM pairs WHERE same GROUP BY 1
+            SELECT qid, MIN(cos) AS pos_cos FROM poss GROUP BY 1
         ), p2 AS (
-            SELECT p.qid, CAST(MIN(p.nid) AS BIGINT) AS pos_id, p1.pos_cos
-            FROM pairs p JOIN p1
-              ON p1.qid = p.qid AND p.cos = p1.pos_cos AND p.same
+            SELECT g.qid, CAST(MIN(g.nid) AS BIGINT) AS pos_id, p1.pos_cos
+            FROM poss g JOIN p1
+              ON p1.qid = g.qid AND g.cos = p1.pos_cos
             GROUP BY 1, 3
         )
-        SELECT p.qid AS vec_id,
-               CAST(MAX(p.qlab) AS BIGINT) AS label,
+        SELECT q.vec_id,
+               CAST(q.label AS BIGINT) AS label,
                p2.pos_id, p2.pos_cos, n2.neg_id, n2.neg_cos,
                CAST(CAST(p2.pos_cos AS DECIMAL(12,6))
                     - CAST(n2.neg_cos AS DECIMAL(12,6)) AS DOUBLE)
                    AS margin,
                CAST(n2.neg_cos AS DECIMAL(12,6))
                    >= CAST(p2.pos_cos AS DECIMAL(12,6)) AS is_violation
-        FROM pairs p
-        JOIN n2 ON n2.qid = p.qid
-        JOIN p2 ON p2.qid = p.qid
-        GROUP BY 1, 3, 4, 5, 6
+        FROM qembd q
+        JOIN n2 ON n2.qid = q.vec_id
+        JOIN p2 ON p2.qid = q.vec_id
     """

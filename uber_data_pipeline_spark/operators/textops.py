@@ -2080,95 +2080,103 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
     overlapping duplicates never double-count), denominator n_tokens.
     Everything is integer until the final micro-unit intdiv.
 
-    Scale shape: ONE tagged explode (n in {2,3,5}) feeds one
-    map-side-combined (doc, n, gram) count; top masses reduce per
-    doc; dup-5 marks its position stream through an equi-join on the
-    reduced counts and merges islands in a doc-bounded window. No
-    corpus-global state at all — every aggregate is keyed by doc_id.
+    Scale shape (r11 rewrite): every signal is a function of ONE
+    document, so the whole operator is ROW-LOCAL — sorted-array folds
+    inside whole-stage codegen (run-length max for the top masses;
+    (gram, pos)-sorted fold collecting duplicated positions, then an
+    islands fold for the interval union). ZERO shuffle: the first
+    version's corpus-wide (doc, n, gram) groupBy shuffled the token
+    stream three times and was the heaviest documents entry at sf1
+    (35.7 s); per-doc work is bounded by doc length, which is how a
+    100 TB corpus wants per-document features computed. The DuckDB
+    oracle keeps the relational formulation — semantics equal, two
+    independent derivations.
 
     Columns: doc_id, n_tokens, n_chars, top2_mass_micro,
     top3_mass_micro, dup5_cover_micro, is_repetitive."""
     from uber_data_pipeline_spark.functions.text import TOKENS_SPARK
 
-    def tagged(n: int) -> str:
+    def grams(n: int) -> str:
         return (
             f"CASE WHEN size(tokens) >= {n} THEN "
             f"transform(sequence(1, size(tokens) - {n - 1}), "
-            f"i -> struct({n} AS n, i - 1 AS p, "
-            f"concat_ws(' ', slice(tokens, i, {n})) AS gram)) "
-            "ELSE CAST(array() AS "
-            "array<struct<n:int,p:int,gram:string>>) END"
+            f"i -> concat_ws(' ', slice(tokens, i, {n}))) "
+            "ELSE CAST(array() AS array<string>) END"
         )
 
-    toks = docs.selectExpr(
-        "doc_id",
-        f"{TOKENS_SPARK} AS tokens",
-        "CAST(length(text) AS BIGINT) AS n_chars",
-    ).selectExpr(
-        "doc_id",
-        "tokens",
-        "CAST(size(tokens) AS BIGINT) AS n_tokens",
-        "n_chars",
-    )
-    pos = toks.selectExpr(
-        "doc_id",
-        f"explode(concat({tagged(2)}, {tagged(3)}, {tagged(5)})) AS g",
-    ).select("doc_id", "g.n", "g.p", "g.gram")
-    cnt = pos.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
-    top = (
-        cnt.filter("n IN (2, 3) AND c >= 2")
-        .selectExpr("doc_id", "n", "c * length(gram) AS mass")
-        .groupBy("doc_id")
-        .agg(
-            F.max(F.when(F.col("n") == 2, F.col("mass"))).alias("m2"),
-            F.max(F.when(F.col("n") == 3, F.col("mass"))).alias("m3"),
+    def top_mass(n: int) -> str:
+        run = (
+            "CASE WHEN s.prev IS NOT NULL AND g = s.prev "
+            "THEN s.run + 1 ELSE CAST(1 AS BIGINT) END"
         )
-    )
-    dup5 = (
-        pos.filter("n = 5")
-        .join(
-            cnt.filter("n = 5 AND c >= 2").select("doc_id", "gram"),
-            ["doc_id", "gram"],
+        return (
+            f"aggregate(sort_array({grams(n)}), "
+            "named_struct('prev', CAST(NULL AS STRING), "
+            "'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)), "
+            f"(s, g) -> named_struct('prev', g, 'run', {run}, "
+            f"'best', CASE WHEN {run} >= 2 "
+            f"THEN greatest(s.best, {run} * length(g)) "
+            "ELSE s.best END), "
+            "s -> s.best)"
         )
-        .select("doc_id", "p")
-    )
-    from pyspark.sql import Window
 
-    wo = Window.partitionBy("doc_id").orderBy("p")
-    isl = (
-        dup5.withColumn("prev_p", F.lag("p").over(wo))
-        .withColumn(
-            "brk",
-            F.when(F.col("p") - F.col("prev_p") < 5, F.lit(0)).otherwise(
-                F.lit(1)
-            ),
-        )
-        .withColumn(
-            "island",
-            F.sum("brk").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
-        )
+    # (gram, pos)-sorted fold: positions of 5-grams occurring >= 2
+    # times, in position order after the final sort_array
+    run5 = (
+        "CASE WHEN s.prev IS NOT NULL AND x.gram = s.prev "
+        "THEN s.run + 1 ELSE CAST(1 AS BIGINT) END"
     )
-    cover = (
-        isl.groupBy("doc_id", "island")
-        .agg((F.max("p") - F.min("p") + 5).alias("span"))
-        .groupBy("doc_id")
-        .agg(F.sum("span").cast("long").alias("dup5_tokens"))
+    pairs5 = (
+        "CASE WHEN size(tokens) >= 5 THEN "
+        "sort_array(transform(sequence(1, size(tokens) - 4), "
+        "i -> struct(concat_ws(' ', slice(tokens, i, 5)) AS gram, "
+        "i - 1 AS p))) "
+        "ELSE CAST(array() AS array<struct<gram:string,p:int>>) END"
+    )
+    dup_positions = (
+        f"sort_array(aggregate({pairs5}, "
+        "named_struct('prev', CAST(NULL AS STRING), "
+        "'prevp', CAST(0 AS INT), 'run', CAST(0 AS BIGINT), "
+        "'ps', CAST(array() AS array<int>)), "
+        f"(s, x) -> named_struct('prev', x.gram, 'prevp', x.p, "
+        f"'run', {run5}, "
+        f"'ps', CASE WHEN {run5} = 2 THEN concat(s.ps, array(s.prevp, x.p)) "
+        f"WHEN {run5} > 2 THEN concat(s.ps, array(x.p)) "
+        "ELSE s.ps END), "
+        "s -> s.ps))"
+    )
+    # islands fold over the ordered duplicated positions: interval
+    # union of [p, p+4], islands split when the gap reaches 5
+    dup_cover = (
+        f"aggregate({dup_positions}, "
+        "named_struct('prevp', CAST(NULL AS INT), "
+        "'start', CAST(0 AS INT), 'tok', CAST(0 AS BIGINT)), "
+        "(s, p) -> named_struct('prevp', p, "
+        "'start', CASE WHEN s.prevp IS NULL OR p - s.prevp >= 5 "
+        "THEN p ELSE s.start END, "
+        "'tok', CASE WHEN s.prevp IS NOT NULL AND p - s.prevp >= 5 "
+        "THEN s.tok + CAST(s.prevp - s.start + 5 AS BIGINT) "
+        "ELSE s.tok END), "
+        "s -> CASE WHEN s.prevp IS NULL THEN CAST(0 AS BIGINT) "
+        "ELSE s.tok + CAST(s.prevp - s.start + 5 AS BIGINT) END)"
     )
     return (
-        toks.select("doc_id", "n_tokens", "n_chars")
-        .join(top, "doc_id", "left")
-        .join(cover, "doc_id", "left")
+        docs.selectExpr(
+            "doc_id",
+            f"{TOKENS_SPARK} AS tokens",
+            "CAST(length(text) AS BIGINT) AS n_chars",
+        )
         .selectExpr(
             "doc_id",
-            "n_tokens",
+            "CAST(size(tokens) AS BIGINT) AS n_tokens",
             "n_chars",
-            "CAST(coalesce(m2, 0) * 1000000 DIV n_chars AS BIGINT)"
+            f"CAST({top_mass(2)} * 1000000 DIV n_chars AS BIGINT)"
             " AS top2_mass_micro",
-            "CAST(coalesce(m3, 0) * 1000000 DIV n_chars AS BIGINT)"
+            f"CAST({top_mass(3)} * 1000000 DIV n_chars AS BIGINT)"
             " AS top3_mass_micro",
-            "CASE WHEN n_tokens > 0 THEN "
-            "CAST(coalesce(dup5_tokens, 0) * 1000000 DIV n_tokens AS BIGINT)"
-            " ELSE CAST(0 AS BIGINT) END AS dup5_cover_micro",
+            "CASE WHEN size(tokens) > 0 THEN "
+            f"CAST({dup_cover} * 1000000 DIV size(tokens) AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END AS dup5_cover_micro",
         )
         .selectExpr(
             "*",
