@@ -317,9 +317,22 @@ def test_stratum_sample_broadcasts_counts(spark):
 def test_snm_rank_is_range_partitioned(spark):
     """dedup_sorted_neighborhood's global rank must run on a RANGE
     exchange (the distributed-rank pattern) — a corpus-sized single
-    window partition would serialize the sort on one reducer."""
+    window partition would serialize the sort on one reducer. The
+    operator localCheckpoints the ranked relation (truncating it out
+    of the final plan), so the exchange shape is asserted on the
+    factored _snm_local builder; the pair-join shape on the product
+    plan."""
+    from uber_data_pipeline_spark.operators.dedup import _snm_local
+    from uber_data_pipeline_spark.queries.training import _docs
+
+    rank_plan = (
+        _snm_local(_docs(spark, SF_DIR))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in rank_plan.lower(), rank_plan[:2000]
     plan = plan_of(spark, "dedup_sorted_neighborhood")
-    assert "rangepartitioning" in plan.lower(), plan[:2000]
     # the neighborhood pair join is an equi-join on pos, never a
     # nested-loop band join
     assert "BroadcastNestedLoopJoin" not in plan

@@ -1467,6 +1467,40 @@ def sql_lsh_tuning_report(
 SNM_WINDOW = 4
 
 
+def _snm_local(docs: DataFrame) -> DataFrame:
+    """The UNMATERIALIZED per-range rank relation behind
+    :func:`sorted_neighborhood_pairs` — factored out so the plan test
+    can assert the RANGE exchange + per-range row_number shape, which
+    the operator's localCheckpoint otherwise truncates out of the
+    final executed plan."""
+    from pyspark.sql import Window
+
+    sh = docs.selectExpr(
+        "doc_id",
+        f"{TOKENS_SPARK} AS tokens",
+    ).selectExpr(
+        "doc_id",
+        # coalesce: short docs yield NULL prefix tokens, and the two
+        # engines disagree on NULL sort placement (Spark NULLS FIRST,
+        # DuckDB NULLS LAST) — '' sorts first in both
+        # try_element_at: plain element_at throws on out-of-bounds
+        # under Spark 4's default ANSI mode (1-token documents)
+        *[
+            f"coalesce(try_element_at(tokens, {i}), '') AS k{i}"
+            for i in (1, 2, 3)
+        ],
+        f"array_distinct({shingles_spark('tokens')}) AS sh",
+    )
+    key = [F.col("k1"), F.col("k2"), F.col("k3"), F.col("doc_id")]
+    ranged = sh.repartitionByRange(*key).withColumn(
+        "part", F.spark_partition_id()
+    )
+    return ranged.withColumn(
+        "local_rank",
+        F.row_number().over(Window.partitionBy("part").orderBy(*key)),
+    )
+
+
 def sorted_neighborhood_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -1502,45 +1536,22 @@ def sorted_neighborhood_pairs(
     jaccard >= ``threshold``."""
     from pyspark.sql import Window
 
-    sh = docs.selectExpr(
-        "doc_id",
-        f"{TOKENS_SPARK} AS tokens",
-    ).selectExpr(
-        "doc_id",
-        # coalesce: short docs yield NULL prefix tokens, and the two
-        # engines disagree on NULL sort placement (Spark NULLS FIRST,
-        # DuckDB NULLS LAST) — '' sorts first in both
-        # try_element_at: plain element_at throws on out-of-bounds
-        # under Spark 4's default ANSI mode (1-token documents)
-        *[
-            f"coalesce(try_element_at(tokens, {i}), '') AS k{i}"
-            for i in (1, 2, 3)
-        ],
-        f"array_distinct({shingles_spark('tokens')}) AS sh",
-    )
-    key = [F.col("k1"), F.col("k2"), F.col("k3"), F.col("doc_id")]
-    ranged = sh.repartitionByRange(*key).withColumn(
-        "part", F.spark_partition_id()
-    )
-    # The materialization boundary is load-bearing, not a performance
-    # hint: local ranks and per-range offsets both consume this
-    # relation, and without it each branch re-executes the range
-    # exchange independently — AQE may coalesce the two executions
-    # into DIFFERENT partition layouts, so 'part' in the offsets
-    # branch no longer names the same range as 'part' in the rank
-    # branch and global positions silently skew (caught by the sf1
-    # gate: 106 vs 2560 pairs at 10x rows; both branches reading one
-    # materialized partitioning restores exactness at any scale).
+    # The materialization boundary on _snm_local is load-bearing, not
+    # a performance hint: local ranks and per-range offsets both
+    # consume that relation, and without it each branch re-executes
+    # the range exchange independently — AQE may coalesce the two
+    # executions into DIFFERENT partition layouts, so 'part' in the
+    # offsets branch no longer names the same range as 'part' in the
+    # rank branch and global positions silently skew (caught by the
+    # sf1 gate: 106 vs 2560 pairs at 10x rows; both branches reading
+    # one materialized partitioning restores exactness at any scale).
     # localCheckpoint, not cache (ADVICE r10): a cache() here could
     # never be unpersisted inside the operator (the caller triggers
     # the action after we return) and leaked a corpus-sized relation
     # in executor memory per invocation; the checkpointed RDD's
     # lifecycle is GC-bounded and the single-materialization (and
-    # fixed-layout) guarantee is strictly stronger
-    local = ranged.withColumn(
-        "local_rank",
-        F.row_number().over(Window.partitionBy("part").orderBy(*key)),
-    ).localCheckpoint()
+    # fixed-layout) guarantee is strictly stronger.
+    local = _snm_local(docs).localCheckpoint()
     offsets = (
         local.groupBy("part")
         .agg(F.count("*").alias("cnt"))

@@ -782,29 +782,30 @@ def parts_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal (order-free), and the damping mix is two scalar IEEE ops
     on the identical decimal sum — bit-equal in both engines.
 
-    Scale shape: edge building shuffles on l_orderkey (bounded ~7
-    lines/order so pair blowup is O(k²) small-constant); outdeg and
-    the contribution sum are map-side-combined groupBys on part keys;
-    no windows, no broadcast of anything unbounded."""
+    Scale shape (r11: the iterated variant's edge build, backported):
+    per-order part SETS expand row-locally into directed pairs (one
+    l_orderkey groupBy instead of the former self-join's
+    exchange+join; blowup bounded by lines-per-order k² exactly like
+    the join form), and ONE collect_set aggregate both dedups the
+    edges AND materializes the out-neighbor arrays — outdeg IS the
+    array size, so the former distinct + outdeg-count + join-back
+    chain (two extra |E| shuffles) is gone. Contributions regenerate
+    row-locally with one explode; the contribution sum is a
+    map-side-combined groupBy on part keys; no windows, no broadcast
+    of anything unbounded."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    sets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
     )
-    # NOT cached: both consumers share the identical distinct subtree,
-    # so Spark's ReuseExchange already materializes it once in the
-    # shuffle — an explicit cache measured SLOWER (extra memory
-    # serialization on top of the reused exchange). In an iterated
-    # deployment the edge table is persisted once outside the loop.
-    edges = pairs.distinct()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    contrib = edges.join(outdeg, "src").selectExpr(
-        "dst", "CAST(1.0 / outdeg AS DECIMAL(20,12)) AS contrib"
+    pairs = sets.selectExpr(
+        "explode(flatten(transform(ps, x -> "
+        "transform(filter(ps, y -> y != x), "
+        "y -> struct(x AS src, y AS dst))))) AS e"
+    ).select("e.src", "e.dst")
+    deg = pairs.groupBy("src").agg(F.collect_set("dst").alias("dsts"))
+    contrib = deg.selectExpr(
+        "explode(dsts) AS dst",
+        "CAST(1.0 / size(dsts) AS DECIMAL(20,12)) AS contrib",
     )
     return (
         contrib.groupBy(F.col("dst").alias("part_key"))

@@ -721,6 +721,9 @@ SCALAR_BROADCAST = {
     # r11: per-round 1-row winning-pair + 1-row unit-total broadcasts
     # crossJoined into the per-round report rows
     "text_bpe_train_iterated",
+    # r11: 1-row COUNT broadcast deriving the query-sample modulus
+    # in-plan (the recall-gate class)
+    "embeddings_hard_negatives",
     # bm25's 1-row (N, avgdl) stats + the 1-row query embedding
     # broadcast onto bounded candidate relations
     "text_hybrid_search",
