@@ -413,6 +413,52 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day (rolling WAU) plus that
+    day's DAU and the DAU/WAU stickiness ratio — the engagement
+    trendline behind every product dashboard. Distinct-over-a-sliding-
+    window is the one aggregate a window FRAME cannot express
+    (COUNT(DISTINCT) isn't frameable), so the plan uses the
+    contribution-replication form: reduce to distinct (user, day)
+    FIRST, then each reduced row contributes to the 7 target days
+    [day, day+6] via one row-local explode (constant x7 replication of
+    the REDUCED relation, never the raw stream), and a two-phase
+    countDistinct folds contributions per target day. Target days are
+    restricted to days with events (broadcast semi-join on the tiny
+    day dimension).
+
+    Determinism: all integers; the ratio is ONE division of exact ints
+    (both < 2^53), identical in both engines.
+
+    Columns: day, dau, wau, stickiness (round 6)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.to_date("ts").alias("day")
+    )
+    ud = ev.distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.selectExpr(
+        "user_id",
+        "explode(sequence(day, date_add(day, 6))) AS tday",
+    )
+    wau = (
+        contrib.join(
+            F.broadcast(days.selectExpr("day AS tday")), "tday"
+        )
+        .groupBy("tday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(wau, dau.day == wau.tday)
+        .selectExpr(
+            "day",
+            "CAST(dau AS BIGINT) AS dau",
+            "CAST(wau AS BIGINT) AS wau",
+            "round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness",
+        )
+    )
+
+
 def events_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/MAU stickiness per month — the engagement-ratio report
     every product-analytics warehouse ships.
@@ -954,6 +1000,9 @@ QUERIES = {
     "events_new_vs_returning": events_new_vs_returning,
     "events_profile_similarity": events_profile_similarity,
     "events_user_stickiness": events_user_stickiness,
+    # r11: trailing 7-day distinct (rolling WAU) via contribution
+    # replication of the reduced (user, day) relation
+    "events_rolling_wau": events_rolling_wau,
     "events_json_kpis": events_json_kpis,
     "events_variant_kpis": events_variant_kpis,
     "events_hll_distinct": events_hll_distinct,
@@ -1123,6 +1172,31 @@ ORACLES = {
                    AS BIGINT) AS returning_users
         FROM active JOIN first_seen USING (user_id)
         GROUP BY 1
+    """,
+    "events_rolling_wau": """
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS day
+            FROM events
+        ), days AS (
+            SELECT DISTINCT day FROM ud
+        ), contrib AS (
+            SELECT u.user_id,
+                   CAST(u.day + CAST(r.i AS INT) AS DATE) AS tday
+            FROM ud u, (SELECT unnest(range(0, 7)) AS i) r
+        ), wau AS (
+            SELECT c.tday, COUNT(DISTINCT c.user_id) AS wau
+            FROM contrib c JOIN days d ON d.day = c.tday
+            GROUP BY 1
+        ), dau AS (
+            SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1
+        )
+        SELECT d.day,
+               CAST(d.dau AS BIGINT) AS dau,
+               CAST(w.wau AS BIGINT) AS wau,
+               round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+        FROM dau d JOIN wau w ON w.tday = d.day
     """,
     "events_user_stickiness": """
         WITH daily AS (
