@@ -305,3 +305,31 @@ def test_drift_report_hand(spark):
     assert src["tvd_micro"] == 0
     # all texts are 4 chars -> one len bucket, zero drift
     assert out["len_bucket"]["tvd_micro"] == 0
+
+
+def test_theilsen_hand(spark, tmp_path):
+    """Hand-computed Theil-Sen: a clean line y = 10t + 100 with one
+    wild outlier month — the median slope must stay 10 exactly (OLS
+    would not)."""
+    import datetime
+
+    from uber_data_pipeline_spark.queries.tpch_extra import orders_theilsen_trend
+
+    rows = []
+    k = 0
+    for t, y in [(0, 100.0), (1, 110.0), (2, 120.0), (3, 999.0), (4, 140.0)]:
+        # one order per month carrying the month's whole revenue
+        rows.append(
+            (k, y, datetime.datetime(2024, 1 + t, 1))
+        )
+        k += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = orders_theilsen_trend(spark, str(tmp_path)).collect()[0]
+    assert out["n_months"] == 5 and out["n_pairs"] == 10
+    # slopes: 8 of 10 pairs are exactly 10 except those touching t=3
+    # (299.67, 289.5, 293, 859 and -859/... ) -> median of sorted list
+    # is 10 (positions 5 and 6 both 10)
+    assert out["slope"] == 10.0
+    assert out["intercept"] == 100.0

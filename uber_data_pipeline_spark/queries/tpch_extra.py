@@ -977,6 +977,110 @@ _HOLT_RECURRENCE = """
 """
 
 
+def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend over the corpus monthly revenue series —
+    the outlier-resistant regression line (median of all pairwise
+    slopes; Sen 1968) next to Holt's smoothing and the lm-fit tiers:
+    one contaminated month barely moves it where OLS swings.
+
+    Determinism: the series reduces to (month ordinal t, decimal-exact
+    revenue y cast to double); every pairwise slope is ONE IEEE
+    division of identical doubles; medians are sort + middle element
+    (odd) or the exact mean of the two middle elements (even — the
+    same interpolation DuckDB's median() applies to doubles), and the
+    intercept is the median of (y_i - slope * t_i) per Sen's
+    estimator. All pair work happens ROW-LOCALLY on the collected
+    span-bounded series (T months -> T(T-1)/2 slopes, control-plane
+    sized at any corpus scale — the same reduced-series contract as
+    orders_forecast_holt).
+
+    Columns: n_months, n_pairs, slope, intercept (round 6)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("y")
+    )
+    series = monthly.agg(
+        F.expr("sort_array(collect_list(struct(m, y))) AS s")
+    ).selectExpr(
+        "CAST(size(s) AS BIGINT) AS n_months",
+        "transform(s, x -> CAST(months_between(x.m, s[0].m) AS DOUBLE))"
+        " AS ts",
+        "transform(s, x -> x.y) AS ys",
+    )
+
+    def median(arr: str) -> str:
+        return (
+            f"CASE WHEN size({arr}) % 2 = 1 "
+            f"THEN element_at(sort_array({arr}),"
+            f" CAST((size({arr}) + 1) DIV 2 AS INT)) "
+            f"ELSE (element_at(sort_array({arr}),"
+            f" CAST(size({arr}) DIV 2 AS INT)) "
+            f"+ element_at(sort_array({arr}),"
+            f" CAST(size({arr}) DIV 2 + 1 AS INT)))"
+            " / 2 END"
+        )
+
+    slopes = (
+        "flatten(transform(sequence(1, CAST(n_months AS INT) - 1), "
+        "i -> transform(sequence(i + 1, CAST(n_months AS INT)), "
+        "j -> (element_at(ys, j) - element_at(ys, i)) "
+        "/ (element_at(ts, j) - element_at(ts, i)))))"
+    )
+    with_slope = series.selectExpr(
+        "n_months",
+        "ts",
+        "ys",
+        f"CAST(size({slopes}) AS BIGINT) AS n_pairs",
+        f"{median(slopes)} AS slope",
+    )
+    resid = (
+        "transform(sequence(1, CAST(n_months AS INT)), "
+        "i -> element_at(ys, i) - slope * element_at(ts, i))"
+    )
+    return with_slope.selectExpr(
+        "n_months",
+        "n_pairs",
+        "round(slope, 6) AS slope",
+        f"round({median(resid)}, 6) AS intercept",
+    )
+
+
+def sql_orders_theilsen_trend() -> str:
+    """DuckDB twin of :func:`orders_theilsen_trend` — relational pair
+    join over the reduced monthly series; median() on doubles is the
+    same middle-two interpolation the Spark fold computes."""
+    return """
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                        AS DOUBLE) AS y
+            FROM orders GROUP BY 1
+        ), idx AS (
+            SELECT CAST(date_diff('month',
+                       (SELECT MIN(m) FROM monthly), m) AS DOUBLE) AS t,
+                   y
+            FROM monthly
+        ), slopes AS (
+            SELECT (b.y - a.y) / (b.t - a.t) AS sl
+            FROM idx a JOIN idx b ON b.t > a.t
+        ), sl AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   median(sl) AS slope
+            FROM slopes
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM monthly) AS n_months,
+               sl.n_pairs,
+               round(sl.slope, 6) AS slope,
+               round(median(i.y - sl.slope * i.t), 6) AS intercept
+        FROM idx i, sl
+        GROUP BY 2, 3, sl.slope
+    """
+
+
 def orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt's linear-trend exponential smoothing (alpha = beta = 1/2)
     over the corpus monthly revenue series — the time-series
@@ -1540,6 +1644,7 @@ QUERIES = {
     "parts_pagerank_iterated": parts_pagerank_iterated,
     "parts_label_propagation": parts_label_propagation,
     "orders_forecast_holt": orders_forecast_holt,
+    "orders_theilsen_trend": orders_theilsen_trend,
     "basket_association_rules": basket_association_rules,
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q8_market_share": tpch_q8_market_share,
@@ -2035,3 +2140,4 @@ ORACLES["orders_gapfill_rcte"] = ORACLES["orders_daily_gapfill"]
 
 ORACLES["lineitem_corr_matrix"] = _sql_corr()
 ORACLES["orders_benford_audit"] = sql_orders_benford_audit()
+ORACLES["orders_theilsen_trend"] = sql_orders_theilsen_trend()
