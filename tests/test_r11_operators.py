@@ -333,3 +333,32 @@ def test_theilsen_hand(spark, tmp_path):
     # is 10 (positions 5 and 6 both 10)
     assert out["slope"] == 10.0
     assert out["intercept"] == 100.0
+
+
+def test_user_gini_hand(spark, tmp_path):
+    """Hand-computed Gini: perfectly equal counts -> 0; one whale
+    holding (almost) everything -> near 1."""
+    import datetime
+
+    from uber_data_pipeline_spark.queries.events import events_user_gini
+
+    t = datetime.datetime(2024, 1, 1)
+
+    def write(counts):
+        rows = []
+        eid = 0
+        for uid, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, uid, t, "click"))
+                eid += 1
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    write([4, 4, 4, 4])  # equal: G = 0
+    out = events_user_gini(spark, str(tmp_path)).collect()[0]
+    assert (out["n_users"], out["total_events"], out["gini"]) == (4, 16, 0.0)
+
+    write([1, 1, 1, 97])  # whale: G = 2*(1+2+3+4*97)/(4*100) - 5/4 = 0.72
+    out = events_user_gini(spark, str(tmp_path)).collect()[0]
+    assert out["gini"] == 0.72

@@ -459,6 +459,69 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event volume — the engagement-
+    inequality audit (is activity spread across users or carried by a
+    whale tail?): G = 2 * sum(i * x_(i)) / (n * sum(x)) - (n + 1) / n
+    over counts sorted ascending (ties broken by user_id — a total
+    order, so the rank-weighted sum is identical cross-engine).
+
+    Scale shape: the fact stream reduces to one row per user FIRST
+    (map-side-combined count); the global ascending rank over that
+    REDUCED relation uses the distributed-rank pattern proven by
+    dedup_sorted_neighborhood — repartitionByRange clusters users by
+    (count, user_id) range, row_number runs per physical range, and
+    per-range offsets come from a window over the n_partitions-row
+    count relation — never a corpus-sized single window partition.
+    All sums are exact integers; the two final divisions are the only
+    doubles.
+
+    Columns: n_users, total_events, gini (round 6)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("x"))
+    key = [F.col("x"), F.col("user_id")]
+    ranged = per_user.repartitionByRange(*key).withColumn(
+        "part", F.spark_partition_id()
+    )
+    from pyspark.sql import Window
+
+    local = ranged.withColumn(
+        "local_rank",
+        F.row_number().over(Window.partitionBy("part").orderBy(*key)),
+    ).localCheckpoint()
+    offsets = (
+        local.groupBy("part")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("part").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("part", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "part")
+        .selectExpr("x", "offset + local_rank AS i")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("x").cast("long").alias("total_events"),
+            F.sum(F.expr("i * x")).cast("long").alias("s1"),
+        )
+        .selectExpr(
+            "n_users",
+            "total_events",
+            "round(CAST(2 * s1 AS DOUBLE) / (n_users * total_events)"
+            " - CAST(n_users + 1 AS DOUBLE) / n_users, 6) AS gini",
+        )
+    )
+
+
 def events_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/MAU stickiness per month — the engagement-ratio report
     every product-analytics warehouse ships.
@@ -1003,6 +1066,9 @@ QUERIES = {
     # r11: trailing 7-day distinct (rolling WAU) via contribution
     # replication of the reduced (user, day) relation
     "events_rolling_wau": events_rolling_wau,
+    # r11: engagement-inequality Gini over the reduced per-user
+    # counts (distributed-rank, never a global window partition)
+    "events_user_gini": events_user_gini,
     "events_json_kpis": events_json_kpis,
     "events_variant_kpis": events_variant_kpis,
     "events_hll_distinct": events_hll_distinct,
@@ -1172,6 +1238,20 @@ ORACLES = {
                    AS BIGINT) AS returning_users
         FROM active JOIN first_seen USING (user_id)
         GROUP BY 1
+    """,
+    "events_user_gini": """
+        WITH per_user AS (
+            SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1
+        ), ranked AS (
+            SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i
+            FROM per_user
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(x) AS BIGINT) AS total_events,
+               round(CAST(2 * SUM(i * x) AS DOUBLE)
+                     / (COUNT(*) * SUM(x))
+                     - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
+        FROM ranked
     """,
     "events_rolling_wau": """
         WITH ud AS (
