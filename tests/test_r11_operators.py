@@ -362,3 +362,96 @@ def test_user_gini_hand(spark, tmp_path):
     write([1, 1, 1, 97])  # whale: G = 2*(1+2+3+4*97)/(4*100) - 5/4 = 0.72
     out = events_user_gini(spark, str(tmp_path)).collect()[0]
     assert out["gini"] == 0.72
+
+
+# ------------------------------------------------ r11 review fixes
+
+
+def test_theilsen_degenerate_series(spark, tmp_path):
+    """A 1-month series must return a row with NULL slope/intercept
+    (matching DuckDB's median-of-nothing), not crash on descending
+    sequence() indexing under ANSI."""
+    import datetime
+
+    from uber_data_pipeline_spark.queries.tpch_extra import orders_theilsen_trend
+
+    spark.createDataFrame(
+        [(0, 100.0, datetime.datetime(2024, 1, 15))],
+        "o_orderkey long, o_totalprice double, o_orderdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = orders_theilsen_trend(spark, str(tmp_path)).collect()[0]
+    assert (out["n_months"], out["n_pairs"]) == (1, 0)
+    assert out["slope"] is None and out["intercept"] is None
+
+
+def test_join_forecast_disjoint_keys_zero_parity(spark):
+    """Disjoint key sets: ratios must be 0.0 (the DuckDB twin's
+    NULLIF behavior), never NaN or an ANSI divide error."""
+    from uber_data_pipeline_spark.operators.shares import join_size_forecast
+
+    left = spark.createDataFrame([(1,), (2,)], "k long")
+    right = spark.createDataFrame([(10,), (11,)], "k long")
+    out = join_size_forecast(left, "k", right, "k").collect()[0]
+    assert out["n_matched_keys"] == 0 and out["join_rows"] == 0
+    assert out["top1_share"] == 0.0
+    assert out["skew_ratio"] == 0.0
+    assert out["blowup"] == 0.0
+
+
+def test_commit_snapshot_refuses_branch_owned_version(spark, tmp_path):
+    """Main commits must not clobber a manifest a branch committed
+    (the commit_to_branch guard was one-sided)."""
+    import pytest
+
+    from uber_data_pipeline_spark.sources import snapshots
+
+    root = str(tmp_path / "lake")
+    snapshots.commit_snapshot(
+        spark.range(3).withColumnRenamed("id", "k"), root, 0
+    )
+    snapshots.create_branch(root, "exp", 0)
+    snapshots.commit_to_branch(
+        spark.range(5, 7).withColumnRenamed("id", "k"),
+        root, "exp", 5, mode="append",
+    )
+    with pytest.raises(FileExistsError):
+        snapshots.commit_snapshot(
+            spark.range(9).withColumnRenamed("id", "k"), root, 5,
+            mode="overwrite",
+        )
+    # main re-publishing its OWN version stays allowed
+    snapshots.commit_snapshot(
+        spark.range(4).withColumnRenamed("id", "k"), root, 0,
+        mode="overwrite",
+    )
+
+
+def test_pq_seed_codes_ranked_before_explode(spark):
+    """Seed codes must be 0..7 per subspace (one per seed), not 0..31
+    on unspecified post-explode tie order."""
+    from uber_data_pipeline_spark.operators.similarity import _pq_init_book
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = _pq_init_book(emb).collect()
+    by_s: dict = {}
+    for r in rows:
+        by_s.setdefault(r["s"], []).append(r["code"])
+    assert set(by_s) == {0, 1, 2, 3}
+    for codes in by_s.values():
+        assert sorted(codes) == list(range(8))
+
+
+def test_uncompressed_cache_scope_restores_and_serializes(spark):
+    """The conf flip is restored on error and nested/concurrent use
+    can never record a temporary 'false' as the previous value."""
+    import pytest
+
+    from uber_data_pipeline_spark.queries.tpch_extra import _uncompressed_cache
+
+    key = "spark.sql.inMemoryColumnarStorage.compressed"
+    spark.conf.set(key, "true")
+    with pytest.raises(RuntimeError):
+        with _uncompressed_cache(spark):
+            assert spark.conf.get(key) == "false"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == "true"

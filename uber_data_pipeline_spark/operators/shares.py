@@ -210,18 +210,27 @@ def join_size_forecast(left, lkey: str, right, rkey: str):
         "n_matched_keys",
         "CAST(coalesce(join_rows, 0) AS BIGINT) AS join_rows",
         "CAST(coalesce(max_key_rows, 0) AS BIGINT) AS max_key_rows",
-        "round(coalesce(max_key_rows / join_rows, 0.0D), 6) AS top1_share",
-        "round(coalesce(join_rows / (n_left + n_right), 0.0D), 6)"
+        # try_divide (r11 review): on disjoint/empty inputs the sums
+        # are NULL (never a literal 0 — per-key counts are >= 1), so
+        # plain division cannot actually hit ANSI DIVIDE_BY_ZERO here,
+        # but try_divide makes the 0.0 parity with the NULLIF'd DuckDB
+        # twin robust to any future path that materializes a zero
+        "round(coalesce(try_divide(max_key_rows, join_rows), 0.0D), 6)"
+        " AS top1_share",
+        "round(coalesce(try_divide(join_rows, n_left + n_right), 0.0D), 6)"
         " AS blowup",
         # divide BEFORE multiplying: (max * n_matched_keys) as a
         # bigint product overflows long before the double ratio does
-        "round(coalesce(max_key_rows / CAST(join_rows AS DOUBLE), 0.0D)"
+        "round(coalesce(try_divide(max_key_rows,"
+        " CAST(join_rows AS DOUBLE)), 0.0D)"
         " * n_matched_keys, 6) AS skew_ratio",
         f"CASE WHEN n_right <= {JOIN_FORECAST_BROADCAST_ROWS}"
         f" THEN 'broadcast-right'"
-        f" WHEN round(coalesce(max_key_rows / join_rows, 0.0D), 6)"
+        f" WHEN round(coalesce(try_divide(max_key_rows, join_rows),"
+        f" 0.0D), 6)"
         f" >= {JOIN_FORECAST_SALT_SHARE} THEN 'salt-hot-keys'"
-        f" WHEN round(coalesce(join_rows / (n_left + n_right), 0.0D), 6)"
+        f" WHEN round(coalesce(try_divide(join_rows,"
+        f" n_left + n_right), 0.0D), 6)"
         f" >= {JOIN_FORECAST_BLOWUP} THEN 'pre-aggregate'"
         f" ELSE 'hash-shuffle' END AS plan_hint",
     )

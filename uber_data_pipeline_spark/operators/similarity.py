@@ -1176,9 +1176,17 @@ def _pq_init_book(emb: DataFrame) -> DataFrame:
         emb.selectExpr("vec_id", "embedding", f"{h} AS h")
         .orderBy("h", "vec_id")
         .limit(PQ_CODEBOOK)
+        # code must be ranked BEFORE the subspace explode: a window in
+        # the same select as explode() evaluates over the post-explode
+        # rows (r11 review catch — codes came out 0..31 on unspecified
+        # tie order instead of 0..7 per seed)
         .selectExpr(
             "CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT)"
             " AS code",
+            "embedding",
+        )
+        .selectExpr(
+            "code",
             f"explode(sequence(0, {PQ_SUBSPACES - 1})) AS s",
             "embedding",
         )
@@ -1253,17 +1261,22 @@ def sql_pq_encode() -> str:
                  (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s) AS s
         ), seeds AS (
             -- 8 hash-first embeddings (train_sample's affine hash),
-            -- codes 0..7 in hash order — the Spark twin's seed draw
-            SELECT vec_id, embedding,
-                   (({QS_HASH_A} * (vec_id % {QS_HASH_MOD})
-                     + {TR_HASH_B}) % {QS_HASH_MOD}) AS h
-            FROM embeddings
-            ORDER BY h, vec_id
-            LIMIT {PQ_CODEBOOK}
-        ), book AS (
+            -- codes 0..7 ranked BEFORE the subspace cross join (the
+            -- post-join window ranked 32 tied rows on unspecified
+            -- enumeration order — r11 review catch)
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1
                         AS BIGINT) AS code,
-                   s.s, embedding[{lo}:{hi}] AS csub
+                   embedding
+            FROM (
+                SELECT vec_id, embedding,
+                       (({QS_HASH_A} * (vec_id % {QS_HASH_MOD})
+                         + {TR_HASH_B}) % {QS_HASH_MOD}) AS h
+                FROM embeddings
+                ORDER BY h, vec_id
+                LIMIT {PQ_CODEBOOK}
+            )
+        ), book AS (
+            SELECT code, s.s, embedding[{lo}:{hi}] AS csub
             FROM seeds,
                  (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s) AS s
         ), scored AS (

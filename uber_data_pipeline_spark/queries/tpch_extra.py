@@ -15,6 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import contextlib
+import threading
+
 from uber_data_pipeline_spark.catalog import load_table
 from uber_data_pipeline_spark.operators import temporal
 from uber_data_pipeline_spark.operators.shares import (
@@ -875,21 +878,18 @@ def parts_pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate.
     # uncompressed cache: columnar codecs buy ~nothing on high-entropy
     # bigint neighbor arrays but triple the materialization wall (see
-    # _lpa_from_lineitem); flag is captured at cache() call
-    spark = li.sparkSession
-    _prev = spark.conf.get("spark.sql.inMemoryColumnarStorage.compressed", "true")
-    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
-    deg = (
-        pairs.groupBy("src")
-        .agg(F.collect_set("dst").alias("dsts"))
-        .selectExpr(
-            "src",
-            "CAST(1.0 / size(dsts) AS DECIMAL(13,12)) AS recip",
-            "dsts",
+    # _uncompressed_cache)
+    with _uncompressed_cache(li.sparkSession):
+        deg = (
+            pairs.groupBy("src")
+            .agg(F.collect_set("dst").alias("dsts"))
+            .selectExpr(
+                "src",
+                "CAST(1.0 / size(dsts) AS DECIMAL(13,12)) AS recip",
+                "dsts",
+            )
+            .cache()
         )
-        .cache()
-    )
-    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", _prev)
     ranks = None  # r0 = 1.0 implicitly
     prev = None
     for _ in range(PAGERANK_ITERS):
@@ -1013,8 +1013,12 @@ def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def median(arr: str) -> str:
+        # empty -> NULL (DuckDB median() semantics); the even branch's
+        # element_at(.., 0) would otherwise raise under ANSI on a
+        # degenerate 0/1-month series (r11 review)
         return (
-            f"CASE WHEN size({arr}) % 2 = 1 "
+            f"CASE WHEN size({arr}) = 0 THEN CAST(NULL AS DOUBLE) "
+            f"WHEN size({arr}) % 2 = 1 "
             f"THEN element_at(sort_array({arr}),"
             f" CAST((size({arr}) + 1) DIV 2 AS INT)) "
             f"ELSE (element_at(sort_array({arr}),"
@@ -1024,11 +1028,15 @@ def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / 2 END"
         )
 
+    # n_months < 2 -> no pairs (Spark's sequence(1, 0) is DESCENDING,
+    # so the unguarded loop would index out of bounds under ANSI)
     slopes = (
+        "CASE WHEN n_months >= 2 THEN "
         "flatten(transform(sequence(1, CAST(n_months AS INT) - 1), "
         "i -> transform(sequence(i + 1, CAST(n_months AS INT)), "
         "j -> (element_at(ys, j) - element_at(ys, i)) "
-        "/ (element_at(ts, j) - element_at(ts, i)))))"
+        "/ (element_at(ts, j) - element_at(ts, i))))) "
+        "ELSE CAST(array() AS array<double>) END"
     )
     with_slope = series.selectExpr(
         "n_months",
@@ -1038,8 +1046,10 @@ def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{median(slopes)} AS slope",
     )
     resid = (
+        "CASE WHEN n_months >= 1 THEN "
         "transform(sequence(1, CAST(n_months AS INT)), "
-        "i -> element_at(ys, i) - slope * element_at(ts, i))"
+        "i -> element_at(ys, i) - slope * element_at(ts, i)) "
+        "ELSE CAST(array() AS array<double>) END"
     )
     return with_slope.selectExpr(
         "n_months",
@@ -1168,6 +1178,32 @@ def sql_orders_forecast_holt() -> str:
     )
 
 
+# serializes the conf-flip window below: spark.conf is session-scoped,
+# not thread-local, and bench.py's concurrent mode runs entries from a
+# thread pool over ONE session — without the lock, thread B could read
+# thread A's temporary 'false' as its _prev and "restore" it forever
+_CACHE_CONF_LOCK = threading.Lock()
+
+
+@contextlib.contextmanager
+def _uncompressed_cache(spark: SparkSession):
+    """Scope within which cache() captures compression=OFF: columnar
+    codecs buy ~nothing on high-entropy bigint neighbor arrays but
+    cost 3x the materialization wall (52s vs 18s at 50x, measured on
+    the LPA adjacency). The flag is captured when cache() is CALLED,
+    so the set-and-restore window only needs to cover plan wrapping —
+    try/finally restores on any error, and the lock makes the window
+    atomic under bench.py's shared-session thread pool (r11 review)."""
+    key = "spark.sql.inMemoryColumnarStorage.compressed"
+    with _CACHE_CONF_LOCK:
+        prev = spark.conf.get(key, "true")
+        spark.conf.set(key, "false")
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
+
+
 LPA_ITERS = 4
 
 
@@ -1215,21 +1251,15 @@ def _lpa_from_lineitem(li: DataFrame, iters: int | None = None) -> DataFrame:
     # map-side), fusing the former distinct + collect_list pair of
     # |E|-row shuffles into one — the adjacency build was 60% of the
     # 50x wall (r11 profile: 62.6s of 107s).  The cache is
-    # materialized UNCOMPRESSED: the columnar codecs buy ~nothing on
-    # high-entropy bigint neighbor arrays but cost 3x the build wall
-    # (52s compressed vs 18s raw at 50x, measured; localCheckpoint
-    # 33s, parquet restage 22s — the raw columnar cache wins).  The
-    # flag is captured when cache() is CALLED, so set-and-restore
-    # leaks nothing into the session.
-    spark = li.sparkSession
-    _prev = spark.conf.get("spark.sql.inMemoryColumnarStorage.compressed", "true")
-    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
-    adj = (
-        pairs.groupBy("src")
-        .agg(F.collect_set("dst").alias("nbrs"))
-        .cache()
-    )
-    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", _prev)
+    # materialized UNCOMPRESSED (see _uncompressed_cache: 52s
+    # compressed vs 18s raw at 50x; localCheckpoint 33s, parquet
+    # restage 22s — the raw columnar cache wins).
+    with _uncompressed_cache(li.sparkSession):
+        adj = (
+            pairs.groupBy("src")
+            .agg(F.collect_set("dst").alias("nbrs"))
+            .cache()
+        )
     labels = (
         li.select(F.col("l_partkey").alias("v"))
         .distinct()

@@ -52,6 +52,21 @@ def commit_snapshot(
     the manifest (read from the parquet FOOTERS the write already
     produced — no second data pass), enabling manifest-level data
     skipping in :func:`read_snapshot`. Returns the manifest dict."""
+    # cross-chain collision guard (r11 review — the commit_to_branch
+    # guard was one-sided): versions share one namespace, so a main
+    # commit must never clobber a manifest a BRANCH committed (it
+    # would rewrite the branch's history AND re-attribute the version
+    # to the main chain for retention). Re-committing main's own
+    # version stays allowed (idempotent re-publish).
+    mpath = _manifest_path(root, version)
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            owner = json.load(fh).get("ref")
+        if owner is not None:
+            raise FileExistsError(
+                f"manifest v{version} belongs to branch {owner!r}; "
+                "main commits must use a fresh version"
+            )
     data_dir = os.path.join(root, "data", f"commit-{version}")
     df.write.mode("overwrite").parquet(data_dir)
     files = sorted(
