@@ -124,7 +124,7 @@ def main() -> int:
             fn(spark, warm_dir).count()
         except Exception:  # noqa: BLE001 — warm-up must never kill the bench
             pass
-        spark.catalog.clearCache()
+        _clear_all(spark)
 
     # staging warm-up pass: several entries build a fingerprint-bound
     # per-SF artifact on first touch (snapshot lakes, LSH index, flat
@@ -164,11 +164,31 @@ def main() -> int:
             fn(spark, sf_dir).count()
         except Exception:  # noqa: BLE001 — warm-up must never kill the bench
             pass
-        spark.catalog.clearCache()
+        _clear_all(spark)
 
     # single-shot timings on this harness swing 2-5x run-to-run (r6
     # verdict measured a disjoint regression tail on byte-identical
     # code), so non-trivial entries get median-of-3. The FIRST rep
+
+def _clear_all(spark) -> None:
+    """Drop EVERYTHING a query materialized: clearCache() frees
+    InMemoryRelations but NOT localCheckpoint blocks, which otherwise
+    accumulate in the block manager across a 212-entry sweep until
+    Python's lazy GC gets around to them (r11: the accumulated
+    pressure inflated late heavy entries 3-13x at sf1). Explicitly
+    unpersist every persistent RDD between queries — queries are
+    independent, so nothing later can need an earlier one's blocks."""
+    _clear_all(spark)
+    try:
+        jsc = spark.sparkContext._jsc.sc()
+        rdds = jsc.getPersistentRDDs()
+        it = rdds.values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup must never kill the bench
+        pass
+
+
     # decides: > REP_THRESHOLD_S triggers two more reps — a noise
     # spike on a normally-fast entry triggers reps, and the median
     # then discards the spike. Sub-threshold entries stay 1 rep.
@@ -216,7 +236,7 @@ def main() -> int:
             # operators cache intermediates (shingle sets, edge lists)
             # for their own multi-pass plans; drop them so no query's
             # timing rides on or pays for another query's leftovers
-            spark.catalog.clearCache()
+            _clear_all(spark)
             if reps[0] <= REP_THRESHOLD_S:
                 break
         timings[name] = sorted(reps)[len(reps) // 2]
@@ -238,7 +258,7 @@ def main() -> int:
     try:
         from concurrent.futures import ThreadPoolExecutor
 
-        spark.catalog.clearCache()
+        _clear_all(spark)
 
         import threading
 
@@ -300,7 +320,7 @@ def main() -> int:
                     pass
             else:
                 spark.conf.set(k, v)
-        spark.catalog.clearCache()
+        _clear_all(spark)
     except Exception:  # noqa: BLE001
         pass
     # The driver captures stdout with a line-length bound (r1's full

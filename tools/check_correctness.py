@@ -24,6 +24,20 @@ from uber_data_pipeline_spark.testing import compare  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 
+
+def _clear_all(spark) -> None:
+    """clearCache + unpersist all persistent RDDs: localCheckpoint
+    blocks survive clearCache and otherwise accumulate across a
+    multi-entry sweep (see bench.py's twin)."""
+    spark.catalog.clearCache()
+    try:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -50,7 +64,7 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
-            spark.catalog.clearCache()
+            _clear_all(spark)
             print(f"ok?  {name}: rows-only check, {len(sdf)} rows (no oracle)")
             continue
         try:
@@ -65,7 +79,7 @@ def main() -> int:
         # unpersist them before the caller's action runs; drop them
         # here so storage memory doesn't accumulate across the sweep
         # (same per-query discipline as bench.py)
-        spark.catalog.clearCache()
+        _clear_all(spark)
         if problems:
             failed.append(name)
             print(f"FAIL {name}: " + "; ".join(problems))

@@ -26,6 +26,20 @@ from uber_data_pipeline_spark.session import get_spark  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 
+
+def _clear_all(spark) -> None:
+    """clearCache + unpersist all persistent RDDs: localCheckpoint
+    blocks survive clearCache and otherwise accumulate across a
+    multi-entry sweep (see bench.py's twin)."""
+    spark.catalog.clearCache()
+    try:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 REP_THRESHOLD_S = 0.3
 
 
@@ -55,7 +69,7 @@ def main() -> int:
             qs[n](spark, warm_dir).count()
         except Exception:  # noqa: BLE001
             pass
-        spark.catalog.clearCache()
+        _clear_all(spark)
 
     out: dict = {}
     for n in names:
@@ -73,7 +87,7 @@ def main() -> int:
             )
             rows = obs.get["n"]
             reps.append(round(time.perf_counter() - t0, 3))
-            spark.catalog.clearCache()
+            _clear_all(spark)
             if reps[0] <= REP_THRESHOLD_S:
                 break
         out[n] = {

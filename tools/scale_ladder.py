@@ -61,6 +61,20 @@ SFS = [
 ]
 
 
+
+def _clear_all(spark) -> None:
+    """clearCache + unpersist all persistent RDDs: localCheckpoint
+    blocks survive clearCache and otherwise accumulate across a
+    multi-entry sweep (see bench.py's twin)."""
+    spark.catalog.clearCache()
+    try:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def _measure(spark, fn, sf_dir: str) -> tuple[float, int]:
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
@@ -79,7 +93,7 @@ def _measure(spark, fn, sf_dir: str) -> tuple[float, int]:
         )
         rows = obs.get["n"]
         reps.append(round(time.perf_counter() - t0, 3))
-        spark.catalog.clearCache()
+        _clear_all(spark)
         if reps[0] <= 0.3:
             break
     return sorted(reps)[len(reps) // 2], rows
@@ -119,7 +133,7 @@ def main() -> int:
             qs[n](spark, "/root/testdata/sf0.001").count()
         except Exception:  # noqa: BLE001
             pass
-        spark.catalog.clearCache()
+        _clear_all(spark)
 
     commit = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],

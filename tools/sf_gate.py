@@ -42,6 +42,20 @@ import __spark_entry__ as entrymod  # noqa: E402
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+
+def _clear_all(spark) -> None:
+    """clearCache + unpersist all persistent RDDs: localCheckpoint
+    blocks survive clearCache and otherwise accumulate across a
+    multi-entry sweep (see bench.py's twin)."""
+    spark.catalog.clearCache()
+    try:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def _seed_verified(out_path: str) -> set[str]:
     # (CORRECTNESS_sf1_partial.json, the r6-era partial sweep this
     # runner used to seed from, was superseded by the full-registry
@@ -367,7 +381,7 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001
                 failed.append(name)
                 print(f"FAIL {name} (sampled): spark error: {e}", flush=True)
-                spark.catalog.clearCache()
+                _clear_all(spark)
                 _flush(note)
                 continue
             try:
@@ -380,11 +394,11 @@ def main() -> int:
                 else:
                     failed.append(name)
                     print(f"FAIL {name} (sampled): oracle error: {e}", flush=True)
-                spark.catalog.clearCache()
+                _clear_all(spark)
                 _flush(note)
                 continue
             problems = compare(name, sdf, odf)
-            spark.catalog.clearCache()
+            _clear_all(spark)
             if problems:
                 failed.append(name)
                 print(f"FAIL {name} (sampled): " + "; ".join(problems), flush=True)
@@ -419,7 +433,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL {name}: spark error: {e}", flush=True)
-            spark.catalog.clearCache()
+            _clear_all(spark)
             _flush(note)
             continue
         try:
@@ -432,11 +446,11 @@ def main() -> int:
             else:
                 failed.append(name)
                 print(f"FAIL {name}: oracle error: {e}", flush=True)
-            spark.catalog.clearCache()
+            _clear_all(spark)
             _flush(note)
             continue
         problems = compare(name, sdf, odf)
-        spark.catalog.clearCache()
+        _clear_all(spark)
         if problems:
             failed.append(name)
             print(f"FAIL {name}: " + "; ".join(problems), flush=True)
