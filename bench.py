@@ -22,6 +22,25 @@ from uber_data_pipeline_spark.session import get_spark, scheduler_mode  # noqa: 
 import __spark_entry__ as entrymod  # noqa: E402
 
 
+def _clear_all(spark) -> None:
+    """Drop EVERYTHING a query materialized: clearCache() frees
+    InMemoryRelations but NOT localCheckpoint blocks, which otherwise
+    accumulate in the block manager across a 212-entry sweep until
+    Python's lazy GC gets around to them (r11: the accumulated
+    pressure inflated late heavy entries 3-13x at sf1). Explicitly
+    unpersist every persistent RDD between queries — queries are
+    independent, so nothing later can need an earlier one's blocks."""
+    spark.catalog.clearCache()
+    try:
+        jsc = spark.sparkContext._jsc.sc()
+        rdds = jsc.getPersistentRDDs()
+        it = rdds.values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup must never kill the bench
+        pass
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -170,23 +189,6 @@ def main() -> int:
     # verdict measured a disjoint regression tail on byte-identical
     # code), so non-trivial entries get median-of-3. The FIRST rep
 
-def _clear_all(spark) -> None:
-    """Drop EVERYTHING a query materialized: clearCache() frees
-    InMemoryRelations but NOT localCheckpoint blocks, which otherwise
-    accumulate in the block manager across a 212-entry sweep until
-    Python's lazy GC gets around to them (r11: the accumulated
-    pressure inflated late heavy entries 3-13x at sf1). Explicitly
-    unpersist every persistent RDD between queries — queries are
-    independent, so nothing later can need an earlier one's blocks."""
-    _clear_all(spark)
-    try:
-        jsc = spark.sparkContext._jsc.sc()
-        rdds = jsc.getPersistentRDDs()
-        it = rdds.values().iterator()
-        while it.hasNext():
-            it.next().unpersist(False)
-    except Exception:  # noqa: BLE001 — cleanup must never kill the bench
-        pass
 
 
     # decides: > REP_THRESHOLD_S triggers two more reps — a noise
