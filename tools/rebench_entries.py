@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Targeted re-measurement of named registry entries with bench.py's
 exact methodology (full-column noop-sink write + observe() row count,
-median of up to 3 reps, compile warm-up at sf0.001), for refreshing
+min of up to 4 reps — see bench.py's estimator comment, VERDICT r11
+item 1 — compile warm-up at sf0.001), for refreshing
 individual BENCH_sf1.json rows after a code change without re-running
 the whole 186-entry soak (VERDICT r8 items 3/5/6).
 
@@ -9,7 +10,7 @@ Usage:
     python tools/rebench_entries.py <sf_dir> name [name ...]
 
 Prints ONE JSON line: {"sf_dir", "commit", "entries": {name:
-{"median_s", "reps", "rows"}}}.
+{"min_s", "reps", "rows"}}}.
 """
 
 from __future__ import annotations
@@ -75,7 +76,7 @@ def main() -> int:
     for n in names:
         reps: list[float] = []
         rows = None
-        for _ in range(3):
+        for i in range(4):
             t0 = time.perf_counter()
             obs = Observation()
             (
@@ -88,10 +89,12 @@ def main() -> int:
             rows = obs.get["n"]
             reps.append(round(time.perf_counter() - t0, 3))
             _clear_all(spark)
-            if reps[0] <= REP_THRESHOLD_S:
+            if i == 0 and reps[0] <= REP_THRESHOLD_S:
+                break
+            if i == 2 and max(reps) <= 2.0 * min(reps):
                 break
         out[n] = {
-            "median_s": sorted(reps)[len(reps) // 2],
+            "min_s": min(reps),
             "reps": reps,
             "rows": rows,
         }

@@ -8,7 +8,8 @@ mildly superlinear plan that a 4-point fit exposes.
 
 Methodology matches bench.py / tools/rebench_entries.py exactly:
 full-column noop-sink write with observe() row counts (count() lets
-Catalyst delete join subtrees), median of up to 3 reps, compile
+Catalyst delete join subtrees), min of up to 4 reps (bench.py's
+contention-robust estimator, VERDICT r11 item 1), compile
 warm-up at sf0.001, cache cleared between entries.
 
 Usage:
@@ -81,7 +82,7 @@ def _measure(spark, fn, sf_dir: str) -> tuple[float, int]:
 
     reps: list[float] = []
     rows = 0
-    for _ in range(3):
+    for i in range(4):
         t0 = time.perf_counter()
         obs = Observation()
         (
@@ -94,9 +95,11 @@ def _measure(spark, fn, sf_dir: str) -> tuple[float, int]:
         rows = obs.get["n"]
         reps.append(round(time.perf_counter() - t0, 3))
         _clear_all(spark)
-        if reps[0] <= 0.3:
+        if i == 0 and reps[0] <= 0.3:
             break
-    return sorted(reps)[len(reps) // 2], rows
+        if i == 2 and max(reps) <= 2.0 * min(reps):
+            break
+    return min(reps), rows
 
 
 def _slope(points: list[tuple[float, float]]) -> float:
@@ -184,8 +187,9 @@ def main() -> int:
     out = {
         "metric": "scale ladder: per-entry wall seconds at 1x/10x/20x/50x "
                   "rows and the fitted log-log scaling exponent",
-        "method": "full-column noop-sink write + observe() rows, median "
-                  "of up to 3 reps, compile warm-up at sf0.001, local[32]; "
+        "method": "full-column noop-sink write + observe() rows, min "
+                  "of up to 4 reps (2x spread triggers the 4th), compile "
+                  "warm-up at sf0.001, local[32]; "
                   "merge mode (r10): named entries are re-measured and "
                   "stamped with measured_commit, other rows keep theirs",
         "commit": commit,
