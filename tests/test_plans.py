@@ -403,8 +403,15 @@ def test_holt_recursion_input_is_reduced_series(spark):
 def test_gopher_repetition_no_shuffle(spark):
     """r11: every Gopher repetition signal is a function of one
     document, so the operator must be a pure row-local map — no
-    Exchange, no Window, no Join anywhere in the plan (the first
-    version shuffled the corpus gram stream three times)."""
+    Window, no Join, and no KEYED Exchange anywhere in the plan (the
+    first version shuffled the corpus gram stream three times). r12:
+    the single permitted Exchange is spread_rowlocal's gated
+    ROUND-ROBIN repartition — input spreading for the under-split
+    local scan (one file, one row group), a no-op at lake scale; it
+    must carry no partitioning key."""
     plan = plan_of(spark, "documents_gopher_repetition")
-    for marker in ("Exchange", "Window", "Join"):
+    for marker in ("Window", "Join", "hashpartitioning", "rangepartitioning"):
         assert marker not in plan, f"{marker} in plan:\n{plan[:2000]}"
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning" in plan

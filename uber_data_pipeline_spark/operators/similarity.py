@@ -1201,8 +1201,9 @@ def _pq_scored(emb: DataFrame, book: DataFrame | None = None) -> DataFrame:
     every codebook centroid in every subspace — the shared relation
     behind PQ ENCODING (argmin per (vec_id, s)) and ADC querying
     (lookup table per query). Default codebook = the subvectors of
-    the 8 lowest-vec_id embeddings (deterministic); pass
-    :func:`pq_trained_book`'s output for the Lloyd-refined book.
+    the 8 embeddings ranked FIRST by the :func:`train_sample` affine
+    hash (deterministic uniform draw — see :func:`_pq_init_book`);
+    pass :func:`pq_trained_book`'s output for the Lloyd-refined book.
     Always broadcast (32 rows)."""
     if book is None:
         book = _pq_init_book(emb)
@@ -1219,7 +1220,9 @@ def pq_encode(emb: DataFrame, book: DataFrame | None = None) -> DataFrame:
     into 4 subspaces of 16 dims; in each subspace assign the nearest
     (squared-L2, 6-decimal-rounded, tie -> lowest code) of 8 codebook
     centroids. The default codebook is deterministic — the subvectors
-    of the 8 lowest-vec_id embeddings — and the ENCODING operator is
+    of the 8 embeddings ranked first by the :func:`train_sample`
+    affine hash (a uniform corpus-wide draw, not an id prefix; see
+    :func:`_pq_init_book`) — and the ENCODING operator is
     what runs at corpus scale; pass :func:`pq_trained_book`'s output
     to encode against the Lloyd-refined book (both replay exactly in
     the oracle — trained centroids are decimal-exact means).

@@ -120,7 +120,9 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprints: rolling polynomial hash of the full
     text + min shingle hash (1-perm minhash) — the pair used for
     cheap pre-clustering before pairwise dedup."""
-    return docs.selectExpr(
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
+
+    return spread_rowlocal(docs).selectExpr(
         "doc_id",
         f"{rolling_hash_spark('text')} AS rolling_hash",
         f"{TOKENS_SPARK} AS tokens",
@@ -254,8 +256,9 @@ def repetition_scores(
     expressions — row-local array math, no shuffle, whole-stage
     codegen'd end to end."""
     from uber_data_pipeline_spark.functions.text import shingles_spark
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
 
-    return docs.selectExpr(
+    return spread_rowlocal(docs).selectExpr(
         "doc_id",
         f"{TOKENS_SPARK} AS tokens",
     ).selectExpr(
@@ -1108,8 +1111,11 @@ def bigram_typicality(docs: DataFrame) -> DataFrame:
 
     Columns: doc_id, n_bigrams, avg_cond_p (round 6)."""
     from uber_data_pipeline_spark.functions.text import TOKENS_SPARK
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
 
-    toks = docs.selectExpr("doc_id", f"{TOKENS_SPARK} AS tokens")
+    toks = spread_rowlocal(docs).selectExpr(
+        "doc_id", f"{TOKENS_SPARK} AS tokens"
+    )
     # sequence(1, 0) is DESCENDING in Spark, so a <2-token doc would
     # index element_at(tokens, 2) and crash — guard like shingles_spark
     bigrams = toks.selectExpr(
@@ -2080,17 +2086,34 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
     overlapping duplicates never double-count), denominator n_tokens.
     Everything is integer until the final micro-unit intdiv.
 
-    Scale shape (r11 rewrite): every signal is a function of ONE
-    document, so the whole operator is ROW-LOCAL — sorted-array folds
-    inside whole-stage codegen (run-length max for the top masses;
-    (gram, pos)-sorted fold collecting duplicated positions, then an
-    islands fold for the interval union). ZERO shuffle: the first
-    version's corpus-wide (doc, n, gram) groupBy shuffled the token
-    stream three times and was the heaviest documents entry at sf1
-    (35.7 s); per-doc work is bounded by doc length, which is how a
-    100 TB corpus wants per-document features computed. The DuckDB
-    oracle keeps the relational formulation — semantics equal, two
-    independent derivations.
+    Scale shape (r11 rewrite; r12 constant-factor pass): every signal
+    is a function of ONE document, so the whole operator is ROW-LOCAL
+    — sorted-array folds inside whole-stage codegen (run-length max
+    for the top masses; a position-tagged sorted fold collecting
+    duplicated positions, then an islands fold for the interval
+    union). ZERO shuffle: the first version's corpus-wide (doc, n,
+    gram) groupBy shuffled the token stream three times and was the
+    heaviest documents entry at sf1 (35.7 s); per-doc work is bounded
+    by doc length, which is how a 100 TB corpus wants per-document
+    features computed. r12 (VERDICT r11 item 5): the 5-gram pass no
+    longer BUILDS 5-gram strings at all — it sorts
+    struct(xxhash64(t_i..t_{i+4}), p) with the variadic 64-bit hash
+    of the five tokens as the group key (dup-5 coverage needs gram
+    EQUALITY only, never the gram's text or length). Hash-grouping is
+    exact up to 64-bit collisions WITHIN one document (birthday bound
+    ~n_grams^2/2^65 — ~1e-13 for a 2k-token doc), the same in-doc
+    collision contract minhash already carries; the 2/3-gram masses
+    keep exact string groups because they need length(gram). (A fully
+    fused single struct(n, h, gram, p) sort was measured SLOWER —
+    20.5 s vs 12.0 s at sf1 — sort_array over wide structs falls off
+    the codegen comparator path; structs here stay two-field.) The
+    DuckDB oracle keeps the relational formulation — semantics equal,
+    two independent derivations.
+
+    r12 (ADVICE r11): top2/top3 micro divides are zero-guarded on
+    n_chars like dup5 always was on n_tokens — an empty-text document
+    scores 0 instead of throwing DIVIDE_BY_ZERO under ANSI; the
+    oracle carries the same guard.
 
     Columns: doc_id, n_tokens, n_chars, top2_mass_micro,
     top3_mass_micro, dup5_cover_micro, is_repetitive."""
@@ -2120,25 +2143,30 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
             "s -> s.best)"
         )
 
-    # (gram, pos)-sorted fold: positions of 5-grams occurring >= 2
-    # times, in position order after the final sort_array
+    # (hash, pos)-sorted fold: positions of 5-grams occurring >= 2
+    # times, grouped by the variadic token hash (no gram string is
+    # ever built), in position order after the final sort_array
     run5 = (
-        "CASE WHEN s.prev IS NOT NULL AND x.gram = s.prev "
+        "CASE WHEN s.run > 0 AND x.h = s.prevh "
         "THEN s.run + 1 ELSE CAST(1 AS BIGINT) END"
+    )
+    hash5 = (
+        "xxhash64(element_at(tokens, i), element_at(tokens, i + 1), "
+        "element_at(tokens, i + 2), element_at(tokens, i + 3), "
+        "element_at(tokens, i + 4))"
     )
     pairs5 = (
         "CASE WHEN size(tokens) >= 5 THEN "
         "sort_array(transform(sequence(1, size(tokens) - 4), "
-        "i -> struct(concat_ws(' ', slice(tokens, i, 5)) AS gram, "
-        "i - 1 AS p))) "
-        "ELSE CAST(array() AS array<struct<gram:string,p:int>>) END"
+        f"i -> struct({hash5} AS h, i - 1 AS p))) "
+        "ELSE CAST(array() AS array<struct<h:bigint,p:int>>) END"
     )
     dup_positions = (
         f"sort_array(aggregate({pairs5}, "
-        "named_struct('prev', CAST(NULL AS STRING), "
+        "named_struct('prevh', CAST(0 AS BIGINT), "
         "'prevp', CAST(0 AS INT), 'run', CAST(0 AS BIGINT), "
         "'ps', CAST(array() AS array<int>)), "
-        f"(s, x) -> named_struct('prev', x.gram, 'prevp', x.p, "
+        f"(s, x) -> named_struct('prevh', x.h, 'prevp', x.p, "
         f"'run', {run5}, "
         f"'ps', CASE WHEN {run5} = 2 THEN concat(s.ps, array(s.prevp, x.p)) "
         f"WHEN {run5} > 2 THEN concat(s.ps, array(x.p)) "
@@ -2160,8 +2188,11 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
         "s -> CASE WHEN s.prevp IS NULL THEN CAST(0 AS BIGINT) "
         "ELSE s.tok + CAST(s.prevp - s.start + 5 AS BIGINT) END)"
     )
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
+
     return (
-        docs.selectExpr(
+        spread_rowlocal(docs.select("doc_id", "text"))
+        .selectExpr(
             "doc_id",
             f"{TOKENS_SPARK} AS tokens",
             "CAST(length(text) AS BIGINT) AS n_chars",
@@ -2170,10 +2201,12 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
             "doc_id",
             "CAST(size(tokens) AS BIGINT) AS n_tokens",
             "n_chars",
-            f"CAST({top_mass(2)} * 1000000 DIV n_chars AS BIGINT)"
-            " AS top2_mass_micro",
-            f"CAST({top_mass(3)} * 1000000 DIV n_chars AS BIGINT)"
-            " AS top3_mass_micro",
+            "CASE WHEN n_chars > 0 THEN "
+            f"CAST({top_mass(2)} * 1000000 DIV n_chars AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END AS top2_mass_micro",
+            "CASE WHEN n_chars > 0 THEN "
+            f"CAST({top_mass(3)} * 1000000 DIV n_chars AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END AS top3_mass_micro",
             "CASE WHEN size(tokens) > 0 THEN "
             f"CAST({dup_cover} * 1000000 DIV size(tokens) AS BIGINT) "
             "ELSE CAST(0 AS BIGINT) END AS dup5_cover_micro",
@@ -2243,10 +2276,14 @@ def sql_gopher_repetition(table: str = "documents") -> str:
             GROUP BY 1
         ), micro AS (
             SELECT b.doc_id, b.n_tokens, b.n_chars,
-                   CAST(COALESCE(t.m2, 0) * 1000000 // b.n_chars AS BIGINT)
-                       AS top2_mass_micro,
-                   CAST(COALESCE(t.m3, 0) * 1000000 // b.n_chars AS BIGINT)
-                       AS top3_mass_micro,
+                   CASE WHEN b.n_chars > 0 THEN
+                       CAST(COALESCE(t.m2, 0) * 1000000 // b.n_chars
+                            AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS top2_mass_micro,
+                   CASE WHEN b.n_chars > 0 THEN
+                       CAST(COALESCE(t.m3, 0) * 1000000 // b.n_chars
+                            AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS top3_mass_micro,
                    CASE WHEN b.n_tokens > 0 THEN
                        CAST(COALESCE(c.dup5_tokens, 0) * 1000000
                             // b.n_tokens AS BIGINT)
