@@ -44,8 +44,10 @@ QUADRATIC_DOCUMENTED = {
     # to the exact tiled gemm there — r8); the CC half itself is
     # edge-linear (single-task union-find under CC_LOCAL_EDGE_LIMIT,
     # O(log diameter) min-label rounds above it, pinned by
-    # tests/test_r4_operators.py's planted-chain diameter test)
-    "dedup_clusters",
+    # tests/test_r4_operators.py's planted-chain diameter test).
+    # r12: the HEADLINE dedup_clusters moved to the τ=0.8 banded
+    # (linear) feed; this baseline twin keeps the quadratic label
+    "dedup_clusters_baseline",
     # r9: the quantizer is now the trained sqrt(n)-cell table, so
     # cell-local pairwise is n^1.5 cell-parallel (ladder slope 0.289)
     # — kept in this allowance class because n^1.5 still exceeds the

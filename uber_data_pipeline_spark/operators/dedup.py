@@ -62,8 +62,16 @@ def shingle_arrays(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, shingles): the DISTINCT word n-gram shingle set per
     document as an array — array_distinct is row-local, so building
     the set costs zero shuffles (vs explode + DISTINCT, which
-    shuffles the full exploded relation)."""
-    return docs.selectExpr("doc_id", f"{TOKENS_SPARK} AS tokens").selectExpr(
+    shuffles the full exploded relation). r12: the scan feeding this
+    compute-dense map is spread (operators/spread.py) — a no-op on an
+    adequately-split lake; locally the single-row-group bench file
+    otherwise serializes every shingle-family operator's tokenize +
+    shingle work on one core."""
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
+
+    return spread_rowlocal(docs).selectExpr(
+        "doc_id", f"{TOKENS_SPARK} AS tokens"
+    ).selectExpr(
         "doc_id", f"array_distinct({shingles_spark('tokens', n)}) AS shingles"
     )
 
@@ -682,8 +690,11 @@ def simhash_values(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     codegen'd SUM aggregates (map-side partial) — instead of
     re-hashing every token ``bits`` times inside an interpreted
     higher-order fold."""
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
+
     tok = (
-        docs.selectExpr("doc_id", f"explode(array_distinct({TOKENS_SPARK})) AS t")
+        spread_rowlocal(docs)
+        .selectExpr("doc_id", f"explode(array_distinct({TOKENS_SPARK})) AS t")
         .select("doc_id", F.md5("t").alias("h"))
     )
     contribs = []
@@ -902,7 +913,9 @@ def substring_window_dups(docs: DataFrame, n: int = SUBSTR_WINDOW_N) -> DataFram
     # stream, whose self-referencing shared/per_doc split would
     # otherwise re-run the tokenize+shingle+md5 pipeline three times
     # (module cache contract, see header)
-    wins = docs.selectExpr(
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
+
+    wins = spread_rowlocal(docs).selectExpr(
         "doc_id", f"{TOKENS_SPARK} AS tokens"
     ).selectExpr(
         "doc_id",
@@ -1007,8 +1020,11 @@ def substring_span_census(docs: DataFrame, k: int = SPAN_MIN_TOKENS) -> DataFram
     dup_micro (coverage fraction in integer micro-units)."""
     from pyspark.sql import Window
 
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
+
     wins = (
-        docs.selectExpr("doc_id", f"{TOKENS_SPARK} AS tokens")
+        spread_rowlocal(docs)
+        .selectExpr("doc_id", f"{TOKENS_SPARK} AS tokens")
         .selectExpr(
             "doc_id",
             "CAST(size(tokens) AS BIGINT) AS n_tokens",
@@ -1267,7 +1283,9 @@ def cdc_chunk_census(docs: DataFrame, div: int = CDC_DIV) -> DataFrame:
     linear in corpus tokens at any scale.
 
     Returns: chunk_hash, n_docs (distinct), n_occ, min_doc."""
-    tok = docs.selectExpr(
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
+
+    tok = spread_rowlocal(docs).selectExpr(
         "doc_id", "posexplode(split(text, ' ')) AS (pos, w)"
     ).selectExpr(
         "doc_id",
@@ -1475,7 +1493,9 @@ def _snm_local(docs: DataFrame) -> DataFrame:
     final executed plan."""
     from pyspark.sql import Window
 
-    sh = docs.selectExpr(
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
+
+    sh = spread_rowlocal(docs).selectExpr(
         "doc_id",
         f"{TOKENS_SPARK} AS tokens",
     ).selectExpr(
@@ -1643,4 +1663,271 @@ def sql_sorted_neighborhood_pairs(
         SELECT doc_a, doc_b, ROUND({jac}, 6) AS jaccard
         FROM cand
         WHERE ROUND({jac}, 6) >= {threshold}
+    """
+
+
+# ------------------------------- paragraph-grain two-level dedup
+
+PARA_SEG_LEN = 16          # tokens per "paragraph" segment
+PARA_TAU_MICRO = 500_000   # level-2 verify: shingle Jaccard >= 0.5
+PARA_KEEP_MICRO = 700_000  # surviving mass >= 0.7 -> keep whole doc
+PARA_TRIM_MICRO = 300_000  # surviving mass >= 0.3 -> trim; else drop
+
+
+def paragraph_twolevel_census(
+    docs: DataFrame, seg_len: int = PARA_SEG_LEN
+) -> DataFrame:
+    """Paragraph-grain TWO-LEVEL dedup census — the C4/RefinedWeb
+    recipe (Raffel et al. 2020 §2.2 three-sentence span dedup; Penedo
+    et al. 2023 RefinedWeb §3.3 line-level exact dedup + fuzzy
+    document filtering): documents explode into fixed ``seg_len``-token
+    "paragraph" segments (this corpus has no newline/sentence
+    delimiters, so the segmenter is the deterministic token chunker),
+    then
+
+    - **level 1 (exact)**: a segment occurrence is an exact duplicate
+      iff an identical segment (md5 of its joined text) exists with
+      lexicographically smaller (doc_id, seg_no) — keep-first, the C4
+      policy;
+    - **level 2 (near)**: over exact SURVIVORS with >= 3 tokens, a
+      16-perm minhash signature over the segment's distinct 3-shingle
+      hash set, banded 4x4; in-bucket candidates verify exact Jaccard
+      >= PARA_TAU_MICRO in integer micro-units, and the verified
+      pair's LARGER (doc_id, seg_no) side is removed (EXISTS
+      semantics: no iterative clustering needed for keep-first);
+    - **per-document decision** from surviving-paragraph token mass:
+      keep (>= 0.7), trim (>= 0.3, drop only the duplicated
+      segments), drop (< 0.3) — the keep/trim call RefinedWeb makes
+      per document instead of discarding every document that shares a
+      line.
+
+    Scale shape: segmentation/shingling/minhash are ROW-LOCAL
+    (signatures fold over the per-segment shingle array — no
+    explode-to-shingle shuffle at all); level 1 is one
+    map-side-combined min-struct groupBy on the segment hash + an
+    equi-join back; level 2's pair generation is band-bucket-local
+    (the LSH argument: bucket sizes are load-bounded because exact
+    duplicates were ALREADY removed at level 1, so buckets hold only
+    genuinely-near segments); the rollup is one groupBy(doc_id).
+    Candidate pairs are NOT deduped across bands — verification is
+    row-local and idempotent, and the removal set applies DISTINCT
+    after the filter, saving a full candidate shuffle.
+
+    Columns: doc_id, n_paras, n_exact_dup, n_near_dup, total_tokens,
+    kept_tokens, surviving_micro, decision."""
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
+
+    n_seg = f"CAST((size(tokens) - 1) DIV {seg_len} AS INT)"
+    segs = (
+        spread_rowlocal(docs)
+        .selectExpr("doc_id", f"{TOKENS_SPARK} AS tokens")
+        .selectExpr(
+            "doc_id",
+            f"posexplode(transform(sequence(0, {n_seg}), "
+            f"b -> slice(tokens, b * {seg_len} + 1, {seg_len})))"
+            " AS (seg_no, seg)",
+        )
+        .selectExpr(
+            "doc_id",
+            "seg_no",
+            "CAST(size(seg) AS BIGINT) AS n_seg_tokens",
+            "md5(concat_ws(' ', seg)) AS seg_hash",
+            "array_distinct(transform("
+            + shingles_spark("seg")
+            + f", shingle -> {SHINGLE_HASH_SPARK}))"
+            " AS shs",
+        )
+        .cache()
+    )
+    firsts = segs.groupBy("seg_hash").agg(
+        F.min(F.struct("doc_id", "seg_no")).alias("f")
+    )
+    marked = segs.join(firsts, "seg_hash").selectExpr(
+        "doc_id",
+        "seg_no",
+        "n_seg_tokens",
+        "shs",
+        "NOT (doc_id = f.doc_id AND seg_no = f.seg_no) AS exact_dup",
+    )
+    mins = [
+        f"array_min(transform(shs, h -> ({MINHASH_A[p]} * h + {MINHASH_B[p]})"
+        f" % {MINHASH_MOD})) AS m{p}"
+        for p in range(NUM_PERM)
+    ]
+    rows_per_band = NUM_PERM // NUM_BANDS
+    band_structs = ", ".join(
+        f"struct({b} AS band, md5(concat_ws('|', "
+        + ", ".join(
+            f"CAST(m{b * rows_per_band + r} AS STRING)"
+            for r in range(rows_per_band)
+        )
+        + ")) AS band_key)"
+        for b in range(NUM_BANDS)
+    )
+    surv = marked.filter("NOT exact_dup AND size(shs) > 0").selectExpr(
+        "doc_id", "seg_no", "shs", *mins
+    )
+    bands = surv.selectExpr(
+        "doc_id",
+        "seg_no",
+        "shs",
+        f"explode(array({band_structs})) AS bk",
+    ).selectExpr("doc_id", "seg_no", "shs", "bk.band", "bk.band_key")
+    a = bands.selectExpr(
+        "doc_id AS da", "seg_no AS sa", "shs AS sha", "band", "band_key"
+    )
+    b = bands.selectExpr(
+        "doc_id AS db", "seg_no AS sb", "shs AS shb", "band", "band_key"
+    )
+    cand = a.join(b, ["band", "band_key"]).filter(
+        "da < db OR (da = db AND sa < sb)"
+    )
+    removed = (
+        cand.selectExpr(
+            "db AS doc_id",
+            "sb AS seg_no",
+            "size(array_intersect(sha, shb)) AS i",
+            "size(sha) + size(shb) AS ab",
+        )
+        .filter(f"i * 1000000 >= {PARA_TAU_MICRO} * (ab - i)")
+        .select("doc_id", "seg_no")
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    final = marked.join(removed, ["doc_id", "seg_no"], "left").selectExpr(
+        "doc_id",
+        "n_seg_tokens",
+        "exact_dup",
+        "COALESCE(near_dup, false) AS near_dup",
+    )
+    return final.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("exact_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_dup"),
+        F.sum(F.when(F.col("near_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_near_dup"),
+        F.sum("n_seg_tokens").cast("long").alias("total_tokens"),
+        F.sum(
+            F.when(
+                ~F.col("exact_dup") & ~F.col("near_dup"),
+                F.col("n_seg_tokens"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("kept_tokens"),
+    ).selectExpr(
+        "doc_id",
+        "n_paras",
+        "n_exact_dup",
+        "n_near_dup",
+        "total_tokens",
+        "kept_tokens",
+        "CASE WHEN total_tokens > 0 THEN "
+        "kept_tokens * 1000000 DIV total_tokens "
+        "ELSE CAST(0 AS BIGINT) END AS surviving_micro",
+        f"CASE WHEN (CASE WHEN total_tokens > 0 THEN "
+        f"kept_tokens * 1000000 DIV total_tokens ELSE 0 END)"
+        f" >= {PARA_KEEP_MICRO} THEN 'keep' "
+        f"WHEN (CASE WHEN total_tokens > 0 THEN "
+        f"kept_tokens * 1000000 DIV total_tokens ELSE 0 END)"
+        f" >= {PARA_TRIM_MICRO} THEN 'trim' "
+        "ELSE 'drop' END AS decision",
+    )
+
+
+def sql_paragraph_twolevel(
+    table: str = "documents", seg_len: int = PARA_SEG_LEN
+) -> str:
+    """DuckDB twin of :func:`paragraph_twolevel_census` (same
+    segmenter, hashes, minhash family, banding, verify threshold and
+    keep-first policy — relational formulation)."""
+    from uber_data_pipeline_spark.functions.text import (
+        TOKENS_DUCK,
+        shingles_duck,
+    )
+
+    mins = ", ".join(
+        f"list_min(list_transform(shs, h -> ({MINHASH_A[p]} * h + "
+        f"{MINHASH_B[p]}) % {MINHASH_MOD})) AS m{p}"
+        for p in range(NUM_PERM)
+    )
+    rows_per_band = NUM_PERM // NUM_BANDS
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, seg_no, shs, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(
+            f"m{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        + ")) AS band_key FROM surv"
+        for b in range(NUM_BANDS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_DUCK} AS tokens FROM {table}
+        ), segs AS (
+            SELECT doc_id, CAST(t.b AS INT) AS seg_no,
+                   list_slice(tokens, t.b * {seg_len} + 1,
+                              t.b * {seg_len} + {seg_len}) AS seg
+            FROM toks,
+                 unnest(range(0, greatest((len(tokens) - 1) // {seg_len},
+                                          0) + 1)) AS t(b)
+        ), base AS (
+            SELECT doc_id, seg_no,
+                   CAST(len(seg) AS BIGINT) AS n_seg_tokens,
+                   md5(array_to_string(seg, ' ')) AS seg_hash,
+                   list_distinct(list_transform({shingles_duck("seg")},
+                       shingle -> {SHINGLE_HASH_DUCK})) AS shs
+            FROM segs
+        ), marked AS (
+            SELECT doc_id, seg_no, n_seg_tokens, shs,
+                   ROW_NUMBER() OVER (PARTITION BY seg_hash
+                                      ORDER BY doc_id, seg_no) > 1
+                       AS exact_dup
+            FROM base
+        ), surv AS (
+            SELECT doc_id, seg_no, shs, {mins}
+            FROM marked WHERE NOT exact_dup AND len(shs) > 0
+        ), bands AS (
+            {band_rows}
+        ), cand AS (
+            SELECT b.doc_id AS doc_id, b.seg_no AS seg_no,
+                   len(list_intersect(a.shs, b.shs)) AS i,
+                   len(a.shs) + len(b.shs) AS ab
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND (a.doc_id < b.doc_id
+                  OR (a.doc_id = b.doc_id AND a.seg_no < b.seg_no))
+        ), removed AS (
+            SELECT DISTINCT doc_id, seg_no FROM cand
+            WHERE i * 1000000 >= {PARA_TAU_MICRO} * (ab - i)
+        ), final AS (
+            SELECT m.doc_id, m.n_seg_tokens, m.exact_dup,
+                   r.doc_id IS NOT NULL AS near_dup
+            FROM marked m LEFT JOIN removed r
+              ON r.doc_id = m.doc_id AND r.seg_no = m.seg_no
+        ), rolled AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_paras,
+                   CAST(SUM(CASE WHEN exact_dup THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_exact_dup,
+                   CAST(SUM(CASE WHEN near_dup THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_near_dup,
+                   CAST(SUM(n_seg_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CASE WHEN NOT exact_dup AND NOT near_dup
+                                 THEN n_seg_tokens ELSE 0 END)
+                        AS BIGINT) AS kept_tokens
+            FROM final GROUP BY 1
+        )
+        SELECT *, CASE WHEN total_tokens > 0
+                       THEN kept_tokens * 1000000 // total_tokens
+                       ELSE CAST(0 AS BIGINT) END AS surviving_micro,
+               CASE WHEN (CASE WHEN total_tokens > 0
+                          THEN kept_tokens * 1000000 // total_tokens
+                          ELSE 0 END) >= {PARA_KEEP_MICRO} THEN 'keep'
+                    WHEN (CASE WHEN total_tokens > 0
+                          THEN kept_tokens * 1000000 // total_tokens
+                          ELSE 0 END) >= {PARA_TRIM_MICRO} THEN 'trim'
+                    ELSE 'drop' END AS decision
+        FROM rolled
     """

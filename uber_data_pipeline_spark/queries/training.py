@@ -556,11 +556,36 @@ QUERIES = {
     "training_attrition_funnel": lambda spark, sf: textops.attrition_funnel(
         _docs(spark, sf), PREP_MIN_QUALITY, PREP_MIN_TOKENS, SAMPLE_RATES
     ),
+    # r12 (VERDICT r11 item 2): the HEADLINE connected-components
+    # entry prices the PRODUCTION pair feed — the τ=0.8 banded-SRP
+    # plan (srp_band_plan(0.8) -> (9, 51): linear bounded-replication
+    # shuffle), sentinel-extended so the result is discriminating at
+    # every SF (the organic corpus has no τ>=0.8 pair). The τ=0.4
+    # quadratic feed lives on as the labeled baseline twin below —
+    # the dedup_embedding_cosine / _baseline split pattern.
     "dedup_clusters": lambda spark, sf: dedup.connected_components(
+        similarity.cosine_pairs_banded(
+            _emb_with_sentinel(spark, sf), COSINE_NEAR_DUP_STRICT
+        ),
+        "vec_a",
+        "vec_b",
+    ).withColumnRenamed("doc_id", "vec_id"),
+    # labeled quadratic baseline: CC over the τ=0.4 exact pair graph
+    # (cosine_pairs_banded delegates to the exact tiled gemm at a
+    # threshold no capped LSH plan prunes — QUADRATIC_DOCUMENTED in
+    # tools/scale_report.py)
+    "dedup_clusters_baseline": lambda spark, sf: dedup.connected_components(
         similarity.cosine_pairs_banded(_emb(spark, sf), COSINE_NEAR_DUP),
         "vec_a",
         "vec_b",
     ).withColumnRenamed("doc_id", "vec_id"),
+    # r12: the C4/RefinedWeb paragraph-grain two-level dedup —
+    # exact keep-first + minhash-LSH near-dup at fixed-token
+    # "paragraph" segments, per-doc keep/trim/drop from surviving
+    # token mass (operators/dedup.py paragraph_twolevel_census)
+    "dedup_paragraph_twolevel": lambda spark, sf: dedup.paragraph_twolevel_census(
+        _docs(spark, sf)
+    ),
     "documents_stratified_sample": lambda spark, sf: stratified_sample(
         _docs(spark, sf).select("doc_id", "lang"), "doc_id", "lang", SAMPLE_RATES
     ),
@@ -1631,8 +1656,16 @@ ORACLES = {
     # both native-vs-fold summation error (~1e-13) and the fold's 6-dp
     # rounding slack (5e-7), so the final pair set is bit-identical to
     # the plain all-pairs filter; this is what makes the sf1 (10x
-    # rows) oracle replay of the CC finish inside the gate budget
-    "dedup_clusters": _sql_cc_clusters(),
+    # rows) oracle replay of the CC finish inside the gate budget.
+    # r12: the headline entry replays the CC machinery at the strict
+    # τ=0.8 over the sentinel-extended universe (the exact oracle the
+    # leakage-safe split already uses); the τ=0.4 quadratic feed is
+    # the labeled baseline twin
+    "dedup_clusters": _sql_cc_clusters(
+        tau=COSINE_NEAR_DUP_STRICT, src="embx", lead_cte=_EMBX_CTE + ", "
+    ),
+    "dedup_clusters_baseline": _sql_cc_clusters(),
+    "dedup_paragraph_twolevel": dedup.sql_paragraph_twolevel(),
 }
 
 ORACLES["dedup_substring_windows"] = dedup.sql_substring_window_dups()
