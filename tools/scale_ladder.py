@@ -46,7 +46,9 @@ LADDER = [
     "events_sessionization",       # per-user window / gap split
     "dedup_exact",                 # hash groupBy
     "dedup_minhash_lsh",           # shingle -> minhash -> band join
-    "dedup_clusters",              # pair feed + CC loop
+    "dedup_clusters",              # banded pair feed + CC loop (r12)
+    "dedup_paragraph_twolevel",    # segment explode + 2-level LSH (r12)
+    "documents_quality_model",     # in-plan train + row-local score (r12)
     "text_fingerprint",            # row-local O(L) rolling hash
     "ann_lsh_topk",                # SRP bucket-local ANN (scale path)
     "ann_ivf_topk",                # trained-centroid probe ANN

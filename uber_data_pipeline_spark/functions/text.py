@@ -60,6 +60,26 @@ def shingles_duck(tokens: str = "tokens", n: int = SHINGLE_N) -> str:
 
 # ---- rolling (polynomial) hash ---------------------------------------
 
+def base_hash_spark(col: str) -> str:
+    """Engine-neutral 64-bit-safe base hash of a string column/lambda
+    var: first 12 hex chars of md5 as an integer (< 2^48), reduced mod
+    1e9+7 — the same family as operators/dedup.py's SHINGLE_HASH_*,
+    parameterized on the column name so row-local folds can hash
+    arbitrary feature strings."""
+    return (
+        f"CAST(conv(substring(md5({col}), 1, 12), 16, 10) AS bigint)"
+        " % 1000000007"
+    )
+
+
+def base_hash_duck(col: str) -> str:
+    return (
+        "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 13), "
+        f"i -> (instr('0123456789abcdef', substring(md5({col}), i, 1)) - 1)"
+        "::BIGINT)), (h, c) -> h * 16 + c) % 1000000007"
+    )
+
+
 def rolling_hash_spark(col: str = "text") -> str:
     # split('') yields the char array in ONE O(L) pass; the previous
     # substring(col, i, 1) indexing restarted the UTF-8 scan per

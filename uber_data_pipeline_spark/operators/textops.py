@@ -2424,3 +2424,179 @@ def sql_drift_report(table: str = "documents") -> str:
         JOIN top t ON t.dimension = s.dimension AND t.rn = 1
         GROUP BY 1
     """
+
+
+# -------------------------------- model-based quality filter
+
+QM_BUCKETS = 1024          # hashed feature space (fastText's -hash trick)
+QM_TARGET_MICRO = 1_000_000  # score >= 1.0 -> target-like document
+
+
+def quality_model_scores(
+    docs: DataFrame,
+    k: int = QM_BUCKETS,
+    target_lang: str = DSIR_TARGET_LANG,
+) -> DataFrame:
+    """Model-based quality filter — the CCNet/LLaMA pipeline stage a
+    heuristic quality score can't replace: a fastText-style
+    HASHED-n-gram linear scorer (Joulin et al. 2016 fastText's
+    hashing trick; CCNet/LLaMA-1 use exactly such a linear classifier
+    to keep "Wikipedia-like" pages). Features are unigrams + word
+    bigrams hashed into ``k`` buckets — the fixed-memory,
+    vocabulary-independent representation that survives a 100 TB
+    corpus where an exact vocab join (the dsir_weights shape) grows
+    unboundedly.
+
+    Weights are derived IN-PLAN from a deterministic seed rather than
+    loaded from a file: weight[b] = the Laplace-smoothed target/raw
+    frequency ratio of bucket b in integer micro-units (the DSIR
+    log-ratio surrogate, log-free so both engines agree exactly),
+    where the target slice is ``lang == target_lang``. The k-row
+    weight relation is computed by one map-side-combined bucket
+    aggregate and COLLECTED as a k-element broadcast literal — the
+    "k-row codebook" pattern (kmeans/PQ precedent): a production job
+    ships trained weights with the task the same way.
+
+    SCORING is 100% row-local: one fold over the document's feature
+    array looks each hashed bucket up in the broadcast weight array —
+    no join, no window, no keyed exchange anywhere in the scoring
+    plan (pinned by tests/test_plans.py). score_micro = half-up mean
+    of the doc's feature weights in micro-units; is_target at ratio
+    1.0.
+
+    Determinism contract: bucket counts are exact ints; the ratio is
+    ONE double divide cast to DECIMAL(28,9) (deterministic HALF_UP in
+    both engines — the dsir_weights precedent), floored to micro
+    ints; the per-doc mean is exact-integer half-up. No
+    transcendentals anywhere.
+
+    Columns: doc_id, n_feats, score_micro, is_target."""
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
+
+    from uber_data_pipeline_spark.functions.text import base_hash_spark
+
+    fh = base_hash_spark("f")  # engine-neutral base hash of lambda var f
+    bigr = shingles_spark("tokens", 2)
+    bf = (
+        spread_rowlocal(docs)
+        .selectExpr("lang", f"{TOKENS_SPARK} AS tokens")
+        .selectExpr("lang", f"explode(concat(tokens, {bigr})) AS f")
+        .selectExpr("lang", f"CAST(({fh}) % {k} AS INT) AS b")
+    )
+    cnt = bf.groupBy("b").agg(
+        F.count("*").alias("raw"),
+        F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0)).alias(
+            "tgt"
+        ),
+    )
+    spine = docs.sparkSession.range(k).selectExpr("CAST(id AS INT) AS b")
+    totals = cnt.agg(
+        F.sum("raw").alias("total_raw"), F.sum("tgt").alias("total_tgt")
+    )
+    ratio = (
+        f"((tgt + 1) * (total_raw + {k})) / "
+        f"((raw + 1) * (total_tgt + {k}))"
+    )
+    wrows = (
+        spine.join(cnt, "b", "left")
+        .fillna(0, ["raw", "tgt"])
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "b",
+            f"CAST(floor(CAST({ratio} AS DECIMAL(28,9)) * 1000000)"
+            " AS BIGINT) AS w",
+        )
+        .orderBy("b")
+        .collect()
+    )
+    weights = [int(r["w"]) for r in wrows]
+    return (
+        spread_rowlocal(docs)
+        .selectExpr("doc_id", f"{TOKENS_SPARK} AS tokens")
+        .selectExpr(
+            "doc_id",
+            f"concat(tokens, {shingles_spark('tokens', 2)}) AS feats",
+        )
+        .withColumn("W", F.lit(weights))
+        .selectExpr(
+            "doc_id",
+            "CAST(size(feats) AS BIGINT) AS n_feats",
+            "aggregate(feats, CAST(0 AS BIGINT), (s, f) -> "
+            f"s + element_at(W, CAST(({fh}) % {k} AS INT) + 1)) AS sw",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_feats",
+            "CASE WHEN n_feats > 0 THEN (2 * sw + n_feats)"
+            " DIV (2 * n_feats) ELSE CAST(0 AS BIGINT) END AS score_micro",
+        )
+        .selectExpr(
+            "*", f"score_micro >= {QM_TARGET_MICRO} AS is_target"
+        )
+    )
+
+
+def sql_quality_model(
+    table: str = "documents",
+    k: int = QM_BUCKETS,
+    target_lang: str = DSIR_TARGET_LANG,
+) -> str:
+    """DuckDB twin of :func:`quality_model_scores` — the weight
+    derivation replayed relationally (generate_series bucket spine so
+    empty buckets carry the smoothed default weight, identical to the
+    Spark side's spine join)."""
+    from uber_data_pipeline_spark.functions.text import (
+        TOKENS_DUCK,
+        base_hash_duck,
+        shingles_duck,
+    )
+
+    fh = base_hash_duck("f")
+    ratio = (
+        f"((c.tgt + 1) * (t.total_raw + {k})) / "
+        f"((c.raw + 1) * (t.total_tgt + {k}))"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang, {TOKENS_DUCK} AS tokens FROM {table}
+        ), feats AS (
+            SELECT doc_id, lang,
+                   unnest(list_concat(tokens, {shingles_duck("tokens", 2)}))
+                       AS f
+            FROM toks
+        ), bf AS (
+            SELECT doc_id, lang, CAST(({fh}) % {k} AS INT) AS b FROM feats
+        ), cnt0 AS (
+            SELECT b, COUNT(*) AS raw,
+                   SUM(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END)
+                       AS tgt
+            FROM bf GROUP BY 1
+        ), tot AS (
+            SELECT SUM(raw) AS total_raw, SUM(tgt) AS total_tgt FROM cnt0
+        ), cnt AS (
+            SELECT CAST(g.b AS INT) AS b,
+                   COALESCE(c.raw, 0) AS raw, COALESCE(c.tgt, 0) AS tgt
+            FROM generate_series(0, {k - 1}) AS g(b)
+            LEFT JOIN cnt0 c ON c.b = g.b
+        ), wts AS (
+            SELECT c.b,
+                   CAST(floor(CAST({ratio} AS DECIMAL(28,9)) * 1000000)
+                        AS BIGINT) AS w
+            FROM cnt c, tot t
+        ), per_doc AS (
+            SELECT bf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                   SUM(w.w) AS sw
+            FROM bf JOIN wts w USING (b)
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+               CAST(CASE WHEN COALESCE(p.n_feats, 0) > 0
+                    THEN (2 * p.sw + p.n_feats) // (2 * p.n_feats)
+                    ELSE 0 END AS BIGINT) AS score_micro,
+               CAST(CASE WHEN COALESCE(p.n_feats, 0) > 0
+                    THEN (2 * p.sw + p.n_feats) // (2 * p.n_feats)
+                    ELSE 0 END AS BIGINT) >= {QM_TARGET_MICRO}
+                   AS is_target
+        FROM {table} d LEFT JOIN per_doc p USING (doc_id)
+    """

@@ -586,6 +586,13 @@ QUERIES = {
     "dedup_paragraph_twolevel": lambda spark, sf: dedup.paragraph_twolevel_census(
         _docs(spark, sf)
     ),
+    # r12: fastText-style hashed-n-gram linear quality scorer — the
+    # CCNet/LLaMA model-based filter stage; weights derived in-plan
+    # (DSIR-ratio surrogate over 1024 hashed buckets, k-row codebook
+    # collect), scoring 100% row-local (operators/textops.py)
+    "documents_quality_model": lambda spark, sf: textops.quality_model_scores(
+        _docs(spark, sf)
+    ),
     "documents_stratified_sample": lambda spark, sf: stratified_sample(
         _docs(spark, sf).select("doc_id", "lang"), "doc_id", "lang", SAMPLE_RATES
     ),
@@ -1666,6 +1673,7 @@ ORACLES = {
     ),
     "dedup_clusters_baseline": _sql_cc_clusters(),
     "dedup_paragraph_twolevel": dedup.sql_paragraph_twolevel(),
+    "documents_quality_model": textops.sql_quality_model(),
 }
 
 ORACLES["dedup_substring_windows"] = dedup.sql_substring_window_dups()
