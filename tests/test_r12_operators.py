@@ -188,3 +188,98 @@ def test_spread_rowlocal_gate(spark):
     out = spread_rowlocal(narrow)
     assert out.rdd.getNumPartitions() >= cores
     assert out.count() == 1000
+
+
+def test_mann_kendall_hand(spark, tmp_path):
+    """Hand-computed S and tie-corrected variance: 4 rising months +
+    one outlier give S = 9 - 1 = 8; no ties -> var18 = 5*4*15."""
+    from uber_data_pipeline_spark.queries.tpch_extra import (
+        orders_mann_kendall,
+    )
+
+    rows = []
+    for t, y in [(0, 100.0), (1, 110.0), (2, 120.0), (3, 999.0), (4, 140.0)]:
+        rows.append((t, y, datetime.datetime(2024, 1 + t, 1)))
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = orders_mann_kendall(spark, str(tmp_path)).collect()[0]
+    assert out["n_months"] == 5
+    assert out["s_stat"] == 8          # 9 concordant pairs, 1 discordant
+    assert out["var18"] == 5 * 4 * 15  # n(n-1)(2n+5), no ties
+    assert out["trend"] == "increasing"
+
+
+def test_mann_kendall_tie_correction(spark, tmp_path):
+    """Two equal months form one tie group of 2: var18 = 3*2*11 -
+    2*1*9 = 48; S counts only the two strict rises."""
+    from uber_data_pipeline_spark.queries.tpch_extra import (
+        orders_mann_kendall,
+    )
+
+    rows = [
+        (0, 100.0, datetime.datetime(2024, 1, 1)),
+        (1, 100.0, datetime.datetime(2024, 2, 1)),
+        (2, 110.0, datetime.datetime(2024, 3, 1)),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = orders_mann_kendall(spark, str(tmp_path)).collect()[0]
+    assert (out["s_stat"], out["var18"]) == (2, 48)
+    assert out["trend"] == "increasing"
+
+
+def test_cusum_drift_hand(spark, tmp_path):
+    """Hand-run recursion: 4 days at 10 then 4 days at 20 events.
+    mu = 15e6 micro, slack = 0.75e6. s+ stays 0 through the low
+    regime then climbs 4.25e6/day; s- mirrors."""
+    from uber_data_pipeline_spark.queries.events import events_cusum_drift
+
+    rows = []
+    eid = 0
+    for day in range(1, 9):
+        n = 10 if day <= 4 else 20
+        for k in range(n):
+            rows.append(
+                (eid, datetime.datetime(2024, 3, day, 1 + k % 20), 1,
+                 "view", 1.0, "{}")
+            )
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["day"].day: r for r in events_cusum_drift(spark, sf).collect()}
+    assert len(out) == 8
+    assert out[1]["mean_micro"] == 15_000_000
+    # low regime: s+ floored at 0, s- accumulates 4.25e6/day
+    assert [out[d]["s_pos_micro"] for d in (1, 2, 3, 4)] == [0, 0, 0, 0]
+    assert [out[d]["s_neg_micro"] for d in (1, 2, 3, 4)] == [
+        4_250_000, 8_500_000, 12_750_000, 17_000_000,
+    ]
+    # high regime: s+ climbs 4.25e6/day, s- drains 5.75e6/day to 0
+    assert [out[d]["s_pos_micro"] for d in (5, 6, 7, 8)] == [
+        4_250_000, 8_500_000, 12_750_000, 17_000_000,
+    ]
+    assert [out[d]["s_neg_micro"] for d in (5, 6, 7, 8)] == [
+        11_250_000, 5_500_000, 0, 0,
+    ]
+    assert not any(out[d]["alarm_up"] or out[d]["alarm_down"] for d in out)
+
+
+def test_quality_model_eval_hand(spark):
+    """On the perfectly-separable directional corpus the eval gate
+    must report a clean confusion matrix and P = R = F1 = 1.0."""
+    from uber_data_pipeline_spark.operators.textops import quality_model_eval
+
+    en = "good clean prose with careful structure and clear meaning"
+    de = "vollkommen anderes vokabular ohne gemeinsame token hier"
+    rows = [(i, en, "en") for i in range(4)] + [
+        (10 + i, de, "de") for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = quality_model_eval(docs).collect()[0]
+    assert (out["n_docs"], out["tp"], out["fp"], out["fn"], out["tn"]) == (
+        8, 4, 0, 0, 4,
+    )
+    assert out["precision_micro"] == 1_000_000
+    assert out["recall_micro"] == 1_000_000
+    assert out["f1_micro"] == 1_000_000

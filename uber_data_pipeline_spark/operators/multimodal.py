@@ -46,8 +46,13 @@ def attach_media(docs: DataFrame) -> DataFrame:
         .when(F.col("kind") == "audio", _MIME["audio"])
         .otherwise(_MIME["text"])
     )
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
+
+    # downstream decode/hash kernels are per-partition compute over a
+    # byte-cheap scan — spread the under-split local input (no-op on
+    # an adequately-split lake)
     return (
-        docs.select(
+        spread_rowlocal(docs).select(
             F.col("doc_id").alias("media_id"),
             kind.alias("kind"),
             F.encode("text", "UTF-8").alias("payload"),

@@ -73,6 +73,13 @@ def corr_matrix(li, cols: tuple[str, ...] = CORR_COLS):
     DuckDB's sqrt throws while Spark returns NaN — clamped, both
     engines yield NULL (x/0 double is NULL in both). Output:
     col_a, col_b, corr (upper triangle, 6 rows for 4 columns)."""
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
+
+    # r12: the moments pass is compute-dense (O(cols^2) decimal
+    # products per row) over a byte-cheap scan — spread the
+    # under-split local input (no-op at lake scale); measured
+    # 4.3 -> 1.2 s at sf0.1 on the single-row-group bench file
+    li = spread_rowlocal(li)
     aggs = []
     for c in cols:
         aggs.append(F.sum(F.col(c).cast("decimal(25,6)")).alias(f"s_{c}"))

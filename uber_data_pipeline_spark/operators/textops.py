@@ -46,8 +46,12 @@ def language_id(docs: DataFrame) -> DataFrame:
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:
-    """Length/stopword/punctuation-based quality score in [0,1]."""
-    base = docs.selectExpr(
+    """Length/stopword/punctuation-based quality score in [0,1].
+    Row-local regex + token work — the scan feed is spread (see
+    operators/spread.py; no-op at lake scale)."""
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
+
+    base = spread_rowlocal(docs).selectExpr(
         "doc_id",
         "n_chars",
         f"{TOKENS_SPARK} AS tokens",
@@ -1365,9 +1369,13 @@ def udtf_top_bigrams(docs: DataFrame, top_k: int = UDTF_TOP_BIGRAMS) -> DataFram
             for i in range(len(toks) - 1):
                 yield doc_id, toks[i] + " " + toks[i + 1]
 
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
+
     spark = docs.sparkSession
     spark.udtf.register("udp_bigram_udtf", BigramUDTF)
-    docs.select("doc_id", "text").createOrReplaceTempView("udp_udtf_docs")
+    spread_rowlocal(docs.select("doc_id", "text")).createOrReplaceTempView(
+        "udp_udtf_docs"
+    )
     return spark.sql(f"""
         SELECT gram,
                CAST(COUNT(*) AS BIGINT) AS n,
@@ -2600,3 +2608,106 @@ def sql_quality_model(
                    AS is_target
         FROM {table} d LEFT JOIN per_doc p USING (doc_id)
     """
+
+def quality_model_eval(
+    docs: DataFrame, target_lang: str = DSIR_TARGET_LANG
+) -> DataFrame:
+    """Evaluation gate for :func:`quality_model_scores` — the
+    train->eval loop closure (the ann_*_recall pattern applied to the
+    classifier): confusion counts of the scorer's is_target against
+    the training label (lang == target), plus precision / recall / F1
+    in EXACT integer micro-units (floor-div; F1 = 2PR/(P+R) computed
+    on the micro ints, products < 2^52). One row.
+
+    This is the gate a production filter ships with: it catches a
+    silently-degenerate model (all-positive or all-negative) that the
+    score distribution alone can hide."""
+    scored = quality_model_scores(docs, target_lang=target_lang).select(
+        "doc_id", "is_target"
+    )
+    labeled = docs.select(
+        "doc_id", (F.col("lang") == target_lang).alias("is_pos")
+    )
+    return (
+        scored.join(labeled, "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("is_target") & F.col("is_pos"), 1).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when(F.col("is_target") & ~F.col("is_pos"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+            F.sum(
+                F.when(~F.col("is_target") & F.col("is_pos"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("fn"),
+            F.sum(
+                F.when(~F.col("is_target") & ~F.col("is_pos"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("tn"),
+        )
+        .selectExpr(
+            "n_docs",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            "CASE WHEN tp + fp > 0 THEN tp * 1000000 DIV (tp + fp) "
+            "ELSE CAST(0 AS BIGINT) END AS precision_micro",
+            "CASE WHEN tp + fn > 0 THEN tp * 1000000 DIV (tp + fn) "
+            "ELSE CAST(0 AS BIGINT) END AS recall_micro",
+        )
+        .selectExpr(
+            "*",
+            "CASE WHEN precision_micro + recall_micro > 0 "
+            "THEN 2 * precision_micro * recall_micro "
+            "DIV (precision_micro + recall_micro) "
+            "ELSE CAST(0 AS BIGINT) END AS f1_micro",
+        )
+    )
+
+
+def sql_quality_model_eval(
+    table: str = "documents", target_lang: str = DSIR_TARGET_LANG
+) -> str:
+    """DuckDB twin of :func:`quality_model_eval` (wraps the scorer
+    twin as a subquery)."""
+    inner = sql_quality_model(table=table, target_lang=target_lang)
+    return f"""
+        WITH conf AS (
+            SELECT
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN q.is_target AND d.lang = '{target_lang}'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(SUM(CASE WHEN q.is_target AND d.lang <> '{target_lang}'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(SUM(CASE WHEN NOT q.is_target
+                              AND d.lang = '{target_lang}'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(SUM(CASE WHEN NOT q.is_target
+                              AND d.lang <> '{target_lang}'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM ({inner}) q JOIN {table} d USING (doc_id)
+        ), pr AS (
+            SELECT *,
+                CAST(CASE WHEN tp + fp > 0
+                     THEN tp * 1000000 // (tp + fp) ELSE 0 END
+                     AS BIGINT) AS precision_micro,
+                CAST(CASE WHEN tp + fn > 0
+                     THEN tp * 1000000 // (tp + fn) ELSE 0 END
+                     AS BIGINT) AS recall_micro
+            FROM conf
+        )
+        SELECT *,
+               CAST(CASE WHEN precision_micro + recall_micro > 0
+                    THEN 2 * precision_micro * recall_micro
+                         // (precision_micro + recall_micro)
+                    ELSE 0 END AS BIGINT) AS f1_micro
+        FROM pr
+    """
+

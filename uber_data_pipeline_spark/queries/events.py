@@ -459,6 +459,67 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint monitor over the reduced daily
+    event-count series (Page 1954) — the sequential drift detector
+    that catches a sustained small shift the per-point z-score and
+    the trailing-average burst flags both miss: s+_t = max(0,
+    s+_{t-1} + x_t - mu - slack), s-_t symmetric, alarm when the
+    cumulative excess tops h = 3 mean-days.
+
+    Determinism: x_t are exact daily counts; mu is the floor-div
+    micro-unit mean of the series; slack = mu/20 (5%) and h = 3*mu
+    are integer derivations of it; the recursion is pure int64 —
+    bit-identical in both engines (Spark runs it as a row-local fold
+    over the collected span-bounded series, the oracle as a recursive
+    CTE over day rank — the orders_forecast_holt twin-recursion
+    pattern).
+
+    Scale shape: corpus-sized work is ONE map-side-combined daily
+    count; the recursion is span-bounded (days, control-plane sized
+    at any corpus scale); the result re-explodes row-locally.
+
+    Columns: day, x, mean_micro, s_pos_micro, s_neg_micro, alarm_up,
+    alarm_down."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.count("*").alias("x"))
+    series = daily.agg(
+        F.expr("sort_array(collect_list(struct(day, x))) AS s")
+    ).selectExpr(
+        "s",
+        "CAST(size(s) AS BIGINT) AS n_days",
+        "aggregate(s, CAST(0 AS BIGINT), (a, r) -> a + r.x) AS sx",
+    ).selectExpr(
+        "s",
+        "CASE WHEN n_days > 0 THEN sx * 1000000 DIV n_days "
+        "ELSE CAST(0 AS BIGINT) END AS mu",
+    ).selectExpr("s", "mu", "mu DIV 20 AS slack")
+    step_sp = "greatest(CAST(0 AS BIGINT), a.sp + r.x * 1000000 - mu - slack)"
+    step_sn = "greatest(CAST(0 AS BIGINT), a.sn + mu - slack - r.x * 1000000)"
+    fold = (
+        "aggregate(s, named_struct('sp', CAST(0 AS BIGINT), "
+        "'sn', CAST(0 AS BIGINT), 'out', CAST(array() AS "
+        "array<struct<day:date,x:bigint,sp:bigint,sn:bigint>>)), "
+        f"(a, r) -> named_struct('sp', {step_sp}, 'sn', {step_sn}, "
+        f"'out', concat(a.out, array(struct(r.day AS day, r.x AS x, "
+        f"{step_sp} AS sp, {step_sn} AS sn)))), "
+        "a -> a.out)"
+    )
+    return series.selectExpr(
+        "mu AS mean_micro", f"explode({fold}) AS r"
+    ).selectExpr(
+        "r.day AS day",
+        "r.x AS x",
+        "mean_micro",
+        "r.sp AS s_pos_micro",
+        "r.sn AS s_neg_micro",
+        "r.sp > 3 * mean_micro AS alarm_up",
+        "r.sn > 3 * mean_micro AS alarm_down",
+    )
+
+
 def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-user event volume — the engagement-
     inequality audit (is activity spread across users or carried by a
@@ -1066,6 +1127,7 @@ QUERIES = {
     # r11: trailing 7-day distinct (rolling WAU) via contribution
     # replication of the reduced (user, day) relation
     "events_rolling_wau": events_rolling_wau,
+    "events_cusum_drift": events_cusum_drift,
     # r11: engagement-inequality Gini over the reduced per-user
     # counts (distributed-rank, never a global window partition)
     "events_user_gini": events_user_gini,
@@ -1642,4 +1704,36 @@ ORACLES["events_native_session_window"] = f"""
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM numbered
     GROUP BY user_id, sid
+"""
+
+ORACLES["events_cusum_drift"] = """
+    WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), idx AS MATERIALIZED (
+        SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily
+    ), stats AS MATERIALIZED (
+        SELECT CASE WHEN COUNT(*) > 0
+                    THEN SUM(x) * 1000000 // COUNT(*)
+                    ELSE 0 END AS mu
+        FROM daily
+    ), rec AS (
+        SELECT i.i, i.day, i.x,
+               greatest(0, i.x * 1000000 - s.mu - s.mu // 20) AS sp,
+               greatest(0, s.mu - s.mu // 20 - i.x * 1000000) AS sn
+        FROM idx i, stats s WHERE i.i = 1
+        UNION ALL
+        SELECT i.i, i.day, i.x,
+               greatest(0, r.sp + i.x * 1000000 - s.mu - s.mu // 20),
+               greatest(0, r.sn + s.mu - s.mu // 20 - i.x * 1000000)
+        FROM rec r JOIN idx i ON i.i = r.i + 1, stats s
+    )
+    SELECT r.day, r.x,
+           CAST(s.mu AS BIGINT) AS mean_micro,
+           CAST(r.sp AS BIGINT) AS s_pos_micro,
+           CAST(r.sn AS BIGINT) AS s_neg_micro,
+           r.sp > 3 * s.mu AS alarm_up,
+           r.sn > 3 * s.mu AS alarm_down
+    FROM rec r, stats s
 """

@@ -28,8 +28,13 @@ def _revenue() -> F.Column:
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: pricing summary report. Single scan, 8 aggregates,
     filter pushed to parquet; partial (map-side) aggregation reduces
-    to |returnflag x linestatus| groups before the shuffle."""
-    li = load_table(spark, sf_dir, "lineitem")
+    to |returnflag x linestatus| groups before the shuffle. r12: the
+    8-aggregate decimal map is compute-dense, so the under-split
+    local scan is spread (operators/spread.py; filter still pushes
+    through to the scan) — measured 1.9 -> 1.3 s at sf0.1."""
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
+
+    li = spread_rowlocal(load_table(spark, sf_dir, "lineitem"))
     charge = _revenue() * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-08-06"))

@@ -1059,6 +1059,108 @@ def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test over the corpus monthly revenue series
+    — the nonparametric SIGNIFICANCE twin of the Theil-Sen slope
+    (Mann 1945, Kendall 1975): S = sum over month pairs of
+    sign(y_j - y_i), with the tie-corrected variance. Emitted as
+    EXACT INTEGERS — S and Var(S)*18 = n(n-1)(2n+5) - sum over tie
+    groups t(t-1)(2t+5) — so no sqrt/normal-approx ever enters the
+    cross-engine compare; a caller forms the z-score downstream.
+
+    Determinism: monthly revenue stays DECIMAL end-to-end (exact
+    sums), so every pair sign and tie-group equality is bit-identical
+    in both engines. All pair work is ROW-LOCAL on the collected
+    span-bounded series (the orders_theilsen_trend contract).
+
+    Columns: n_months, s_stat, var18, trend."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("ysum")
+    )
+    series = monthly.agg(
+        F.expr(
+            "sort_array(collect_list(struct(m, CAST(ysum AS"
+            " DECIMAL(25,6)) AS y))) AS s"
+        )
+    ).selectExpr(
+        "CAST(size(s) AS BIGINT) AS n_months",
+        "transform(s, x -> x.y) AS ys",
+    )
+    s_stat = (
+        "CASE WHEN n_months >= 2 THEN "
+        "aggregate(flatten(transform(sequence(1, CAST(n_months AS INT) - 1), "
+        "i -> transform(sequence(i + 1, CAST(n_months AS INT)), "
+        "j -> CASE WHEN element_at(ys, j) > element_at(ys, i) "
+        "THEN CAST(1 AS BIGINT) "
+        "WHEN element_at(ys, j) < element_at(ys, i) "
+        "THEN CAST(-1 AS BIGINT) ELSE CAST(0 AS BIGINT) END))), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x) ELSE CAST(0 AS BIGINT) END"
+    )
+    run = (
+        "CASE WHEN s.run > 0 AND y = s.prev THEN s.run + 1 "
+        "ELSE CAST(1 AS BIGINT) END"
+    )
+    flush = (
+        "CASE WHEN s.run >= 2 AND y <> s.prev "
+        "THEN s.acc + s.run * (s.run - 1) * (2 * s.run + 5) ELSE s.acc END"
+    )
+    tie_term = (
+        "aggregate(sort_array(ys), "
+        "named_struct('prev', CAST(NULL AS DECIMAL(25,6)), "
+        "'run', CAST(0 AS BIGINT), 'acc', CAST(0 AS BIGINT)), "
+        f"(s, y) -> named_struct('prev', y, 'run', {run}, 'acc', {flush}), "
+        "s -> CASE WHEN s.run >= 2 "
+        "THEN s.acc + s.run * (s.run - 1) * (2 * s.run + 5) ELSE s.acc END)"
+    )
+    return series.selectExpr(
+        "n_months",
+        f"{s_stat} AS s_stat",
+        f"n_months * (n_months - 1) * (2 * n_months + 5) - {tie_term}"
+        " AS var18",
+    ).selectExpr(
+        "n_months",
+        "s_stat",
+        "var18",
+        "CASE WHEN s_stat > 0 THEN 'increasing' "
+        "WHEN s_stat < 0 THEN 'decreasing' ELSE 'no_trend' END AS trend",
+    )
+
+
+def sql_orders_mann_kendall() -> str:
+    """DuckDB twin of :func:`orders_mann_kendall` — relational pair
+    join + tie-group aggregate over the reduced monthly series."""
+    return """
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                        AS DECIMAL(25,6)) AS y
+            FROM orders GROUP BY 1
+        ), pr AS (
+            SELECT COALESCE(SUM(CASE WHEN b.y > a.y THEN 1
+                                     WHEN b.y < a.y THEN -1
+                                     ELSE 0 END), 0) AS s_stat
+            FROM monthly a JOIN monthly b ON b.m > a.m
+        ), nn AS (
+            SELECT COUNT(*) AS n FROM monthly
+        ), ties AS (
+            SELECT COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0) AS tie_term
+            FROM (SELECT COUNT(*) AS c FROM monthly
+                  GROUP BY y HAVING COUNT(*) >= 2)
+        )
+        SELECT CAST(nn.n AS BIGINT) AS n_months,
+               CAST(pr.s_stat AS BIGINT) AS s_stat,
+               CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+                    AS BIGINT) AS var18,
+               CASE WHEN pr.s_stat > 0 THEN 'increasing'
+                    WHEN pr.s_stat < 0 THEN 'decreasing'
+                    ELSE 'no_trend' END AS trend
+        FROM nn, pr, ties
+    """
+
+
 def sql_orders_theilsen_trend() -> str:
     """DuckDB twin of :func:`orders_theilsen_trend` — relational pair
     join over the reduced monthly series; median() on doubles is the
@@ -1675,6 +1777,7 @@ QUERIES = {
     "parts_label_propagation": parts_label_propagation,
     "orders_forecast_holt": orders_forecast_holt,
     "orders_theilsen_trend": orders_theilsen_trend,
+    "orders_mann_kendall": orders_mann_kendall,
     "basket_association_rules": basket_association_rules,
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q8_market_share": tpch_q8_market_share,
@@ -2171,3 +2274,4 @@ ORACLES["orders_gapfill_rcte"] = ORACLES["orders_daily_gapfill"]
 ORACLES["lineitem_corr_matrix"] = _sql_corr()
 ORACLES["orders_benford_audit"] = sql_orders_benford_audit()
 ORACLES["orders_theilsen_trend"] = sql_orders_theilsen_trend()
+ORACLES["orders_mann_kendall"] = sql_orders_mann_kendall()

@@ -593,6 +593,11 @@ QUERIES = {
     "documents_quality_model": lambda spark, sf: textops.quality_model_scores(
         _docs(spark, sf)
     ),
+    # r12: the scorer's train->eval closure (confusion + P/R/F1 in
+    # exact micro ints against the training label)
+    "documents_quality_model_eval": lambda spark, sf: textops.quality_model_eval(
+        _docs(spark, sf)
+    ),
     "documents_stratified_sample": lambda spark, sf: stratified_sample(
         _docs(spark, sf).select("doc_id", "lang"), "doc_id", "lang", SAMPLE_RATES
     ),
@@ -1674,6 +1679,7 @@ ORACLES = {
     "dedup_clusters_baseline": _sql_cc_clusters(),
     "dedup_paragraph_twolevel": dedup.sql_paragraph_twolevel(),
     "documents_quality_model": textops.sql_quality_model(),
+    "documents_quality_model_eval": textops.sql_quality_model_eval(),
 }
 
 ORACLES["dedup_substring_windows"] = dedup.sql_substring_window_dups()
