@@ -283,3 +283,37 @@ def test_quality_model_eval_hand(spark):
     assert out["precision_micro"] == 1_000_000
     assert out["recall_micro"] == 1_000_000
     assert out["f1_micro"] == 1_000_000
+
+
+def test_ivf_classify_separable_clusters(spark):
+    """Two well-separated label clusters: the IVF-probed classifier
+    and the exact-gemm baseline must both score 100% — the scale path
+    may only diverge through probe misses, impossible when clusters
+    are orthogonal."""
+    from uber_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        knn_classify,
+    )
+
+    rows = []
+    for i in range(8):   # label 0: along e0, tiny distinct jitter on e1
+        v = [0.0] * 64
+        v[0] = 1.0
+        v[1] = 0.01 * (i + 1)
+        rows.append((i, v, 0))
+    for i in range(8):   # label 1: along e32
+        v = [0.0] * 64
+        v[32] = 1.0
+        v[33] = 0.01 * (i + 1)
+        rows.append((100 + i, v, 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    exact = {r["label"]: r for r in knn_classify(emb, 3).collect()}
+    ivf = {
+        r["label"]: r
+        for r in knn_classify(emb, 3, nn=ivf_topk(emb, 3)).collect()
+    }
+    for lbl in (0, 1):
+        assert exact[lbl]["n"] == 8 and exact[lbl]["n_correct"] == 8
+        assert ivf[lbl]["n"] == 8 and ivf[lbl]["n_correct"] == 8

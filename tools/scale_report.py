@@ -28,7 +28,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 QUADRATIC_DOCUMENTED = {
     # exact all-pairs / gemm baselines (the IVF/banded variants are
-    # the scale path; these exist as recall oracles)
+    # the scale path; these exist as recall oracles). r12: the
+    # classification duty gained its scale twin too —
+    # ann_ivf_classify (IVF-probed neighbors, linear allowance)
     "ann_bruteforce_topk",
     "ann_knn_classify",
     # two exact gemms (truncated + full) by construction

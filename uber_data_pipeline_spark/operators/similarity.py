@@ -2146,7 +2146,10 @@ def sql_gram_matrix(table: str = "embeddings") -> str:
 
 
 def knn_classify(
-    emb: DataFrame, k: int, query_pred: str = "TRUE"
+    emb: DataFrame,
+    k: int,
+    query_pred: str = "TRUE",
+    nn: DataFrame | None = None,
 ) -> DataFrame:
     """k-NN label vote: each vector's label is predicted by majority
     vote of its exact top-k cosine neighbors (ties: larger vote count
@@ -2167,10 +2170,19 @@ def knn_classify(
     evaluated QUERY set on both engines — the sampled big-SF replay
     hook (at 100 TB this probe runs on a deterministic query sample
     anyway; per-query predictions are independent, so the sampled
-    report is exact over its slice)."""
+    report is exact over its slice).
+
+    ``nn`` swaps the neighbor source: pass :func:`ivf_topk`'s (or
+    :func:`lsh_topk`'s) output for the SCALE path — r12's
+    `ann_ivf_classify` registers exactly that, making the exact-gemm
+    classification the labeled baseline twin (the topk/recall-family
+    split applied to the classifier duty). The vote/argmax/report
+    shape downstream is identical."""
     from pyspark.sql import Window
 
-    nn = brute_force_topk(emb, k).filter(F.expr(query_pred))
+    nn = (brute_force_topk(emb, k) if nn is None else nn).filter(
+        F.expr(query_pred)
+    )
     labels = emb.select("vec_id", "label")
     votes = (
         nn.join(

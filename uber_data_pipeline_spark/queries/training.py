@@ -499,6 +499,16 @@ QUERIES = {
     "ann_knn_classify": lambda spark, sf: similarity.knn_classify(
         _emb(spark, sf), ANN_K
     ),
+    # r12: the SCALE-path classifier twin — same vote/report,
+    # neighbors from the trained-quantizer IVF probe instead of the
+    # exact gemm (the topk/recall family split applied to the
+    # classification duty; ann_knn_classify stays as the labeled
+    # exact baseline)
+    "ann_ivf_classify": lambda spark, sf: similarity.knn_classify(
+        _emb(spark, sf),
+        ANN_K,
+        nn=similarity.ivf_topk(_emb(spark, sf), ANN_K),
+    ),
     # kth-NN-distance outlier scores (Ramaswamy et al. 2000): flag
     # off-manifold/corrupt vectors before they poison indexes; exact
     # gemm over the deterministic query sample, decimal-exact
@@ -1252,6 +1262,7 @@ ORACLES = {
     "dedup_semantic_cluster": similarity.sql_semantic_dedup(),
     "ann_bruteforce_topk": _sql_ann_exact(ANN_K),
     "ann_knn_classify": similarity.sql_knn_classify(_sql_ann_exact(ANN_K)),
+    "ann_ivf_classify": similarity.sql_knn_classify(_sql_ann_ivf(ANN_K)),
     "ann_lsh_topk": _sql_ann_lsh(LSH_ANN_K),
     "ann_lsh_recall": f"""
         WITH {similarity.sql_query_sample_cte()},
