@@ -258,34 +258,23 @@ def main() -> int:
     from pyspark.sql import Observation
     from pyspark.sql import functions as F  # noqa: F811
 
+    # the rep/threshold/spread/min methodology lives in ONE place —
+    # uber_data_pipeline_spark.testing.timed_noop_run — shared with
+    # tools/rebench_entries.py and tools/scale_ladder.py so the
+    # "exact bench methodology" contract those tools promise is
+    # structural, not copy-paste (r12 review item). _clear_all runs
+    # between reps: operators cache intermediates (shingle sets,
+    # edge lists) for their own multi-pass plans; drop them so no
+    # query's timing rides on or pays for another query's leftovers.
+    from uber_data_pipeline_spark.testing import timed_noop_run
+
     load_before = _load_stamp()
     for name, fn in entrymod.queries().items():
-        reps: list[float] = []
-        # up to 4 reps: rep 1 always; sub-threshold entries stop
-        # there; reps 2-3 otherwise; a 4th only when the first three
-        # spread > 2x (bimodal contention — one more draw from the
-        # fast regime). Estimator = MIN (see the comment above).
-        for i in range(4):
-            t0 = time.perf_counter()
-            obs = Observation()
-            (
-                fn(spark, sf_dir)
-                .observe(obs, F.count(F.lit(1)).alias("n"))
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            )
-            row_counts[name] = obs.get["n"]
-            reps.append(round(time.perf_counter() - t0, 3))
-            # operators cache intermediates (shingle sets, edge lists)
-            # for their own multi-pass plans; drop them so no query's
-            # timing rides on or pays for another query's leftovers
-            _clear_all(spark)
-            if i == 0 and reps[0] <= REP_THRESHOLD_S:
-                break
-            if i == 2 and max(reps) <= 2.0 * min(reps):
-                break
-        timings[name] = min(reps)
+        best, reps, rows = timed_noop_run(
+            spark, fn, sf_dir, _clear_all, REP_THRESHOLD_S
+        )
+        row_counts[name] = rows
+        timings[name] = best
         n_reps[name] = len(reps)
         all_reps[name] = reps
     load_after = _load_stamp()

@@ -317,3 +317,21 @@ def test_ivf_classify_separable_clusters(spark):
     for lbl in (0, 1):
         assert exact[lbl]["n"] == 8 and exact[lbl]["n_correct"] == 8
         assert ivf[lbl]["n"] == 8 and ivf[lbl]["n_correct"] == 8
+
+
+def test_quality_model_empty_corpus(spark):
+    """r12 review catch: an empty documents relation left every
+    collected weight NULL and int(None) crashed plan construction
+    where the oracle returned zero rows. The weights must fall back
+    to the smoothed default (ratio 1.0) and the scorer return an
+    empty frame."""
+    from uber_data_pipeline_spark.operators.textops import (
+        quality_model_scores,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    out = quality_model_scores(docs)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_feats", "score_micro", "is_target",
+    ]

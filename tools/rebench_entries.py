@@ -72,29 +72,15 @@ def main() -> int:
             pass
         _clear_all(spark)
 
+    from uber_data_pipeline_spark.testing import timed_noop_run
+
     out: dict = {}
     for n in names:
-        reps: list[float] = []
-        rows = None
-        for i in range(4):
-            t0 = time.perf_counter()
-            obs = Observation()
-            (
-                qs[n](spark, sf_dir)
-                .observe(obs, F.count(F.lit(1)).alias("n"))
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            )
-            rows = obs.get["n"]
-            reps.append(round(time.perf_counter() - t0, 3))
-            _clear_all(spark)
-            if i == 0 and reps[0] <= REP_THRESHOLD_S:
-                break
-            if i == 2 and max(reps) <= 2.0 * min(reps):
-                break
+        best, reps, rows = timed_noop_run(
+            spark, qs[n], sf_dir, _clear_all, REP_THRESHOLD_S
+        )
         out[n] = {
-            "min_s": min(reps),
+            "min_s": best,
             "reps": reps,
             "rows": rows,
         }

@@ -79,29 +79,12 @@ def _clear_all(spark) -> None:
 
 
 def _measure(spark, fn, sf_dir: str) -> tuple[float, int]:
-    from pyspark.sql import Observation
-    from pyspark.sql import functions as F
+    # shared bench kernel (uber_data_pipeline_spark.testing) — one
+    # source of truth for the rep/threshold/spread/min methodology
+    from uber_data_pipeline_spark.testing import timed_noop_run
 
-    reps: list[float] = []
-    rows = 0
-    for i in range(4):
-        t0 = time.perf_counter()
-        obs = Observation()
-        (
-            fn(spark, sf_dir)
-            .observe(obs, F.count(F.lit(1)).alias("n"))
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        rows = obs.get["n"]
-        reps.append(round(time.perf_counter() - t0, 3))
-        _clear_all(spark)
-        if i == 0 and reps[0] <= 0.3:
-            break
-        if i == 2 and max(reps) <= 2.0 * min(reps):
-            break
-    return min(reps), rows
+    best, _reps, rows = timed_noop_run(spark, fn, sf_dir, _clear_all)
+    return best, rows
 
 
 def _slope(points: list[tuple[float, float]]) -> float:

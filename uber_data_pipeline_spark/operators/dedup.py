@@ -320,14 +320,17 @@ MINHASH_B = [(40503 * (p + 1) * (p + 1) + 12345) % MINHASH_MOD for p in range(NU
 # (< 2^48), reduced mod MOD. Spark evaluates it with the native conv()
 # (codegen); the DuckDB oracle folds the same 12 nibbles manually —
 # identical values, each engine on its fast path.
-SHINGLE_HASH_SPARK = (
-    "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS bigint) % 1000000007"
+# derived from the ONE parameterized source of truth in
+# functions/text.py (r12 review: the quality model needed the same
+# family over arbitrary feature strings, and two verbatim copies of
+# the 12-nibble fold would silently diverge on the next tune)
+from uber_data_pipeline_spark.functions.text import (  # noqa: E402
+    base_hash_duck,
+    base_hash_spark,
 )
-SHINGLE_HASH_DUCK = (
-    "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 13), "
-    "i -> (instr('0123456789abcdef', substring(md5(shingle), i, 1)) - 1)::BIGINT)), "
-    "(h, c) -> h * 16 + c) % 1000000007"
-)
+
+SHINGLE_HASH_SPARK = base_hash_spark("shingle")
+SHINGLE_HASH_DUCK = base_hash_duck("shingle")
 
 
 def minhash_signatures(
@@ -1872,23 +1875,23 @@ def sql_paragraph_twolevel(
             FROM toks,
                  unnest(range(0, greatest((len(tokens) - 1) // {seg_len},
                                           0) + 1)) AS t(b)
-        ), base AS (
+        ), base AS MATERIALIZED (
             SELECT doc_id, seg_no,
                    CAST(len(seg) AS BIGINT) AS n_seg_tokens,
                    md5(array_to_string(seg, ' ')) AS seg_hash,
                    list_distinct(list_transform({shingles_duck("seg")},
                        shingle -> {SHINGLE_HASH_DUCK})) AS shs
             FROM segs
-        ), marked AS (
+        ), marked AS MATERIALIZED (
             SELECT doc_id, seg_no, n_seg_tokens, shs,
                    ROW_NUMBER() OVER (PARTITION BY seg_hash
                                       ORDER BY doc_id, seg_no) > 1
                        AS exact_dup
             FROM base
-        ), surv AS (
+        ), surv AS MATERIALIZED (
             SELECT doc_id, seg_no, shs, {mins}
             FROM marked WHERE NOT exact_dup AND len(shs) > 0
-        ), bands AS (
+        ), bands AS MATERIALIZED (
             {band_rows}
         ), cand AS (
             SELECT b.doc_id AS doc_id, b.seg_no AS seg_no,

@@ -25,6 +25,23 @@ row-group grain.
 The factor-of-2 over-split smooths per-document length skew:
 round-robin equalizes ROW counts, not token counts, so 2 waves of
 smaller partitions let the scheduler rebalance stragglers.
+
+Why PER-OPERATOR and not once in catalog.load_table: measured (r12
+A/B over a 15-entry representative slice at sf0.1). A blanket loader
+spread is net-NEGATIVE (22.9 -> 23.3 s): compute-dense maps win big
+(corr-matrix moments 4.3 -> 1.2 s, tpch_q1 1.9 -> 1.3 s) but
+light-map shuffle queries lose consistently (tpch_q9 0.67 -> 1.60 s,
+events_distinct_users 0.22 -> 0.80 s — the extra round-robin
+exchange costs more than the parallelism returns when the map side
+is just decode+project before a keyed exchange). Compute density is
+a property of the OPERATOR, so the operator opts in. Rewriting the
+bench corpus with more row groups is not available: the driver's
+testdata is read-only and its bench runs against that layout.
+
+Cost note: the gate probes df.rdd.getNumPartitions(), one extra
+logical->RDD conversion per call (~10-30 ms on a scan-rooted input).
+Sixteen opted-in sites pay well under a second across the whole
+219-entry bench — noise against the multi-second wins above.
 """
 
 from __future__ import annotations

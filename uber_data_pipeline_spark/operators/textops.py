@@ -2517,7 +2517,14 @@ def quality_model_scores(
         .orderBy("b")
         .collect()
     )
-    weights = [int(r["w"]) for r in wrows]
+    # an EMPTY corpus (0 feature rows) leaves the totals NULL and so
+    # every collected weight NULL; the smoothed ratio there is
+    # (0+1)(0+k) / (0+1)(0+k) = 1.0 -> 1e6 micro, matching what the
+    # oracle's COALESCEd spine computes (r12 review catch: int(None)
+    # crashed at plan-construction time where DuckDB returned rows)
+    weights = [
+        int(r["w"]) if r["w"] is not None else 1_000_000 for r in wrows
+    ]
     return (
         spread_rowlocal(docs)
         .selectExpr("doc_id", f"{TOKENS_SPARK} AS tokens")

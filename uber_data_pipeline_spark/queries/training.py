@@ -573,6 +573,15 @@ QUERIES = {
     # every SF (the organic corpus has no τ>=0.8 pair). The τ=0.4
     # quadratic feed lives on as the labeled baseline twin below —
     # the dedup_embedding_cosine / _baseline split pattern.
+    # ORACLE CONTRACT: this entry inherits dedup_embedding_cosine's
+    # documented probabilistic guarantee (see the block comment at
+    # COSINE_NEAR_DUP_STRICT above) — the engine's banded plan may
+    # miss an at-threshold pair with p <= srp_band_plan's target_miss
+    # while the oracle's pair set is exact. On this corpus they agree
+    # exactly (no organic pair above ~0.60; the sentinel is cosine
+    # 1.0, unmissable); if a future datagen plants true pairs near
+    # 0.8, a CC hash mismatch bounded by the miss rate is WITHIN the
+    # engine's contract, not a correctness bug.
     "dedup_clusters": lambda spark, sf: dedup.connected_components(
         similarity.cosine_pairs_banded(
             _emb_with_sentinel(spark, sf), COSINE_NEAR_DUP_STRICT
