@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -291,6 +292,9 @@ def main() -> int:
     concurrent_wall = None
     concurrent_errors = None
     concurrent_error_msgs = []
+    concurrent_timings: dict[str, float] = {}
+    concurrent_hash_checks: dict[str, bool] = {}
+    snapshot_cap = None
     try:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -311,9 +315,13 @@ def main() -> int:
                     "spark.scheduler.pool", f"bench-{threading.get_ident()}"
                 )
                 # same full-materialization action as the sequential pass
+                tq0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
+                concurrent_timings[name] = round(
+                    time.perf_counter() - tq0, 3
+                )
                 return None
             except Exception as e:  # noqa: BLE001
                 return f"{name}: {e}"
@@ -332,8 +340,19 @@ def main() -> int:
             # through the lazy read's action); restore it after
             "spark.sql.python.filterPushdown.enabled",
             "spark.sql.streaming.statefulOperator.allowMultiple",
+            # pool-aware spread cap set below for the concurrent pass
+            "spark.udp.spread.maxPartitions",
         )
         snapshot = {k: spark.conf.get(k, None) for k in conf_keys}
+        # pool-aware spread (r13, VERDICT r12 item 1): under 8 in-flight
+        # queries, each spread site expanding to cores*2 partitions
+        # oversubscribes the 32 task slots 16x (measured: concurrent-8
+        # wall 39.8 -> 54.4 s when the spread pass landed). Cap each
+        # query's spread at its fair share of the pool so the POOL
+        # stays saturated while no one query floods the slots.
+        cores = spark.sparkContext.defaultParallelism
+        snapshot_cap = max(4, (cores * 2) // 8)
+        spark.conf.set("spark.udp.spread.maxPartitions", str(snapshot_cap))
         # longest-processing-time-first: the makespan of an 8-slot
         # pool is set by whatever long job lands last; submit the
         # heavy entries (per the sequential timings just measured)
@@ -348,6 +367,61 @@ def main() -> int:
         concurrent_wall = round(time.perf_counter() - t0, 3)
         concurrent_errors = len(errs)
         concurrent_error_msgs = [e[:300] for e in errs[:5]]
+
+        # concurrent-pass correctness spot-gate (r13, VERDICT r12 item
+        # 6): the pool above runs 219 queries through 8 threads but
+        # only counts ERRORS — an interleaving-dependent state bug
+        # (the streaming-conf-lock class: a thread reading session
+        # conf another thread pinned) would return WRONG ROWS
+        # silently, and the sequential oracle never sees that
+        # schedule. Re-run a rotating ~10-entry slice concurrently
+        # with full value hashes against sequential references taken
+        # seconds earlier on the same session + conf. Rotation by
+        # calendar day so successive rounds cover different slices.
+        try:
+            import hashlib
+
+            import pandas as pd  # noqa: F811
+
+            from uber_data_pipeline_spark.testing import normalize
+
+            def _vhash(pdf) -> str:
+                n = normalize(pdf)
+                return hashlib.md5(
+                    pd.util.hash_pandas_object(n, index=False)
+                    .values.tobytes()
+                ).hexdigest()
+
+            names_sorted = sorted(timings)
+            stride = max(1, len(names_sorted) // 10)
+            offset = int(time.time() // 86400) % stride
+            spot = names_sorted[offset::stride][:10]
+            _clear_all(spark)
+            ref_hashes: dict[str, str] = {}
+            for s_name in spot:
+                ref_hashes[s_name] = _vhash(
+                    entrymod.queries()[s_name](spark, sf_dir).toPandas()
+                )
+                _clear_all(spark)
+
+            def _spot_one(s_name):
+                try:
+                    spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool",
+                        f"spot-{threading.get_ident()}",
+                    )
+                    h = _vhash(
+                        entrymod.queries()[s_name](spark, sf_dir).toPandas()
+                    )
+                    return s_name, h == ref_hashes[s_name]
+                except Exception:  # noqa: BLE001
+                    return s_name, False
+
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                concurrent_hash_checks = dict(pool.map(_spot_one, spot))
+        except Exception:  # noqa: BLE001 — the gate must not kill the bench
+            pass
+
         for k, v in snapshot.items():
             if v is None:
                 try:
@@ -403,9 +477,17 @@ def main() -> int:
                 "rows": row_counts,
                 "n_reps": n_reps,
                 "reps": all_reps,
+                # ADVICE r12: the estimator switched median->min at r12,
+                # so regenerated numbers are NOT comparable with pre-r12
+                # medians; keep the per-entry median alongside (derived
+                # from the same reps) so both comparisons stay possible.
+                "medians": {
+                    n: round(statistics.median(r), 3)
+                    for n, r in all_reps.items()
+                },
                 "sf": sf_val,
                 "scheduler": scheduler_mode(),
-                "estimator": "min",
+                "estimator": "min (since r12; medians field for pre-r12 comparability)",
                 "load_before": load_before,
                 "load_after": load_after,
                 "load_after_concurrent": _load_stamp(),
@@ -413,6 +495,9 @@ def main() -> int:
                 "concurrent_workers": 8,
                 "concurrent_errors": concurrent_errors,
                 "concurrent_error_msgs": concurrent_error_msgs,
+                "concurrent_queries": concurrent_timings,
+                "concurrent_spread_cap": snapshot_cap,
+                "concurrent_hash_checks": concurrent_hash_checks,
             },
             f,
             indent=1,

@@ -1,0 +1,270 @@
+"""r13 additions: REAL pure-stdlib codecs (BMP/PPM/WAV) behind the
+codec registry, the paragraph-dedup oversized-bucket clip, and the
+pool-aware spread conf gate."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from tests.conftest import SF_DIR
+from uber_data_pipeline_spark.operators import multimodal as mm
+
+# ----------------------------------------------------- codec fixtures
+
+
+def test_bmp_roundtrip_hand():
+    """Hand-computed features for 12 known bytes (one 4-px row):
+    channel sums are byte positions mod 3."""
+    data = bytes(range(1, 13))  # 1..12
+    f = mm.decode_bmp(mm.encode_bmp(data))
+    #               w    h    c0    c1    c2    max   n     sum
+    assert f == [4.0, 1.0, 22.0, 26.0, 30.0, 12.0, 12.0, 78.0]
+
+
+def test_bmp_zero_pads_partial_row():
+    """13 bytes -> 2 rows, 24 pixel bytes; padding contributes zeros
+    only. Byte 13 (value 255) lands at position 12 (channel 0)."""
+    data = bytes(range(1, 13)) + b"\xff"
+    f = mm.decode_bmp(mm.encode_bmp(data))
+    assert f == [4.0, 2.0, 22.0 + 255.0, 26.0, 30.0, 255.0, 24.0, 78.0 + 255.0]
+
+
+def test_bmp_file_layout_is_bottom_up():
+    """encode_bmp must write REAL bottom-up BMP rows: the first raster
+    row in the file is the LAST image row."""
+    top = bytes([1] * 12)
+    bottom = bytes([2] * 12)
+    payload = mm.encode_bmp(top + bottom)
+    assert payload[:2] == b"BM"
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    assert offset == 54
+    assert payload[54:66] == bottom  # file row 0 == image row h-1
+    assert payload[66:78] == top
+
+
+def test_bmp_decodes_foreign_top_down_variant():
+    """The decoder is a real parser, not an inverse of encode_bmp: a
+    TOP-DOWN BMP (negative height, the other legal layout) from
+    another writer must decode to the same stats."""
+    data = bytes(range(1, 25))
+    normal = mm.decode_bmp(mm.encode_bmp(data))
+    # hand-build top-down: same header but height = -2, rows in image order
+    header = struct.pack("<2sIHHI", b"BM", 54 + 24, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 4, -2, 1, 24, 0, 24, 2835, 2835, 0, 0
+    )
+    assert mm.decode_bmp(header + data) == normal
+
+
+def test_bmp_rejects_non_bmp():
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"not a bitmap at all")
+
+
+def test_ppm_roundtrip_matches_bmp_features():
+    """Identical payloads -> identical features across the two image
+    codecs (the drop-in-peer contract)."""
+    data = bytes(range(1, 40))
+    assert mm.decode_ppm(mm.encode_ppm(data)) == mm.decode_bmp(
+        mm.encode_bmp(data)
+    )
+
+
+def test_ppm_parses_comment_headers():
+    """P6 headers may carry # comment lines — a real parser handles
+    them."""
+    data = bytes(range(1, 13))
+    plain = mm.encode_ppm(data)
+    commented = b"P6\n# made by hand\n4 1\n255\n" + plain.split(b"255\n", 1)[1]
+    assert mm.decode_ppm(commented) == mm.decode_ppm(plain)
+
+
+def test_wav_roundtrip_hand():
+    """3 bytes -> 2 samples: 0x0201 = 513 and 0x0003 = 3 (odd tail
+    zero-padded high byte)."""
+    f = mm.decode_wav(mm.encode_wav(b"\x01\x02\x03"))
+    assert f == [1.0, 2.0, 16000.0, 2.0, 516.0, 3.0, 513.0, 516.0]
+
+
+def test_wav_negative_samples():
+    """High bit of the second byte makes the sample negative —
+    signed s16le decode, min/abs stats."""
+    # sample = 0x8000 -> -32768
+    f = mm.decode_wav(mm.encode_wav(b"\x00\x80"))
+    assert f == [1.0, 2.0, 16000.0, 1.0, -32768.0, -32768.0, -32768.0, 32768.0]
+
+
+def test_wav_empty_stream():
+    f = mm.decode_wav(mm.encode_wav(b""))
+    assert f == [1.0, 2.0, 16000.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+
+
+def test_register_codec_global_dispatch(spark):
+    """register_codec installs a REAL decoder into the global
+    registry and extract_features dispatches through it (the
+    deployment path; the decode_real entry uses the scoped ``codecs``
+    override instead)."""
+    saved = dict(mm.CODECS)
+    try:
+        mm.register_codec("image", mm.decode_bmp)
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(mm.encode_bmp(bytes(range(1, 13)))))],
+            "media_id long, kind string, payload binary",
+        )
+        row = mm.extract_features(media).collect()[0]
+        assert row["feat"] == [4.0, 1.0, 22.0, 26.0, 30.0, 12.0, 12.0, 78.0]
+    finally:
+        mm.CODECS.clear()
+        mm.CODECS.update(saved)
+
+
+def test_media_features_real_matches_oracle(spark, duck):
+    """Full encode -> REAL decode -> stats roundtrip vs the closed-form
+    DuckDB twin at sf0.001 (also swept by test_oracle_parity; kept
+    here so a codec regression points at the codec, not the sweep)."""
+    from uber_data_pipeline_spark.testing import compare
+
+    sdf = mm.media_features_real(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ).toPandas()
+    odf = duck.execute(mm.sql_media_features_real()).df()
+    problems = compare("multimodal_decode_real", sdf, odf)
+    assert not problems, "; ".join(problems)
+
+
+# --------------------------------------- paragraph bucket-size defense
+
+
+def _stress_docs(spark, n=600):
+    """n one-segment docs sharing 15 of 16 tokens — near-identical but
+    NOT exact (level 1 removes nothing), the template/boilerplate
+    crawl shape that concentrates one band bucket."""
+    base = " ".join(f"tok{i}" for i in range(15))
+    rows = [(i, f"{base} unique{i}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraph_bucket_cap_bounds_candidates(spark):
+    """Uncapped, the planted bucket goes quadratic and near-dup
+    removal drops ~all docs; capped at 50, only cap-prefix members
+    can pair, so the damage (and the candidate volume) is bounded by
+    bands * cap regardless of corpus size."""
+    from uber_data_pipeline_spark.operators.dedup import (
+        NUM_BANDS,
+        paragraph_twolevel_census,
+    )
+
+    docs = _stress_docs(spark)
+    uncapped = paragraph_twolevel_census(docs, bucket_cap=10_000).toPandas()
+    spark.catalog.clearCache()
+    assert (uncapped["decision"] == "drop").sum() >= 550
+
+    cap = 50
+    capped = paragraph_twolevel_census(docs, bucket_cap=cap).toPandas()
+    spark.catalog.clearCache()
+    dropped = (capped["decision"] == "drop").sum()
+    assert dropped <= NUM_BANDS * cap
+    assert dropped < (uncapped["decision"] == "drop").sum()
+
+
+def test_paragraph_bucket_cap_oracle_parity_on_stress(spark, duck):
+    """Both engines implement the clip identically on the corpus that
+    actually exercises it (the sf corpora never hit cap=256)."""
+    from uber_data_pipeline_spark.operators.dedup import (
+        paragraph_twolevel_census,
+        sql_paragraph_twolevel,
+    )
+    from uber_data_pipeline_spark.testing import compare
+
+    docs = _stress_docs(spark, n=120)
+    sdf = paragraph_twolevel_census(docs, bucket_cap=30).toPandas()
+    spark.catalog.clearCache()
+    duck.register("para_stress", docs.toPandas())
+    try:
+        odf = duck.execute(
+            sql_paragraph_twolevel(table="para_stress", bucket_cap=30)
+        ).df()
+    finally:
+        duck.unregister("para_stress")
+    problems = compare("paragraph_stress", sdf, odf)
+    assert not problems, "; ".join(problems)
+
+
+# ------------------------------------------- pool-aware spread gate
+
+
+def test_spread_conf_disable_and_cap(spark):
+    """spark.udp.spread.enabled=false -> identity;
+    spark.udp.spread.maxPartitions caps the target (the pool-aware
+    knob bench.py's concurrent pass sets)."""
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
+
+    narrow = spark.range(1000).coalesce(1)
+    try:
+        spark.conf.set("spark.udp.spread.enabled", "false")
+        assert spread_rowlocal(narrow) is narrow
+        spark.conf.unset("spark.udp.spread.enabled")
+
+        spark.conf.set("spark.udp.spread.maxPartitions", "4")
+        assert spread_rowlocal(narrow).rdd.getNumPartitions() == 4
+        # an input already at the cap is left alone (no churn exchange)
+        at_cap = spark.range(1000).repartition(4)
+        assert spread_rowlocal(at_cap) is at_cap
+    finally:
+        for k in ("spark.udp.spread.enabled", "spark.udp.spread.maxPartitions"):
+            try:
+                spark.conf.unset(k)
+            except Exception:  # noqa: BLE001
+                pass
+
+
+def _plan_counts(spark, name):
+    from uber_data_pipeline_spark.queries import all_queries
+
+    df = all_queries()[name](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
+    return {
+        "keyed": plan.count("hashpartitioning")
+        + plan.count("rangepartitioning"),
+        "roundrobin": plan.count("RoundRobinPartitioning"),
+    }
+
+
+@pytest.fixture(scope="module")
+def _spread_entries():
+    from uber_data_pipeline_spark.operators.spread import SPREAD_OPTED_ENTRIES
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    missing = [n for n in SPREAD_OPTED_ENTRIES if n not in qs]
+    assert not missing, f"stale SPREAD_OPTED_ENTRIES: {missing}"
+    return SPREAD_OPTED_ENTRIES
+
+
+def test_spread_opted_entries_listed(_spread_entries):
+    assert len(_spread_entries) >= 8
+
+
+def test_spread_differential_plan_invariant(spark, _spread_entries):
+    """ADVICE r12: for EVERY spread-opted entry, the spread may add
+    round-robin Exchanges only — the keyed-Exchange count must be
+    IDENTICAL with the spread disabled (a spread that changes keyed
+    shuffle shape is a bug, whatever the bench says)."""
+    for name in _spread_entries:
+        on = _plan_counts(spark, name)
+        try:
+            spark.conf.set("spark.udp.spread.enabled", "false")
+            off = _plan_counts(spark, name)
+        finally:
+            try:
+                spark.conf.unset("spark.udp.spread.enabled")
+            except Exception:  # noqa: BLE001
+                pass
+        assert on["keyed"] == off["keyed"], (
+            f"{name}: keyed exchanges {off['keyed']} -> {on['keyed']} "
+            "with spread enabled"
+        )
+        assert on["roundrobin"] >= off["roundrobin"], name

@@ -44,6 +44,7 @@ CONF_KEYS = (
     "spark.sql.streaming.stateStore.providerClass",
     "spark.sql.python.filterPushdown.enabled",
     "spark.sql.streaming.statefulOperator.allowMultiple",
+    "spark.udp.spread.maxPartitions",
 )
 
 
@@ -93,8 +94,14 @@ def main() -> int:
             return f"{name}: {e}"
 
     cells: dict = {}
+    cores = spark.sparkContext.defaultParallelism
     for n in workers:
         snapshot = {k: spark.conf.get(k, None) for k in CONF_KEYS}
+        # pool-aware spread cap, mirroring bench.py's concurrent pass
+        # (r13): each in-flight query gets its fair share of the slots
+        spark.conf.set(
+            "spark.udp.spread.maxPartitions", str(max(4, (cores * 2) // n))
+        )
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=n) as pool:

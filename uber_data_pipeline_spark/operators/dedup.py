@@ -1675,10 +1675,31 @@ PARA_SEG_LEN = 16          # tokens per "paragraph" segment
 PARA_TAU_MICRO = 500_000   # level-2 verify: shingle Jaccard >= 0.5
 PARA_KEEP_MICRO = 700_000  # surviving mass >= 0.7 -> keep whole doc
 PARA_TRIM_MICRO = 300_000  # surviving mass >= 0.3 -> trim; else drop
+# Level-2 bucket-size defense (r13, VERDICT r12 item 3): the LSH
+# load-bound argument ("exact dups were removed at level 1, so band
+# buckets hold only genuinely-near segments") fails open on a
+# template/boilerplate-heavy web crawl, where millions of
+# near-identical-but-NOT-exact segments (same template, one
+# substituted word) land in ONE band bucket and the in-bucket
+# self-join goes quadratic. Cap each (band, band_key) bucket at the
+# first PARA_BUCKET_CAP members in deterministic (doc_id, seg_no)
+# order — the standard production-LSH oversized-bucket clip (e.g.
+# ``datasketch`` users drop hot buckets the same way): a capped
+# bucket still removes every near-dup of its cap-prefix, and a
+# segment clipped from one band's hot bucket keeps its other
+# NUM_BANDS-1 chances to pair. Work per bucket is bounded at
+# cap*(cap-1)/2 candidate pairs no matter the corpus. At cap=256 the
+# sf0.1/sf1 corpora never hit the clip (max observed bucket ~2), so
+# the oracle twins stay value-identical; the stress test
+# (tests/test_r13_operators.py) pins the bounded-candidate behavior
+# on a planted 600-near-identical-segment corpus.
+PARA_BUCKET_CAP = 256
 
 
 def paragraph_twolevel_census(
-    docs: DataFrame, seg_len: int = PARA_SEG_LEN
+    docs: DataFrame,
+    seg_len: int = PARA_SEG_LEN,
+    bucket_cap: int = PARA_BUCKET_CAP,
 ) -> DataFrame:
     """Paragraph-grain TWO-LEVEL dedup census — the C4/RefinedWeb
     recipe (Raffel et al. 2020 §2.2 three-sentence span dedup; Penedo
@@ -1776,6 +1797,24 @@ def paragraph_twolevel_census(
         "shs",
         f"explode(array({band_structs})) AS bk",
     ).selectExpr("doc_id", "seg_no", "shs", "bk.band", "bk.band_key")
+    # oversized-bucket clip (see PARA_BUCKET_CAP): row_number over the
+    # same (band, band_key) keys the join below shuffles on, so the
+    # window's exchange is REUSED by the join — the cap costs one
+    # in-partition sort, not an extra shuffle
+    from pyspark.sql import Window
+
+    bands = (
+        bands.withColumn(
+            "bucket_rank",
+            F.row_number().over(
+                Window.partitionBy("band", "band_key").orderBy(
+                    "doc_id", "seg_no"
+                )
+            ),
+        )
+        .filter(F.col("bucket_rank") <= bucket_cap)
+        .drop("bucket_rank")
+    )
     a = bands.selectExpr(
         "doc_id AS da", "seg_no AS sa", "shs AS sha", "band", "band_key"
     )
@@ -1841,11 +1880,14 @@ def paragraph_twolevel_census(
 
 
 def sql_paragraph_twolevel(
-    table: str = "documents", seg_len: int = PARA_SEG_LEN
+    table: str = "documents",
+    seg_len: int = PARA_SEG_LEN,
+    bucket_cap: int = PARA_BUCKET_CAP,
 ) -> str:
     """DuckDB twin of :func:`paragraph_twolevel_census` (same
-    segmenter, hashes, minhash family, banding, verify threshold and
-    keep-first policy — relational formulation)."""
+    segmenter, hashes, minhash family, banding, verify threshold,
+    oversized-bucket clip and keep-first policy — relational
+    formulation)."""
     from uber_data_pipeline_spark.functions.text import (
         TOKENS_DUCK,
         shingles_duck,
@@ -1891,8 +1933,17 @@ def sql_paragraph_twolevel(
         ), surv AS MATERIALIZED (
             SELECT doc_id, seg_no, shs, {mins}
             FROM marked WHERE NOT exact_dup AND len(shs) > 0
-        ), bands AS MATERIALIZED (
+        ), bands0 AS MATERIALIZED (
             {band_rows}
+        ), bands AS MATERIALIZED (
+            SELECT doc_id, seg_no, shs, band, band_key
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY band, band_key
+                           ORDER BY doc_id, seg_no) AS bucket_rank
+                FROM bands0
+            )
+            WHERE bucket_rank <= {bucket_cap}
         ), cand AS (
             SELECT b.doc_id AS doc_id, b.seg_no AS seg_no,
                    len(list_intersect(a.shs, b.shs)) AS i,

@@ -42,6 +42,22 @@ Cost note: the gate probes df.rdd.getNumPartitions(), one extra
 logical->RDD conversion per call (~10-30 ms on a scan-rooted input).
 Sixteen opted-in sites pay well under a second across the whole
 219-entry bench — noise against the multi-second wins above.
+
+Concurrency (r13, VERDICT r12 item 1): cores*2 partitions per query
+is sized for ONE query owning the executor pool. Under a concurrent
+workload (the bench's 8-thread pass; any multi-tenant deployment)
+every in-flight query spreading to 64 partitions oversubscribes the
+32 task slots — measured +14 s on the concurrent-8 wall at r12. The
+spread target is therefore capped by ``spark.udp.spread.maxPartitions``
+when set: a concurrent submitter sets it to ~(cores * factor) /
+expected_concurrency so the POOL stays saturated while no single
+query floods it. bench.py's concurrent pass does exactly this.
+
+Cluster deployments where ``defaultParallelism`` at plan time is not
+trustworthy (dynamic allocation reports only the executors running at
+submit; ADVICE r12) should set ``spark.udp.spread.enabled=false`` and
+size ``spark.sql.files.maxPartitionBytes`` instead — the spread is an
+under-split-LOCAL-input fix, not something a well-laid-out lake needs.
 """
 
 from __future__ import annotations
@@ -50,15 +66,62 @@ from pyspark.sql import DataFrame
 
 SPREAD_FACTOR = 2
 
+ENABLED_KEY = "spark.udp.spread.enabled"
+MAX_PARTITIONS_KEY = "spark.udp.spread.maxPartitions"
+
+# Registry entries whose plans flow through a spread_rowlocal site —
+# the audit surface for tests/test_r13_operators.py's differential
+# plan invariant (spread may add ROUND-ROBIN exchanges only, never
+# change the keyed-shuffle shape) and for tools/spread_ab.py re-audits.
+# r13 A/B (committed in SURVEY §6): every site below beats its
+# un-spread twin at sf1 — the scale-direction proxy — most by 2-8 s
+# (paragraph dedup 13.6 -> 5.3, substring windows 8.6 -> 2.9, bigram
+# LM 9.0 -> 4.4); a few pay a sub-second tax at the toy sf0.1 where
+# the corpus is too small for the parallelism to amortize the
+# exchange. The two sites that lost or tied at BOTH SFs
+# (attach_media's decode-stub/frame-sample light maps) had their
+# opt-in REMOVED the same round.
+SPREAD_OPTED_ENTRIES = (
+    "tpch_q1_pricing_summary",
+    "lineitem_corr_matrix",
+    "text_quality",
+    "text_fingerprint",
+    "text_repetition",
+    "text_bigram_lm",
+    "text_udtf_bigrams",
+    "documents_gopher_repetition",
+    "documents_quality_model",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_substring_windows",
+    "dedup_substring_spans",
+    "dedup_cdc_chunks",
+    "dedup_sorted_neighborhood",
+    "dedup_paragraph_twolevel",
+    "multimodal_phash_neardup",
+)
+
 
 def spread_rowlocal(df: DataFrame, factor: int = SPREAD_FACTOR) -> DataFrame:
     """Round-robin repartition ``df`` to ``factor * cores`` partitions
-    IFF its current partition count is below the core count; identity
-    otherwise (the at-scale path). Call it on the narrowest projection
-    the operator needs, BEFORE the compute-dense expressions, so the
-    shuffle moves the fewest bytes and the parallelism covers the
-    whole compute."""
-    sc = df.sparkSession.sparkContext
+    (capped by ``spark.udp.spread.maxPartitions`` when set — the
+    pool-aware knob for concurrent workloads) IFF its current
+    partition count is below both the core count and that target;
+    identity otherwise (the at-scale path). Call it on the narrowest
+    projection the operator needs, BEFORE the compute-dense
+    expressions, so the shuffle moves the fewest bytes and the
+    parallelism covers the whole compute. ``spark.udp.spread.enabled=
+    false`` disables it wholesale (clusters where defaultParallelism
+    underestimates the pool — see module docstring)."""
+    spark = df.sparkSession
+    try:
+        if str(spark.conf.get(ENABLED_KEY, "true")).lower() == "false":
+            return df
+        cap_raw = spark.conf.get(MAX_PARTITIONS_KEY, None)
+        cap = int(cap_raw) if cap_raw is not None else None
+    except Exception:  # noqa: BLE001 — spreading is an optimization only
+        cap = None
+    sc = spark.sparkContext
     cores = sc.defaultParallelism
     try:
         n_parts = df.rdd.getNumPartitions()
@@ -66,4 +129,9 @@ def spread_rowlocal(df: DataFrame, factor: int = SPREAD_FACTOR) -> DataFrame:
         return df
     if n_parts >= cores:
         return df
-    return df.repartition(cores * factor)
+    target = cores * factor
+    if cap is not None:
+        target = max(1, min(target, cap))
+    if n_parts >= target:
+        return df
+    return df.repartition(target)

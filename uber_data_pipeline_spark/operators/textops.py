@@ -2501,9 +2501,15 @@ def quality_model_scores(
     totals = cnt.agg(
         F.sum("raw").alias("total_raw"), F.sum("tgt").alias("total_tgt")
     )
+    # operands go through DOUBLE before the multiply (ADVICE r12): at
+    # 100 TB scale per-bucket counts ~1e10 x corpus totals ~1e13 would
+    # overflow an int64 product silently under non-ANSI mode; IEEE
+    # double multiply is deterministic in both engines and exact for
+    # any product < 2^53, so small-corpus values are bit-identical to
+    # the old int64 path
     ratio = (
-        f"((tgt + 1) * (total_raw + {k})) / "
-        f"((raw + 1) * (total_tgt + {k}))"
+        f"(CAST(tgt + 1 AS DOUBLE) * CAST(total_raw + {k} AS DOUBLE)) / "
+        f"(CAST(raw + 1 AS DOUBLE) * CAST(total_tgt + {k} AS DOUBLE))"
     )
     wrows = (
         spine.join(cnt, "b", "left")
@@ -2568,8 +2574,8 @@ def sql_quality_model(
 
     fh = base_hash_duck("f")
     ratio = (
-        f"((c.tgt + 1) * (t.total_raw + {k})) / "
-        f"((c.raw + 1) * (t.total_tgt + {k}))"
+        f"(CAST(c.tgt + 1 AS DOUBLE) * CAST(t.total_raw + {k} AS DOUBLE)) / "
+        f"(CAST(c.raw + 1 AS DOUBLE) * CAST(t.total_tgt + {k} AS DOUBLE))"
     )
     return f"""
         WITH toks AS (

@@ -540,6 +540,15 @@ QUERIES = {
     "multimodal_decode_stub": lambda spark, sf: multimodal.media_features_flat(
         _docs(spark, sf)
     ),
+    # REAL in-container decode (r13): documents -> actual BMP/WAV
+    # container bytes -> pure-stdlib header/raster parsers through the
+    # codec dispatch table -> exact integer pixel/PCM statistics.
+    # Closes the r7-r12 "real decode is environment-bound" gap:
+    # the only remaining stubs are JPEG/PNG/compressed-audio, which
+    # genuinely need PIL/torchaudio (importorskip-gated tests).
+    "multimodal_decode_real": lambda spark, sf: multimodal.media_features_real(
+        _docs(spark, sf)
+    ),
     "text_topk_tokens": lambda spark, sf: textops.token_frequencies(
         _docs(spark, sf), TOPK_TOKENS
     ),
@@ -608,7 +617,14 @@ QUERIES = {
     # r12: fastText-style hashed-n-gram linear quality scorer — the
     # CCNet/LLaMA model-based filter stage; weights derived in-plan
     # (DSIR-ratio surrogate over 1024 hashed buckets, k-row codebook
-    # collect), scoring 100% row-local (operators/textops.py)
+    # collect), scoring 100% row-local (operators/textops.py).
+    # EAGER-TRAIN SEMANTICS (ADVICE r12): CALLING this entry runs the
+    # distributed weight-training aggregate immediately (plan
+    # CONSTRUCTION triggers the codebook collect) and freezes the
+    # weights as literals in the returned plan — re-train by
+    # re-calling, exactly like a production job ships trained weights
+    # with the task. The returned plan does NOT re-read the corpus
+    # for weights if the table changes before execution.
     "documents_quality_model": lambda spark, sf: textops.quality_model_scores(
         _docs(spark, sf)
     ),
@@ -1621,6 +1637,7 @@ ORACLES = {
     "embeddings_pq_encode": similarity.sql_pq_encode(),
     "text_inverted_index": search.sql_inverted_index(),
     "multimodal_phash_neardup": multimodal.sql_phash_near_dups(),
+    "multimodal_decode_real": multimodal.sql_media_features_real(),
     "multimodal_frame_sample": multimodal.sql_frame_sample(),
     "multimodal_metadata_pushdown": multimodal.sql_metadata_stats(),
     "text_sentiment": textops.sql_sentiment_scores(),
