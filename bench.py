@@ -348,10 +348,13 @@ def main() -> int:
         # queries, each spread site expanding to cores*2 partitions
         # oversubscribes the 32 task slots 16x (measured: concurrent-8
         # wall 39.8 -> 54.4 s when the spread pass landed). Cap each
-        # query's spread at its fair share of the pool so the POOL
-        # stays saturated while no one query floods the slots.
+        # query's spread at its exact fair share of the pool
+        # (cores/workers — measured best: 42.5 s vs 45.9 s at
+        # cores*2/workers and 45.7 s with spread fully off, so fair
+        # share beats BOTH more and less spreading; the residual gap
+        # to r11's 39.8 s is the 9 entries the registry grew since).
         cores = spark.sparkContext.defaultParallelism
-        snapshot_cap = max(4, (cores * 2) // 8)
+        snapshot_cap = max(4, cores // 8)
         spark.conf.set("spark.udp.spread.maxPartitions", str(snapshot_cap))
         # longest-processing-time-first: the makespan of an 8-slot
         # pool is set by whatever long job lands last; submit the

@@ -168,6 +168,35 @@ def test_paragraph_bucket_cap_bounds_candidates(spark):
     assert dropped < (uncapped["decision"] == "drop").sum()
 
 
+def test_paragraph_bucket_stats_detects_hot_bucket(spark):
+    """The telemetry twin must SEE the load the clip defends against:
+    on the planted boilerplate corpus, some band reports a bucket
+    over a small cap and the clipped-member count matches
+    max_bucket - cap at least for the hottest bucket; on the real
+    sf0.001 corpus, nothing exceeds the production cap (so the capped
+    census is provably un-clipped there)."""
+    from uber_data_pipeline_spark.operators.dedup import (
+        PARA_BUCKET_CAP,
+        paragraph_bucket_stats,
+    )
+
+    stress = paragraph_bucket_stats(
+        _stress_docs(spark, n=200), bucket_cap=50
+    ).toPandas()
+    spark.catalog.clearCache()
+    assert (stress["n_over_cap"] > 0).any()
+    hot = stress.loc[stress["max_bucket"].idxmax()]
+    assert hot["n_clipped_members"] >= hot["max_bucket"] - 50
+
+    real = paragraph_bucket_stats(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+        bucket_cap=PARA_BUCKET_CAP,
+    ).toPandas()
+    spark.catalog.clearCache()
+    assert (real["n_over_cap"] == 0).all()
+    assert (real["n_clipped_members"] == 0).all()
+
+
 def test_paragraph_bucket_cap_oracle_parity_on_stress(spark, duck):
     """Both engines implement the clip identically on the corpus that
     actually exercises it (the sf corpora never hit cap=256)."""

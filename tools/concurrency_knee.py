@@ -98,9 +98,10 @@ def main() -> int:
     for n in workers:
         snapshot = {k: spark.conf.get(k, None) for k in CONF_KEYS}
         # pool-aware spread cap, mirroring bench.py's concurrent pass
-        # (r13): each in-flight query gets its fair share of the slots
+        # (r13): each in-flight query gets its exact fair share of the
+        # slots (cores/n beat cores*2/n AND spread-off in the r13 A/B)
         spark.conf.set(
-            "spark.udp.spread.maxPartitions", str(max(4, (cores * 2) // n))
+            "spark.udp.spread.maxPartitions", str(max(4, cores // n))
         )
         spark.catalog.clearCache()
         t0 = time.perf_counter()

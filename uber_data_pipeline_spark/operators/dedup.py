@@ -1696,49 +1696,16 @@ PARA_TRIM_MICRO = 300_000  # surviving mass >= 0.3 -> trim; else drop
 PARA_BUCKET_CAP = 256
 
 
-def paragraph_twolevel_census(
-    docs: DataFrame,
-    seg_len: int = PARA_SEG_LEN,
-    bucket_cap: int = PARA_BUCKET_CAP,
-) -> DataFrame:
-    """Paragraph-grain TWO-LEVEL dedup census — the C4/RefinedWeb
-    recipe (Raffel et al. 2020 §2.2 three-sentence span dedup; Penedo
-    et al. 2023 RefinedWeb §3.3 line-level exact dedup + fuzzy
-    document filtering): documents explode into fixed ``seg_len``-token
-    "paragraph" segments (this corpus has no newline/sentence
-    delimiters, so the segmenter is the deterministic token chunker),
-    then
-
-    - **level 1 (exact)**: a segment occurrence is an exact duplicate
-      iff an identical segment (md5 of its joined text) exists with
-      lexicographically smaller (doc_id, seg_no) — keep-first, the C4
-      policy;
-    - **level 2 (near)**: over exact SURVIVORS with >= 3 tokens, a
-      16-perm minhash signature over the segment's distinct 3-shingle
-      hash set, banded 4x4; in-bucket candidates verify exact Jaccard
-      >= PARA_TAU_MICRO in integer micro-units, and the verified
-      pair's LARGER (doc_id, seg_no) side is removed (EXISTS
-      semantics: no iterative clustering needed for keep-first);
-    - **per-document decision** from surviving-paragraph token mass:
-      keep (>= 0.7), trim (>= 0.3, drop only the duplicated
-      segments), drop (< 0.3) — the keep/trim call RefinedWeb makes
-      per document instead of discarding every document that shares a
-      line.
-
-    Scale shape: segmentation/shingling/minhash are ROW-LOCAL
-    (signatures fold over the per-segment shingle array — no
-    explode-to-shingle shuffle at all); level 1 is one
-    map-side-combined min-struct groupBy on the segment hash + an
-    equi-join back; level 2's pair generation is band-bucket-local
-    (the LSH argument: bucket sizes are load-bounded because exact
-    duplicates were ALREADY removed at level 1, so buckets hold only
-    genuinely-near segments); the rollup is one groupBy(doc_id).
-    Candidate pairs are NOT deduped across bands — verification is
-    row-local and idempotent, and the removal set applies DISTINCT
-    after the filter, saving a full candidate shuffle.
-
-    Columns: doc_id, n_paras, n_exact_dup, n_near_dup, total_tokens,
-    kept_tokens, surviving_micro, decision."""
+def _paragraph_marked_bands(
+    docs: DataFrame, seg_len: int = PARA_SEG_LEN
+) -> "tuple[DataFrame, DataFrame]":
+    """Shared construction for the paragraph family: level-1 marked
+    segment occurrences (doc_id, seg_no, n_seg_tokens, shs, exact_dup)
+    plus the UN-CLIPPED level-2 band membership (doc_id, seg_no, shs,
+    band, band_key) over exact survivors. Used by the census (which
+    applies the oversized-bucket clip and the pair join) and by the
+    bucket-load telemetry (which aggregates raw bucket sizes — the
+    clip must NOT hide the load it exists to defend against)."""
     from uber_data_pipeline_spark.operators.spread import spread_rowlocal
 
     n_seg = f"CAST((size(tokens) - 1) DIV {seg_len} AS INT)"
@@ -1797,6 +1764,53 @@ def paragraph_twolevel_census(
         "shs",
         f"explode(array({band_structs})) AS bk",
     ).selectExpr("doc_id", "seg_no", "shs", "bk.band", "bk.band_key")
+    return marked, bands
+
+
+def paragraph_twolevel_census(
+    docs: DataFrame,
+    seg_len: int = PARA_SEG_LEN,
+    bucket_cap: int = PARA_BUCKET_CAP,
+) -> DataFrame:
+    """Paragraph-grain TWO-LEVEL dedup census — the C4/RefinedWeb
+    recipe (Raffel et al. 2020 §2.2 three-sentence span dedup; Penedo
+    et al. 2023 RefinedWeb §3.3 line-level exact dedup + fuzzy
+    document filtering): documents explode into fixed ``seg_len``-token
+    "paragraph" segments (this corpus has no newline/sentence
+    delimiters, so the segmenter is the deterministic token chunker),
+    then
+
+    - **level 1 (exact)**: a segment occurrence is an exact duplicate
+      iff an identical segment (md5 of its joined text) exists with
+      lexicographically smaller (doc_id, seg_no) — keep-first, the C4
+      policy;
+    - **level 2 (near)**: over exact SURVIVORS with >= 3 tokens, a
+      16-perm minhash signature over the segment's distinct 3-shingle
+      hash set, banded 4x4; in-bucket candidates verify exact Jaccard
+      >= PARA_TAU_MICRO in integer micro-units, and the verified
+      pair's LARGER (doc_id, seg_no) side is removed (EXISTS
+      semantics: no iterative clustering needed for keep-first);
+    - **per-document decision** from surviving-paragraph token mass:
+      keep (>= 0.7), trim (>= 0.3, drop only the duplicated
+      segments), drop (< 0.3) — the keep/trim call RefinedWeb makes
+      per document instead of discarding every document that shares a
+      line.
+
+    Scale shape: segmentation/shingling/minhash are ROW-LOCAL
+    (signatures fold over the per-segment shingle array — no
+    explode-to-shingle shuffle at all); level 1 is one
+    map-side-combined min-struct groupBy on the segment hash + an
+    equi-join back; level 2's pair generation is band-bucket-local
+    (the LSH argument: bucket sizes are load-bounded because exact
+    duplicates were ALREADY removed at level 1, so buckets hold only
+    genuinely-near segments); the rollup is one groupBy(doc_id).
+    Candidate pairs are NOT deduped across bands — verification is
+    row-local and idempotent, and the removal set applies DISTINCT
+    after the filter, saving a full candidate shuffle.
+
+    Columns: doc_id, n_paras, n_exact_dup, n_near_dup, total_tokens,
+    kept_tokens, surviving_micro, decision."""
+    marked, bands = _paragraph_marked_bands(docs, seg_len)
     # oversized-bucket clip (see PARA_BUCKET_CAP): row_number over the
     # same (band, band_key) keys the join below shuffles on, so the
     # window's exchange is REUSED by the join — the cap costs one
@@ -1879,15 +1893,51 @@ def paragraph_twolevel_census(
     )
 
 
-def sql_paragraph_twolevel(
-    table: str = "documents",
+def paragraph_bucket_stats(
+    docs: DataFrame,
     seg_len: int = PARA_SEG_LEN,
     bucket_cap: int = PARA_BUCKET_CAP,
-) -> str:
-    """DuckDB twin of :func:`paragraph_twolevel_census` (same
-    segmenter, hashes, minhash family, banding, verify threshold,
-    oversized-bucket clip and keep-first policy — relational
-    formulation)."""
+) -> DataFrame:
+    """Level-2 LSH bucket-load TELEMETRY for the paragraph census
+    (r13, VERDICT r12 item 3): per band, the raw (UN-clipped) bucket
+    population — how many buckets, their total membership, the
+    heaviest bucket, and exactly what the PARA_BUCKET_CAP clip would
+    discard. This is the report a 100 TB run consults BEFORE trusting
+    the census: n_over_cap > 0 means the corpus has template/
+    boilerplate mass concentrating band buckets and the capped census
+    is intentionally partial there (each clipped segment keeps its
+    other NUM_BANDS-1 chances to pair).
+
+    Scale shape: one groupBy(band, band_key) count (map-side
+    combined) + one NUM_BANDS-row rollup — strictly cheaper than the
+    census it audits.
+
+    Columns: band, n_buckets, n_members, max_bucket, n_over_cap,
+    n_clipped_members."""
+    _, bands = _paragraph_marked_bands(docs, seg_len)
+    per_bucket = bands.groupBy("band", "band_key").agg(
+        F.count("*").alias("sz")
+    )
+    return per_bucket.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("sz").cast("long").alias("n_members"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") > bucket_cap, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_cap"),
+        F.sum(
+            F.when(F.col("sz") > bucket_cap, F.col("sz") - bucket_cap)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_clipped_members"),
+    )
+
+
+def _sql_paragraph_bands_cte(table: str, seg_len: int) -> str:
+    """Shared CTE prefix (toks -> segs -> base -> marked -> surv ->
+    bands0) for the paragraph family's DuckDB twins — the relational
+    mirror of :func:`_paragraph_marked_bands`."""
     from uber_data_pipeline_spark.functions.text import (
         TOKENS_DUCK,
         shingles_duck,
@@ -1907,8 +1957,7 @@ def sql_paragraph_twolevel(
         + ")) AS band_key FROM surv"
         for b in range(NUM_BANDS)
     )
-    return f"""
-        WITH toks AS (
+    return f"""toks AS (
             SELECT doc_id, {TOKENS_DUCK} AS tokens FROM {table}
         ), segs AS (
             SELECT doc_id, CAST(t.b AS INT) AS seg_no,
@@ -1935,7 +1984,45 @@ def sql_paragraph_twolevel(
             FROM marked WHERE NOT exact_dup AND len(shs) > 0
         ), bands0 AS MATERIALIZED (
             {band_rows}
-        ), bands AS MATERIALIZED (
+        )"""
+
+
+def sql_paragraph_bucket_stats(
+    table: str = "documents",
+    seg_len: int = PARA_SEG_LEN,
+    bucket_cap: int = PARA_BUCKET_CAP,
+) -> str:
+    """DuckDB twin of :func:`paragraph_bucket_stats` (raw un-clipped
+    bucket loads + what the clip would discard)."""
+    return f"""
+        WITH {_sql_paragraph_bands_cte(table, seg_len)},
+        per_bucket AS (
+            SELECT band, band_key, COUNT(*) AS sz
+            FROM bands0 GROUP BY 1, 2
+        )
+        SELECT band,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(sz) AS BIGINT) AS n_members,
+               CAST(MAX(sz) AS BIGINT) AS max_bucket,
+               CAST(SUM(CASE WHEN sz > {bucket_cap} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_over_cap,
+               CAST(SUM(CASE WHEN sz > {bucket_cap} THEN sz - {bucket_cap}
+                             ELSE 0 END) AS BIGINT) AS n_clipped_members
+        FROM per_bucket GROUP BY 1
+    """
+
+
+def sql_paragraph_twolevel(
+    table: str = "documents",
+    seg_len: int = PARA_SEG_LEN,
+    bucket_cap: int = PARA_BUCKET_CAP,
+) -> str:
+    """DuckDB twin of :func:`paragraph_twolevel_census` (same
+    segmenter, hashes, minhash family, banding, verify threshold,
+    oversized-bucket clip and keep-first policy — relational
+    formulation)."""
+    return f"""
+        WITH {_sql_paragraph_bands_cte(table, seg_len)}, bands AS MATERIALIZED (
             SELECT doc_id, seg_no, shs, band, band_key
             FROM (
                 SELECT *, ROW_NUMBER() OVER (

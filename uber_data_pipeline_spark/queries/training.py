@@ -611,6 +611,12 @@ QUERIES = {
     # exact keep-first + minhash-LSH near-dup at fixed-token
     # "paragraph" segments, per-doc keep/trim/drop from surviving
     # token mass (operators/dedup.py paragraph_twolevel_census)
+    # r13: un-clipped bucket-load telemetry for the census below —
+    # the pre-flight report that says whether PARA_BUCKET_CAP clipped
+    # anything on this corpus (n_over_cap > 0 -> census partial there)
+    "dedup_paragraph_bucket_stats": lambda spark, sf: dedup.paragraph_bucket_stats(
+        _docs(spark, sf)
+    ),
     "dedup_paragraph_twolevel": lambda spark, sf: dedup.paragraph_twolevel_census(
         _docs(spark, sf)
     ),
@@ -1715,6 +1721,7 @@ ORACLES = {
     ),
     "dedup_clusters_baseline": _sql_cc_clusters(),
     "dedup_paragraph_twolevel": dedup.sql_paragraph_twolevel(),
+    "dedup_paragraph_bucket_stats": dedup.sql_paragraph_bucket_stats(),
     "documents_quality_model": textops.sql_quality_model(),
     "documents_quality_model_eval": textops.sql_quality_model_eval(),
 }
