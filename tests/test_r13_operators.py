@@ -220,6 +220,38 @@ def test_paragraph_bucket_cap_oracle_parity_on_stress(spark, duck):
     assert not problems, "; ".join(problems)
 
 
+# --------------------------------------------------- n-gram novelty
+
+
+def test_ngram_novelty_hand(spark):
+    """doc0 introduces both its shingles (novelty 1.0); doc1 shares
+    'a b c' with doc0 so only 'b c e' is novel (0.5); doc2 is too
+    short for any 3-shingle (0, with zero counts)."""
+    from uber_data_pipeline_spark.operators.textops import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c e"), (2, "x y")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    assert out[0]["n_shingles"] == 2 and out[0]["novelty_micro"] == 1_000_000
+    assert out[1]["n_shingles"] == 2 and out[1]["n_novel"] == 1
+    assert out[1]["novelty_micro"] == 500_000
+    assert out[2]["n_shingles"] == 0 and out[2]["novelty_micro"] == 0
+
+
+def test_ngram_novelty_copy_scores_zero(spark):
+    """A verbatim copy with a higher doc_id introduces nothing."""
+    from uber_data_pipeline_spark.operators.textops import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(7, "p q r s t"), (9, "p q r s t")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    assert out[7]["novelty_micro"] == 1_000_000
+    assert out[9]["novelty_micro"] == 0
+
+
 # ------------------------------------------- pool-aware spread gate
 
 

@@ -2724,3 +2724,104 @@ def sql_quality_model_eval(
         FROM pr
     """
 
+
+
+# ------------------------------------ n-gram novelty (curation lineage)
+
+
+def ngram_novelty(docs: DataFrame) -> DataFrame:
+    """Per-document n-gram NOVELTY census (r13) — the contribution
+    metric corpus curators rank sources by (the flip side of the
+    dedup family: instead of asking "how much of this doc exists
+    elsewhere", ask "how much of the corpus' distinct n-gram mass did
+    this doc introduce"): for each document, the fraction of its
+    distinct 3-shingles whose corpus-wide FIRST occurrence (min
+    doc_id) is this document. A boilerplate page scores ~0; the
+    origin of a widely-copied template scores high while its copies
+    score low — exactly the ordering a keep-first dedup policy
+    implies.
+
+    Scale shape: shingle sets build row-locally (dedup.shingle_arrays,
+    spread site included), hashes explode ONCE and shuffle as int64s
+    into a map-side-combined min-groupBy; one equi-join back and one
+    groupBy(doc_id) rollup — the dedup_source_overlap cost class,
+    linear in corpus shingle mass. Ties are deterministic (min
+    doc_id); the 64-bit shingle-hash merge contract is the same
+    base-hash family the minhash operators already document, and the
+    oracle applies the IDENTICAL hash, so there is no cross-engine
+    asymmetry.
+
+    Columns: doc_id, n_shingles, n_novel, novelty_micro."""
+    from uber_data_pipeline_spark.functions.text import base_hash_spark
+
+    from uber_data_pipeline_spark.operators.dedup import shingle_arrays
+
+    ex = shingle_arrays(docs).selectExpr(
+        "doc_id",
+        "explode(transform(shingles, shingle -> "
+        f"{base_hash_spark('shingle')})) AS h",
+    )
+    firsts = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        ex.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles",
+            "CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel",
+            "CAST(CASE WHEN COALESCE(n_shingles, 0) > 0 THEN "
+            "n_novel * 1000000 DIV n_shingles "
+            "ELSE 0 END AS BIGINT) AS novelty_micro",
+        )
+    )
+
+
+def sql_ngram_novelty(table: str = "documents") -> str:
+    """DuckDB twin of :func:`ngram_novelty` (same shingle set, same
+    base hash, same min-doc_id tie rule)."""
+    from uber_data_pipeline_spark.functions.text import (
+        TOKENS_DUCK,
+        base_hash_duck,
+        shingles_duck,
+    )
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_DUCK} AS tokens FROM {table}
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct({shingles_duck("tokens")}) AS shingles
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, {base_hash_duck("shingle")} AS h
+            FROM sh, unnest(shingles) AS u(shingle)
+        ), firsts AS (
+            SELECT h, MIN(doc_id) AS first_doc FROM ex GROUP BY 1
+        ), per AS (
+            SELECT ex.doc_id,
+                   COUNT(*) AS n_shingles,
+                   SUM(CASE WHEN f.first_doc = ex.doc_id
+                            THEN 1 ELSE 0 END) AS n_novel
+            FROM ex JOIN firsts f USING (h)
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+               CAST(CASE WHEN COALESCE(p.n_shingles, 0) > 0
+                    THEN p.n_novel * 1000000 // p.n_shingles
+                    ELSE 0 END AS BIGINT) AS novelty_micro
+        FROM {table} d LEFT JOIN per p USING (doc_id)
+    """

@@ -528,6 +528,11 @@ QUERIES = {
     "text_quality": lambda spark, sf: textops.quality_scores(_docs(spark, sf)),
     "text_tokens": lambda spark, sf: textops.token_counts(_docs(spark, sf)),
     "text_fingerprint": lambda spark, sf: textops.fingerprints(_docs(spark, sf)),
+    # r13: per-doc corpus-first shingle fraction (the curation
+    # "contribution" metric; keep-first dedup's ordering made a score)
+    "text_ngram_novelty": lambda spark, sf: textops.ngram_novelty(
+        _docs(spark, sf)
+    ),
     # metadata-only scan over the staged blob lake (payload pruned)
     "multimodal_metadata_pushdown": lambda spark, sf: multimodal.metadata_stats(
         _media_lake(spark, sf)
@@ -1722,6 +1727,7 @@ ORACLES = {
     "dedup_clusters_baseline": _sql_cc_clusters(),
     "dedup_paragraph_twolevel": dedup.sql_paragraph_twolevel(),
     "dedup_paragraph_bucket_stats": dedup.sql_paragraph_bucket_stats(),
+    "text_ngram_novelty": textops.sql_ngram_novelty(),
     "documents_quality_model": textops.sql_quality_model(),
     "documents_quality_model_eval": textops.sql_quality_model_eval(),
 }
