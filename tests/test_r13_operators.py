@@ -252,6 +252,58 @@ def test_ngram_novelty_copy_scores_zero(spark):
     assert out[9]["novelty_micro"] == 0
 
 
+# ------------------------------------------- importance resample
+
+
+def test_importance_resample_hand(spark):
+    """The acceptance rule replays in plain Python: draw =
+    md5('rs|<doc_id>') first-12-hex mod 1e9+7 mod 1e6; kept iff
+    draw * 1e6 < weight_micro * alpha. A corpus where every doc IS
+    the target gives every doc weight 1.0 exactly, so kept reduces
+    to draw < alpha."""
+    import hashlib
+
+    from uber_data_pipeline_spark.operators.textops import (
+        RESAMPLE_ALPHA_MICRO,
+        importance_resample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en", f"w{i} x{i} y{i}") for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["doc_id"]: r for r in importance_resample(docs).collect()}
+    assert len(out) == 40
+    for i in range(40):
+        draw = (
+            int(hashlib.md5(f"rs|{i}".encode()).hexdigest()[:12], 16)
+            % 1000000007
+            % 1_000_000
+        )
+        assert out[i]["draw_micro"] == draw, i
+        # all-token-vocab is its own target: every ratio is exactly 1
+        assert out[i]["weight_micro"] == 1_000_000, i
+        assert out[i]["kept"] == (draw * 1_000_000
+                                  < 1_000_000 * RESAMPLE_ALPHA_MICRO), i
+    kept = sum(1 for r in out.values() if r["kept"])
+    assert 0 < kept < 40  # the draw actually splits the corpus
+
+
+def test_importance_resample_weightless_doc_never_kept(spark):
+    """A doc that produces no token rows (NULL text: split(NULL)
+    explodes to nothing) carries weight 0 and is never kept."""
+    from uber_data_pipeline_spark.operators.textops import (
+        importance_resample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", "alpha beta gamma"), (2, "de", None)],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["doc_id"]: r for r in importance_resample(docs).collect()}
+    assert out[2]["weight_micro"] == 0 and not out[2]["kept"]
+
+
 # ------------------------------------------- pool-aware spread gate
 
 

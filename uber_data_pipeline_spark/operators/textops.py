@@ -2825,3 +2825,78 @@ def sql_ngram_novelty(table: str = "documents") -> str:
                     ELSE 0 END AS BIGINT) AS novelty_micro
         FROM {table} d LEFT JOIN per p USING (doc_id)
     """
+
+
+# ------------------------------ DSIR stage 2: importance RESAMPLE
+
+# p_accept = min(1, alpha * weight): alpha = 0.5 keeps weight>=2 docs
+# surely and downsamples target-unlike docs proportionally
+RESAMPLE_ALPHA_MICRO = 500_000
+
+
+def importance_resample(
+    docs: DataFrame,
+    target_lang: str = DSIR_TARGET_LANG,
+    alpha_micro: int = RESAMPLE_ALPHA_MICRO,
+) -> DataFrame:
+    """DSIR stage TWO (r13) — the RESAMPLE the paper is named for
+    (Xie et al. 2023 §2: compute importance weights, then sample
+    proportionally): each document is kept with probability
+    min(1, alpha * weight) under a DETERMINISTIC pseudo-draw — the
+    engine-neutral base hash of 'rs|<doc_id>' reduced to micro-units —
+    so the selected corpus is reproducible across engines and runs
+    (the seeded-RNG contract a production resample job pins anyway,
+    expressed as a hash so DuckDB replays it bit-for-bit).
+    Closes the weights -> selected-corpus loop the same way
+    documents_quality_model_eval closes train -> eval.
+
+    Scale shape: dsir_weights' two vocab aggregates + per-doc rollup
+    (its documented shape), then one broadcast-size left join back to
+    (doc_id, lang) and a row-local hash compare — no new shuffle
+    class. Documents with zero tokens carry weight 0 and are never
+    kept.
+
+    Columns: doc_id, lang, weight_micro, draw_micro, kept."""
+    from uber_data_pipeline_spark.functions.text import base_hash_spark
+
+    w = dsir_weights(docs, target_lang)
+    draw = base_hash_spark("concat('rs|', CAST(doc_id AS STRING))")
+    return (
+        docs.select("doc_id", "lang")
+        .join(w.select("doc_id", "dsir_weight"), "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            # dsir_weight is an exact 1e-9-grid value; *1e6 + 0.5 +
+            # floor is the identical IEEE chain in both engines
+            "CAST(floor(COALESCE(dsir_weight, 0) * 1000000 + 0.5)"
+            " AS BIGINT) AS weight_micro",
+            f"({draw}) % 1000000 AS draw_micro",
+        )
+        .selectExpr(
+            "*",
+            f"draw_micro * 1000000 < weight_micro * {alpha_micro} AS kept",
+        )
+    )
+
+
+def sql_importance_resample(
+    target_lang: str = DSIR_TARGET_LANG,
+    alpha_micro: int = RESAMPLE_ALPHA_MICRO,
+) -> str:
+    """DuckDB twin of :func:`importance_resample` (dsir_weights twin
+    as a subquery + the identical hash draw and acceptance rule)."""
+    from uber_data_pipeline_spark.functions.text import base_hash_duck
+
+    draw = base_hash_duck("concat('rs|', CAST(doc_id AS VARCHAR))")
+    return f"""
+        WITH dw AS ({sql_dsir_weights(target_lang)})
+        SELECT d.doc_id, d.lang,
+               CAST(floor(COALESCE(dw.dsir_weight, 0) * 1000000 + 0.5)
+                    AS BIGINT) AS weight_micro,
+               ({draw}) % 1000000 AS draw_micro,
+               ({draw}) % 1000000 * 1000000
+                   < CAST(floor(COALESCE(dw.dsir_weight, 0) * 1000000
+                                + 0.5) AS BIGINT) * {alpha_micro} AS kept
+        FROM documents d LEFT JOIN dw USING (doc_id)
+    """

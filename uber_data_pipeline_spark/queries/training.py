@@ -693,6 +693,11 @@ QUERIES = {
     "documents_quality_buckets": lambda spark, sf: textops.quality_buckets(
         _docs(spark, sf)
     ),
+    # r13: DSIR stage 2 — the deterministic importance RESAMPLE over
+    # those weights (hash pseudo-draw, engine-replayable)
+    "documents_importance_resample": lambda spark, sf: textops.importance_resample(
+        _docs(spark, sf)
+    ),
     "documents_dsir_weights": lambda spark, sf: textops.dsir_weights(
         _docs(spark, sf)
     ),
@@ -1635,6 +1640,7 @@ ORACLES = {
     "text_pii_scrub": textops.sql_pii_scrub(),
     "documents_quality_buckets": textops.sql_quality_buckets(QUALITY_CTE),
     "documents_dsir_weights": textops.sql_dsir_weights(),
+    "documents_importance_resample": textops.sql_importance_resample(),
     "documents_lm_fit_tiers": textops.sql_lm_fit_tiers(),
     "training_epoch_shuffle": sql_epoch_shuffle(),
     # the SAME CC machinery as dedup_clusters, replayed at the strict
