@@ -799,6 +799,9 @@ SCALAR_BROADCAST = {
     # 1-row (total_raw, total_tgt, vocab_size) broadcast onto the
     # token-scored relation
     "documents_dsir_weights",
+    # r13: same dsir_weights plan inside, so the same 1-row totals
+    # broadcast; the resample adds only an equi-join + row-local draw
+    "documents_importance_resample",
     # 1-row (total, n_domains) broadcast onto the fact scan; the
     # per-domain counts join stays a BroadcastHashJoin
     "documents_domain_mixture",
