@@ -381,3 +381,183 @@ def test_spread_differential_plan_invariant(spark, _spread_entries):
             "with spread enabled"
         )
         assert on["roundrobin"] >= off["roundrobin"], name
+
+
+# ------------------------------------------------ join-view IVM (r13)
+
+
+def test_ivm_join_delta_matches_full_recompute(spark):
+    """Maintenance == recompute, proven inside one engine: the
+    retract-and-delta-join maintained view must aggregate identically
+    to the flat join rebuilt from the latest-version-wins merge."""
+    from uber_data_pipeline_spark.sources.cdc import merge_latest
+    from uber_data_pipeline_spark.queries.pipeline import (
+        _cdc_frames,
+        ivm_join_delta,
+    )
+    from uber_data_pipeline_spark.catalog import load_table
+
+    import pyspark.sql.functions as F
+
+    got = {
+        r["status"]: r
+        for r in ivm_join_delta(spark, SF_DIR).collect()
+    }
+    base, delta = _cdc_frames(spark, SF_DIR)
+    merged = merge_latest(base, delta, ["o_orderkey"], "version")
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.expr(
+            "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))"
+        ).alias("line_rev"),
+    )
+    want = {
+        r["status"]: r
+        for r in merged.join(li, "o_orderkey")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("line_rev").alias("rev_dec"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want) and got
+    delta_total = 0
+    for s, w in want.items():
+        g = got[s]
+        assert g["n_lines"] == w["n_lines"], s
+        assert g["n_orders"] == w["n_orders"], s
+        assert abs(g["revenue"] - float(w["rev_dec"])) < 1e-6, s
+        delta_total += g["lines_from_delta"]
+    # the CDC split really exercised the delta path
+    assert delta_total > 0
+    # every updated order's lines come from the delta side: status U
+    # exists only in the delta, so all its lines must be delta-sourced
+    assert got["U"]["lines_from_delta"] == got["U"]["n_lines"]
+
+
+# ---------------------------------------- bitext margin mining (r13)
+
+
+def _bitext_fixture(spark):
+    """8 vecs, parity split: A = {0,2,4,6}, B = {1,3,5,7}. vec 0 and
+    vec 1 are the planted translation pair (identical direction);
+    vec 6 is anti-correlated with every B vector (all cos < 0)."""
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (0, unit(0.0)),        # A: the query with a perfect mate
+        (2, unit(1.2)),        # A: ordinary
+        (4, unit(1.9)),        # A: ordinary
+        (6, [0.0, 0.0, 1.0, 0.0]),  # A: orthogonal/negative to all B
+        (1, unit(0.0)),        # B: the mate (cos(0,1) = 1.0)
+        (3, unit(1.0)),        # B: decoy
+        (5, unit(2.2)),        # B: decoy
+        (7, [0.0, 0.0, -1.0, 0.1]),  # B: makes vec 6's cosines < 0
+    ]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_bitext_margin_hand(spark):
+    """The planted identical pair must win with the hand-computed
+    rational margin; the all-negative query must be absent."""
+    from uber_data_pipeline_spark.operators.similarity import (
+        bitext_margin_mining,
+    )
+
+    out = {
+        r["vec_id"]: r
+        for r in bitext_margin_mining(_bitext_fixture(spark)).collect()
+    }
+    # vec 6: every cosine vs B is <= 0 -> no valid candidate, no row
+    assert 6 not in out
+    assert set(out) == {0, 2, 4}
+    best = out[0]
+    assert best["best_id"] == 1
+    assert best["cos_micro"] == 1_000_000
+    # hand margin: cos(0, y) for y in B sorted desc gives the top-3
+    # (k=4 but only 3 positive-capable B rows matter; vec 7 still
+    # counts in the top-k by value). Replay the exact integer rule.
+    import math
+
+    import numpy as np
+
+    def cosm(a, b):
+        a = np.asarray(a, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        c = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        return int(np.rint(np.round(c, 6) * 1_000_000))
+
+    vecs = {
+        0: [math.cos(0.0), math.sin(0.0), 0.0, 0.0],
+        2: [math.cos(1.2), math.sin(1.2), 0.0, 0.0],
+        4: [math.cos(1.9), math.sin(1.9), 0.0, 0.0],
+        6: [0.0, 0.0, 1.0, 0.0],
+        1: [math.cos(0.0), math.sin(0.0), 0.0, 0.0],
+        3: [math.cos(1.0), math.sin(1.0), 0.0, 0.0],
+        5: [math.cos(2.2), math.sin(2.2), 0.0, 0.0],
+        7: [0.0, 0.0, -1.0, 0.1],
+    }
+    a_ids, b_ids = [0, 2, 4, 6], [1, 3, 5, 7]
+    k = 4
+
+    def topk_stats(qid, cands, qside_vecs):
+        sims = sorted(
+            ((cosm(qside_vecs[qid], vecs[c]), -c) for c in cands),
+            reverse=True,
+        )[:k]
+        return sum(s for s, _ in sims), len(sims)
+
+    sa, na = topk_stats(0, b_ids, vecs)
+    sb, nb = topk_stats(1, a_ids, vecs)
+    den = sa * nb + sb * na
+    want = (2_000_000 * 1_000_000 * na * nb) // den
+    assert best["margin_micro"] == want
+    assert best["is_accepted"] == (want >= 1_060_000)
+    # the identical pair is genuinely hub-discounted above 1.0
+    assert want > 1_000_000
+
+
+def test_bitext_matches_quadratic_oracle_on_fixture(spark, duck):
+    """Engine-vs-engine on the fixture: register the 8-row table as
+    DuckDB 'embeddings' and compare full frames."""
+    import pandas as pd
+
+    from uber_data_pipeline_spark.operators.similarity import (
+        bitext_margin_mining,
+        sql_bitext_margin_mining,
+    )
+
+    fix = _bitext_fixture(spark)
+    got = (
+        bitext_margin_mining(fix)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    duck.register("embeddings", fix.toPandas())
+    want = (
+        duck.sql(sql_bitext_margin_mining())
+        .df()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"is_accepted": bool}),
+        want.astype(
+            {
+                "vec_id": "int64",
+                "best_id": "int64",
+                "cos_micro": "int64",
+                "margin_micro": "int64",
+                "is_accepted": bool,
+            }
+        ),
+    )

@@ -2951,3 +2951,347 @@ def sql_hard_negative_mining(
         JOIN n2 ON n2.qid = q.vec_id
         JOIN p2 ON p2.qid = q.vec_id
     """
+
+
+# ------------------------------------------------------------------
+# Margin-based bitext mining (r13)
+# ------------------------------------------------------------------
+
+BITEXT_K = 4  # neighborhood size for the margin normalizer
+BITEXT_SIDE_TARGET = 1024  # deterministic per-side shard sample
+BITEXT_ACCEPT_MICRO = 1_060_000  # classic mining threshold 1.06
+
+
+def _bitext_side_sample(
+    emb: DataFrame, parity: int, target: int | None
+) -> DataFrame:
+    """One 'language side' of the shared embedding space (vec_id
+    parity as the side label) under the same deterministic affine
+    hash-bucket sample as :func:`query_sample`, with the modulus
+    derived in-plan from THIS side's count."""
+    side = emb.filter(F.expr(f"vec_id % 2 = {parity}")).select(
+        "vec_id", "embedding"
+    )
+    if target is None:
+        return side
+    smod = side.agg(F.count("*").alias("n_rows")).selectExpr(
+        f"greatest(CAST(1 AS BIGINT), (n_rows + {target} - 1)"
+        f" DIV {target}) AS q_mod"
+    )
+    return (
+        side.join(F.broadcast(smod))
+        .filter(
+            F.expr(
+                f"(({QS_HASH_A} * (vec_id % {QS_HASH_MOD}) + {QS_HASH_B})"
+                f" % {QS_HASH_MOD}) % q_mod = 0"
+            )
+        )
+        .drop("q_mod")
+    )
+
+
+def bitext_margin_mining(
+    emb: DataFrame,
+    n_blocks: int = DEFAULT_BLOCKS,
+    k: int = BITEXT_K,
+    side_target: int | None = BITEXT_SIDE_TARGET,
+    accept_micro: int = BITEXT_ACCEPT_MICRO,
+) -> DataFrame:
+    """Margin-based parallel-corpus (bitext) mining — the ratio
+    margin of Artetxe & Schwenk 2019 ("Margin-based Parallel Corpus
+    Mining with Multilingual Sentence Embeddings", the CCMatrix /
+    LASER recipe): for source sentence x and target candidate y in a
+    shared embedding space,
+
+        margin(x, y) = cos(x, y) /
+            ((mean cos(x, NN_k(x, B)) + mean cos(y, NN_k(y, A))) / 2)
+
+    which discounts raw cosine by how "hubby" each side's
+    neighborhood is, the fix for the hubness failure of plain
+    cosine thresholds in cross-lingual retrieval. Sides here are the
+    vec_id parity split of the shared space; per x the best-margin y
+    is returned with its acceptance flag.
+
+    Exactness + determinism: cosines are gemm'd per cell and rounded
+    at COSINE_ROUND into micro int64s; neighborhood means stay
+    RATIONAL (sum s and count n per side, never a lossy division) so
+    the margin is one exact integer expression
+
+        margin_micro = (2e6 * cos * n_a * n_b) DIV (s_a*n_b + s_b*n_a)
+
+    computed only where cos > 0 and the denominator > 0 (positive
+    operands, so Spark DIV, numpy //, and DuckDB // agree; a negative
+    neighborhood sum — possible when a top-k contains anti-correlated
+    vectors — yields NULL-margin candidates that are excluded, in
+    both engines). Ties break to the lowest candidate id at every
+    rank and at the final argmax.
+
+    Scale shape: two tiled-gemm cogroup passes over (qb x cb) cells
+    (the ann_bruteforce tiling). Pass 1 emits only per-cell top-k
+    rows per vector — shuffle O((|A|+|B|) * n_blocks * k), never the
+    cos matrix; its global top-k merge feeds per-side (s, n) stats of
+    at most one row per sampled vector, joined back broadcast-size.
+    Pass 2 re-gemms each cell and emits ONE best-margin row per
+    source per cell, merged by a max(struct) agg. Both sides are
+    deterministic hash shards (mining runs shard x shard at 100 TB;
+    raise n_blocks ~ sqrt(cell budget) as shards grow).
+
+    Columns: vec_id, best_id, cos_micro, margin_micro, is_accepted.
+    """
+    a = _bitext_side_sample(emb, 0, side_target)
+    b = _bitext_side_sample(emb, 1, side_target)
+
+    def cells_of(qdf: DataFrame, cdf: DataFrame):
+        left = qdf.select(
+            F.col("vec_id").alias("aid"),
+            F.col("embedding").alias("aemb"),
+            F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("qb"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("cb"),
+        )
+        right = cdf.select(
+            F.col("vec_id").alias("bid"),
+            F.col("embedding").alias("bemb"),
+            F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("cb"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("qb"),
+        )
+        return left.groupBy("qb", "cb"), right.groupBy("qb", "cb")
+
+    def _cos_micro(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> np.ndarray:
+        qm = _normalize(_stack(lpdf["aemb"]))
+        nm = _normalize(_stack(rpdf["bemb"]))
+        return np.rint(
+            np.round(qm @ nm.T, COSINE_ROUND) * 1_000_000
+        ).astype(np.int64)
+
+    topk_schema = "side string, id long, cand long, cos_micro long"
+
+    def topk_kernel(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame(
+                {
+                    "side": pd.Series([], dtype="object"),
+                    "id": pd.Series([], dtype="int64"),
+                    "cand": pd.Series([], dtype="int64"),
+                    "cos_micro": pd.Series([], dtype="int64"),
+                }
+            )
+        sims = _cos_micro(lpdf, rpdf)
+        aids = lpdf["aid"].to_numpy()
+        bids = rpdf["bid"].to_numpy()
+        out = []
+        for i in range(sims.shape[0]):  # per-A top-k of this cell
+            order = np.lexsort((bids, -sims[i]))[:k]
+            out.append(("a", aids[i], bids[order], sims[i][order]))
+        for j in range(sims.shape[1]):  # per-B top-k of this cell
+            order = np.lexsort((aids, -sims[:, j]))[:k]
+            out.append(("b", bids[j], aids[order], sims[:, j][order]))
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "side": s,
+                        "id": i,
+                        "cand": c,
+                        "cos_micro": v,
+                    }
+                )
+                for s, i, c, v in out
+            ],
+            ignore_index=True,
+        )
+
+    from pyspark.sql import Window
+
+    lg, rg = cells_of(a, b)
+    cell_topk = lg.cogroup(rg).applyInPandas(topk_kernel, topk_schema)
+    w = Window.partitionBy("side", "id").orderBy(
+        F.col("cos_micro").desc(), F.col("cand").asc()
+    )
+    stats = (
+        cell_topk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("side", "id")
+        .agg(
+            F.sum("cos_micro").alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    astat = stats.filter(F.col("side") == "a").select(
+        F.col("id").alias("vec_id"),
+        F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    bstat = stats.filter(F.col("side") == "b").select(
+        F.col("id").alias("vec_id"),
+        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+
+    a2 = a.join(astat, "vec_id")  # broadcast-size stats, keyed join
+    b2 = b.join(bstat, "vec_id")
+
+    best_schema = (
+        "aid long, bid long, cos_micro long, margin_micro long"
+    )
+
+    def margin_kernel(
+        lpdf: pd.DataFrame, rpdf: pd.DataFrame
+    ) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "aid": pd.Series([], dtype="int64"),
+                "bid": pd.Series([], dtype="int64"),
+                "cos_micro": pd.Series([], dtype="int64"),
+                "margin_micro": pd.Series([], dtype="int64"),
+            }
+        )
+        if lpdf.empty or rpdf.empty:
+            return empty
+        sims = _cos_micro(lpdf, rpdf)
+        sa = lpdf["sa"].to_numpy(dtype=np.int64)[:, None]
+        na = lpdf["na"].to_numpy(dtype=np.int64)[:, None]
+        sb = rpdf["sb"].to_numpy(dtype=np.int64)[None, :]
+        nb = rpdf["nb"].to_numpy(dtype=np.int64)[None, :]
+        den = sa * nb + sb * na
+        valid = (sims > 0) & (den > 0)
+        if not valid.any():
+            return empty
+        margin = np.zeros_like(sims)
+        np.floor_divide(
+            2_000_000 * sims * na * nb, den, out=margin, where=valid
+        )
+        margin = np.where(valid, margin, np.int64(-1))
+        aids = lpdf["aid"].to_numpy()
+        bids = rpdf["bid"].to_numpy()
+        rows = []
+        for i in range(sims.shape[0]):
+            if margin[i].max() < 0:
+                continue
+            j = np.lexsort((bids, -margin[i]))[0]
+            rows.append((aids[i], bids[j], sims[i, j], margin[i, j]))
+        if not rows:
+            return empty
+        return pd.DataFrame(
+            rows, columns=["aid", "bid", "cos_micro", "margin_micro"]
+        )
+
+    lg2 = a2.select(
+        F.col("vec_id").alias("aid"),
+        F.col("embedding").alias("aemb"),
+        "sa",
+        "na",
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("qb"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("cb"),
+    ).groupBy("qb", "cb")
+    rg2 = b2.select(
+        F.col("vec_id").alias("bid"),
+        F.col("embedding").alias("bemb"),
+        "sb",
+        "nb",
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("cb"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("qb"),
+    ).groupBy("qb", "cb")
+    cell_best = lg2.cogroup(rg2).applyInPandas(margin_kernel, best_schema)
+    return (
+        cell_best.groupBy("aid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("margin_micro"),
+                    (-F.col("bid")).alias("negb"),
+                    F.col("cos_micro"),
+                )
+            ).alias("m")
+        )
+        .selectExpr(
+            "aid AS vec_id",
+            "-m.negb AS best_id",
+            "m.cos_micro AS cos_micro",
+            "m.margin_micro AS margin_micro",
+            f"m.margin_micro >= {accept_micro} AS is_accepted",
+        )
+    )
+
+
+def sql_bitext_margin_mining(
+    k: int = BITEXT_K,
+    side_target: int | None = BITEXT_SIDE_TARGET,
+    accept_micro: int = BITEXT_ACCEPT_MICRO,
+) -> str:
+    """DuckDB twin of :func:`bitext_margin_mining` — the plain
+    quadratic statement of the same ratio margin: all side-A x side-B
+    cosines once (MATERIALIZED), per-side top-k neighborhoods by
+    (cos DESC, id ASC), rational (sum, count) stats, the identical
+    positive-operand integer margin, and the same lowest-id argmax."""
+    from uber_data_pipeline_spark.functions.vectors import cosine_duck
+
+    cos = cosine_duck("a.embedding", "b.embedding")
+
+    def side_cte(name: str, parity: int) -> str:
+        if side_target is None:
+            return (
+                f"{name} AS MATERIALIZED (SELECT vec_id, embedding"
+                f" FROM embeddings WHERE vec_id % 2 = {parity})"
+            )
+        return f"""{name} AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings,
+                 (SELECT GREATEST(CAST(1 AS BIGINT),
+                         (COUNT(*) + {side_target} - 1) // {side_target})
+                      AS q_mod
+                  FROM embeddings WHERE vec_id % 2 = {parity}) m
+            WHERE vec_id % 2 = {parity}
+              AND (({QS_HASH_A} * (vec_id % {QS_HASH_MOD})
+                    + {QS_HASH_B}) % {QS_HASH_MOD}) % m.q_mod = 0
+        )"""
+
+    return f"""
+        WITH {side_cte("sidea", 0)},
+        {side_cte("sideb", 1)},
+        pairs AS MATERIALIZED (
+            SELECT a.vec_id AS aid, b.vec_id AS bid,
+                   CAST(round({cos} * 1000000) AS BIGINT) AS cos_micro
+            FROM sidea a, sideb b
+        ),
+        ra AS (
+            SELECT aid, cos_micro,
+                   ROW_NUMBER() OVER (PARTITION BY aid
+                       ORDER BY cos_micro DESC, bid) AS rn
+            FROM pairs
+        ),
+        astat AS (
+            SELECT aid, CAST(SUM(cos_micro) AS BIGINT) AS sa,
+                   COUNT(*) AS na
+            FROM ra WHERE rn <= {k} GROUP BY 1
+        ),
+        rb AS (
+            SELECT bid, cos_micro,
+                   ROW_NUMBER() OVER (PARTITION BY bid
+                       ORDER BY cos_micro DESC, aid) AS rn
+            FROM pairs
+        ),
+        bstat AS (
+            SELECT bid, CAST(SUM(cos_micro) AS BIGINT) AS sb,
+                   COUNT(*) AS nb
+            FROM rb WHERE rn <= {k} GROUP BY 1
+        ),
+        cand AS (
+            SELECT p.aid, p.bid, p.cos_micro,
+                   CAST((2000000 * p.cos_micro * a.na * b.nb)
+                        // (a.sa * b.nb + b.sb * a.na) AS BIGINT)
+                       AS margin_micro
+            FROM pairs p
+            JOIN astat a USING (aid)
+            JOIN bstat b USING (bid)
+            WHERE p.cos_micro > 0
+              AND a.sa * b.nb + b.sb * a.na > 0
+        ),
+        best AS (
+            SELECT aid, bid, cos_micro, margin_micro,
+                   ROW_NUMBER() OVER (PARTITION BY aid
+                       ORDER BY margin_micro DESC, bid) AS rn
+            FROM cand
+        )
+        SELECT aid AS vec_id, bid AS best_id, cos_micro, margin_micro,
+               margin_micro >= {accept_micro} AS is_accepted
+        FROM best WHERE rn = 1
+    """

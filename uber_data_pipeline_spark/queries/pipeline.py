@@ -168,6 +168,76 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the first-order
+    delta-join rule (Blakeley 1986's differential view maintenance;
+    DBToaster's delta queries): when the delta arrives on ONE input of
+    a two-way join, the maintained view is
+
+        V_new = (V_old ANTI-JOIN changed keys) UNION (delta JOIN other side)
+
+    — no re-join of the unchanged bulk. Here the stored view is the
+    order x line-item flat join with per-line discounted revenue; the
+    CDC batch (same deterministic split as `cdc_incremental_merge`)
+    lands inserts + new versions on the ORDERS side only. Updated
+    keys retract their old view rows via a broadcast anti-join; the
+    delta re-joins only against line items for its own keys.
+
+    The result aggregates the MAINTAINED view per order status (line
+    count, distinct orders, exact decimal revenue) plus the delta
+    telemetry (`lines_from_delta`); the oracle recomputes the same
+    aggregate from the fully merged latest-version-wins join, proving
+    maintenance == recompute.
+
+    Scale shape: at 100 TB the stored view is scanned once with a
+    BROADCAST anti-join on the delta's key set (no shuffle of V_old;
+    on a key-partitioned lake the same key set prunes partitions
+    before the scan) and only the delta — inserts + updates, not the
+    history — pays the join shuffle. The join view itself never
+    rebuilds; contrast `incremental_agg_maintenance`, which maintains
+    an AGGREGATE by partial-merge — this maintains the join ROWS."""
+    base, delta = _cdc_frames(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    line_rev = (
+        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4)) AS line_rev"
+    )
+    v_old = base.join(li, "o_orderkey").selectExpr(
+        "o_orderkey", "o_orderstatus", line_rev
+    )
+    # every delta key (one row per key here: insert keys and update
+    # keys are disjoint by construction) — updates retract their old
+    # rows, inserts retract nothing (no old rows to hit)
+    dkeys = delta.select("o_orderkey").distinct()
+    v_delta = delta.join(li, "o_orderkey").selectExpr(
+        "o_orderkey", "o_orderstatus", line_rev
+    )
+    maintained = (
+        v_old.join(F.broadcast(dkeys), "o_orderkey", "left_anti")
+        .withColumn("from_delta", F.lit(0))
+        .unionByName(v_delta.withColumn("from_delta", F.lit(1)))
+    )
+    return (
+        maintained.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("line_rev").alias("rev_dec"),
+            F.sum("from_delta").cast("long").alias("lines_from_delta"),
+        )
+        .selectExpr(
+            "status",
+            "n_lines",
+            "n_orders",
+            "CAST(rev_dec AS DOUBLE) AS revenue",
+            "lines_from_delta",
+        )
+    )
+
+
 def _stage_flat_once(stage: str, params: dict, write_fn) -> None:
     """Stage a flat-format landing directory once per (sf, params).
 
@@ -1359,6 +1429,7 @@ QUERIES = {
     "streaming_dedup": dedup_stream,
     "streaming_windowed_topk": windowed_topk_stream,
     "incremental_agg_maintenance": incremental_agg_maintenance,
+    "ivm_join_delta": ivm_join_delta,
     "events_csv_roundtrip": events_csv_roundtrip,
     "events_json_roundtrip": events_json_roundtrip,
     "events_orc_roundtrip": events_orc_roundtrip,
@@ -1814,6 +1885,57 @@ ORACLES = {
                COUNT(*) AS n_orders
         FROM merged m JOIN orders o USING (o_orderkey)
         GROUP BY 1, 2
+    """,
+    # maintenance == recompute for the JOIN view: the oracle rebuilds
+    # the flat order x line-item join from the fully merged
+    # latest-version-wins orders table and aggregates it; the Spark
+    # side got there by retract-and-delta-join, never re-joining the
+    # unchanged bulk
+    "ivm_join_delta": f"""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderdate < TIMESTAMP '{CDC_CUTOFF}'
+        ),
+        delta AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderdate >= TIMESTAMP '{CDC_CUTOFF}'
+            UNION ALL
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   {_UPLIFT_SQL} AS o_totalprice
+            FROM base WHERE o_orderkey % {_UPDATE_EVERY} = 0
+        ),
+        unioned AS (
+            SELECT *, 0 AS src FROM base
+            UNION ALL
+            SELECT *, 1 AS src FROM delta
+        ),
+        ranked AS (
+            SELECT o_orderkey, o_orderstatus,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                       ORDER BY src DESC) AS rn
+            FROM unioned
+        ),
+        merged AS (
+            SELECT o_orderkey, o_orderstatus FROM ranked WHERE rn = 1
+        ),
+        li AS (
+            SELECT l_orderkey AS o_orderkey,
+                   CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(25,4)) AS line_rev
+            FROM lineitem
+        ),
+        dkeys AS (SELECT DISTINCT o_orderkey FROM delta)
+        SELECT m.o_orderstatus AS status,
+               COUNT(*) AS n_lines,
+               COUNT(DISTINCT m.o_orderkey) AS n_orders,
+               CAST(SUM(line_rev) AS DOUBLE) AS revenue,
+               CAST(SUM(CASE WHEN d.o_orderkey IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS lines_from_delta
+        FROM merged m
+        JOIN li USING (o_orderkey)
+        LEFT JOIN dkeys d ON d.o_orderkey = m.o_orderkey
+        GROUP BY 1
     """,
     "streaming_windowed_topk": f"""
         WITH base AS ({_EVENT_ORACLES["events_windowed_agg"]}),

@@ -766,6 +766,12 @@ QUERIES = {
     "embeddings_hard_negatives": lambda spark, sf: similarity.hard_negative_mining(
         _emb(spark, sf)
     ),
+    # r13: margin-based bitext mining (Artetxe & Schwenk ratio
+    # margin) over the parity-split shared space — two tiled-gemm
+    # passes, rational neighborhood stats, exact integer margins
+    "bitext_margin_mining": lambda spark, sf: similarity.bitext_margin_mining(
+        _emb(spark, sf)
+    ),
     # r11: semantic decontamination — cosine-threshold twin of
     # decontaminate_ngrams over the sentinel-widened embeddings (the
     # planted vec -1 = copy of bench vec 0 guarantees one catch at
@@ -812,6 +818,9 @@ SCALAR_BROADCAST = {
     # r11: per-round 1-row winning-pair + 1-row unit-total broadcasts
     # crossJoined into the per-round report rows
     "text_bpe_train_iterated",
+    # r13: two 1-row per-side COUNT broadcasts deriving each side's
+    # sample modulus in-plan (the query_sample class, twice)
+    "bitext_margin_mining",
     # r11: 1-row COUNT broadcast deriving the query-sample modulus
     # in-plan (the recall-gate class)
     "embeddings_hard_negatives",
@@ -1745,6 +1754,7 @@ ORACLES["dedup_substring_windows"] = dedup.sql_substring_window_dups()
 ORACLES["dedup_substring_spans"] = dedup.sql_substring_span_census()
 ORACLES["documents_gopher_repetition"] = textops.sql_gopher_repetition()
 ORACLES["embeddings_hard_negatives"] = similarity.sql_hard_negative_mining()
+ORACLES["bitext_margin_mining"] = similarity.sql_bitext_margin_mining()
 ORACLES["documents_drift_report"] = textops.sql_drift_report()
 ORACLES["decontaminate_embedding"] = f"""
     WITH {_EMBX_CTE},
