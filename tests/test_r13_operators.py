@@ -561,3 +561,81 @@ def test_bitext_matches_quadratic_oracle_on_fixture(spark, duck):
             }
         ),
     )
+
+
+# ------------------------------------ Markov removal attribution (r13)
+
+
+def test_markov_attribution_hand(spark):
+    """Planted journeys with a hand-solvable chain: 'click' carries
+    ALL converting paths (removal zeroes conversion, full credit);
+    'view' only appears on a dead-end journey (zero effect)."""
+    from datetime import datetime
+
+    from uber_data_pipeline_spark.queries.events import (
+        markov_attribution_frame,
+    )
+
+    def ts(i):
+        return datetime(2024, 1, 1, 0, i)
+
+    rows = [
+        (1, ts(0), 10, "click", 0.0, "{}"),
+        (1, ts(1), 11, "purchase", 0.0, "{}"),
+        (2, ts(0), 20, "click", 0.0, "{}"),
+        (2, ts(1), 21, "purchase", 0.0, "{}"),
+        (3, ts(0), 30, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        r["channel"]: r
+        for r in markov_attribution_frame(spark, ev).collect()
+    }
+    assert set(out) == {"click", "view"}
+    # p(start->click) = 2e6 DIV 3 = 666666; p(click->conv) = 1e6;
+    # fixed point: v(start) = 666666 * 1e6 // 1e6 = 666666
+    assert out["click"]["base_conv_micro"] == 666666
+    assert out["click"]["removed_conv_micro"] == 0
+    assert out["click"]["removal_effect_micro"] == 666666
+    assert out["click"]["attribution_micro"] == 1_000_000
+    assert out["view"]["removal_effect_micro"] == 0
+    assert out["view"]["attribution_micro"] == 0
+    assert out["view"]["removed_conv_micro"] == 666666
+
+
+def test_markov_attribution_resegments_at_purchase(spark):
+    """An event AFTER a purchase starts a NEW journey from _start —
+    its credit must not leak into the earlier converting journey."""
+    from datetime import datetime
+
+    from uber_data_pipeline_spark.queries.events import (
+        _markov_transition_probs,
+    )
+
+    def ts(i):
+        return datetime(2024, 1, 1, 0, i)
+
+    rows = [
+        (1, ts(0), 10, "click", 0.0, "{}"),
+        (1, ts(1), 11, "purchase", 0.0, "{}"),
+        (1, ts(2), 12, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r["src"], r["dst"]): r["p_micro"]
+        for r in _markov_transition_probs(ev).collect()
+    }
+    assert got == {
+        ("_start", "click"): 500_000,  # 1 of 2 _start exits
+        ("_start", "view"): 500_000,
+        ("click", "_conv"): 1_000_000,
+        ("view", "_null"): 1_000_000,
+    }

@@ -413,6 +413,221 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MARKOV_ITERS = 8  # fixed-point steps for the absorbing-chain solve
+
+
+def _markov_transition_probs(ev: DataFrame) -> DataFrame:
+    """Journey-grain Markov transitions in integer micro-probability:
+    each purchase terminates a journey (dst '_conv'); the event after
+    a purchase (or a user's first event) enters from '_start'; a
+    user's trailing non-purchase event additionally exits to '_null'.
+    One per-user window pass — every event emits exactly one incoming
+    transition, so no journey materialization."""
+    from pyspark.sql import Window
+
+    ev = ev.select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_raw", F.lag("event_type").over(w)).withColumn(
+        "next_raw", F.lead("event_type").over(w)
+    )
+    incoming = seq.selectExpr(
+        "CASE WHEN prev_raw IS NULL OR prev_raw = 'purchase'"
+        " THEN '_start' ELSE prev_raw END AS src",
+        "CASE WHEN event_type = 'purchase' THEN '_conv'"
+        " ELSE event_type END AS dst",
+    )
+    trailing = seq.filter(
+        "next_raw IS NULL AND event_type != 'purchase'"
+    ).selectExpr("event_type AS src", "'_null' AS dst")
+    cnt = (
+        incoming.unionByName(trailing)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cnt.groupBy("src").agg(F.sum("n").alias("t"))
+    return cnt.join(tot, "src").selectExpr(
+        "src", "dst", "CAST(n * 1000000 DIV t AS BIGINT) AS p_micro"
+    )
+
+
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016, the
+    data-driven alternative to last-touch): model journeys as a
+    first-order absorbing Markov chain over channel states with CONV
+    and NULL absorbers, then credit each channel by how much the
+    chain's conversion probability DROPS when that channel's inbound
+    transitions are redirected to NULL — the "removal effect",
+    normalized into attribution shares. Extends
+    `events_transition_matrix` (same per-user lag sequencing) with
+    the absorbing-chain solve.
+
+    Exactness + determinism: transition probabilities are integer
+    micros (count * 1e6 DIV out-degree); the K-step fixed point
+        v_{k+1}(s) = p(s,CONV) + sum_c p(s,c) * v_k(c) DIV 1e6
+    floors each TERM before the integer sum, so the result is
+    independent of summation order — no float path anywhere. Removal
+    monotonically shrinks the transition set, so effects are >= 0 and
+    the positive-operand DIV agrees across engines.
+
+    Scale shape: the only data-sized work is the per-user window pass
+    and a vocab^2-bounded groupBy; the collected matrix is a k-row
+    codebook (states = event-type vocabulary + 3 sentinels), and the
+    K x |vocab|^2 solve is driver-side integer arithmetic on that
+    codebook. NOTE the quality-model caveat applies: building this
+    DataFrame runs the transition job eagerly at plan-construction
+    time (the result is a literal frame).
+
+    Columns: channel, base_conv_micro, removed_conv_micro,
+    removal_effect_micro, attribution_micro."""
+    return markov_attribution_frame(
+        spark, load_table(spark, sf_dir, "events")
+    )
+
+
+def markov_attribution_frame(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Core of :func:`events_markov_attribution` over an explicit
+    events frame (user_id, ts, event_id, event_type ...)."""
+    probs = {
+        (r["src"], r["dst"]): r["p_micro"]
+        for r in _markov_transition_probs(ev).collect()
+    }
+    channels = sorted(
+        {
+            r["event_type"]
+            for r in ev.select("event_type").distinct().collect()
+            if r["event_type"] != "purchase"
+        }
+    )
+    states = ["_start"] + channels
+
+    def solve(removed: str | None) -> int:
+        p = {
+            sd: v for sd, v in probs.items() if removed is None or sd[1] != removed
+        }
+        v = {s: 0 for s in states}
+        for _ in range(MARKOV_ITERS):
+            nv = {}
+            for s in states:
+                acc = p.get((s, "_conv"), 0)
+                for c in channels:
+                    acc += p.get((s, c), 0) * v[c] // 1_000_000
+                nv[s] = acc
+            v = nv
+        return v["_start"]
+
+    base = solve(None)
+    effects = {c: base - solve(c) for c in channels}
+    total = sum(effects.values())
+    rows = [
+        (
+            c,
+            base,
+            base - effects[c],
+            effects[c],
+            effects[c] * 1_000_000 // total if total > 0 else 0,
+        )
+        for c in channels
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_conv_micro long, removed_conv_micro long,"
+        " removal_effect_micro long, attribution_micro long",
+    )
+
+
+def _markov_attribution_oracle(iters: int = MARKOV_ITERS) -> str:
+    """DuckDB twin: identical window sequencing and micro-int
+    probabilities; the fixed point is UNROLLED as `iters` chained
+    GROUP BY CTEs (no recursive aggregate), one (scenario, state)
+    vector per step, scenarios = base + one removal per channel.
+    Every step CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    each step references its predecessor twice — unmaterialized,
+    the chain re-evaluates the whole pipeline 2^iters times."""
+    steps = []
+    for k in range(1, iters + 1):
+        prev = f"v{k-1}"
+        steps.append(f"""
+        v{k} AS MATERIALIZED (
+            SELECT v.scenario, v.state,
+                   COALESCE(SUM(CASE
+                       WHEN t.dst = '_conv' THEN t.p_micro
+                       WHEN t.dst NOT IN ('_conv', '_null')
+                           THEN t.p_micro * pv.v // 1000000
+                   END), 0) AS v
+            FROM {prev} v
+            LEFT JOIN ptrans t
+              ON t.scenario = v.scenario AND t.src = v.state
+            LEFT JOIN {prev} pv
+              ON pv.scenario = v.scenario AND pv.state = t.dst
+            GROUP BY 1, 2
+        )""")
+    chain = ",".join(steps)
+    return f"""
+        WITH seq AS (
+            SELECT user_id, event_id, event_type,
+                   LAG(event_type) OVER w AS prev_raw,
+                   LEAD(event_type) OVER w AS next_raw
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        ),
+        trans_raw AS (
+            SELECT CASE WHEN prev_raw IS NULL OR prev_raw = 'purchase'
+                        THEN '_start' ELSE prev_raw END AS src,
+                   CASE WHEN event_type = 'purchase' THEN '_conv'
+                        ELSE event_type END AS dst
+            FROM seq
+            UNION ALL
+            SELECT event_type AS src, '_null' AS dst
+            FROM seq WHERE next_raw IS NULL AND event_type != 'purchase'
+        ),
+        cnt AS (SELECT src, dst, COUNT(*) AS n FROM trans_raw GROUP BY 1, 2),
+        tot AS (SELECT src, SUM(n) AS t FROM cnt GROUP BY 1),
+        p AS MATERIALIZED (
+            SELECT c.src, c.dst,
+                   CAST(c.n * 1000000 // t.t AS BIGINT) AS p_micro
+            FROM cnt c JOIN tot t USING (src)
+        ),
+        channels AS (
+            SELECT DISTINCT event_type AS ch FROM events
+            WHERE event_type != 'purchase'
+        ),
+        scen AS (
+            SELECT '_base' AS scenario UNION ALL SELECT ch FROM channels
+        ),
+        ptrans AS MATERIALIZED (
+            SELECT s.scenario, p.src, p.dst, p.p_micro
+            FROM scen s JOIN p ON p.dst != s.scenario
+        ),
+        states AS (
+            SELECT '_start' AS st UNION ALL SELECT ch FROM channels
+        ),
+        v0 AS MATERIALIZED (
+            SELECT s.scenario, st.st AS state, CAST(0 AS BIGINT) AS v
+            FROM scen s CROSS JOIN states st
+        ),
+        {chain},
+        res AS (
+            SELECT scenario, v FROM v{iters} WHERE state = '_start'
+        ),
+        basev AS (SELECT v AS vb FROM res WHERE scenario = '_base'),
+        eff AS (
+            SELECT r.scenario AS channel,
+                   CAST(b.vb AS BIGINT) AS base_conv_micro,
+                   CAST(r.v AS BIGINT) AS removed_conv_micro,
+                   CAST(b.vb - r.v AS BIGINT) AS removal_effect_micro
+            FROM res r, basev b WHERE r.scenario != '_base'
+        ),
+        totfx AS (SELECT SUM(removal_effect_micro) AS te FROM eff)
+        SELECT e.channel, e.base_conv_micro, e.removed_conv_micro,
+               e.removal_effect_micro,
+               CAST(CASE WHEN t.te > 0
+                    THEN e.removal_effect_micro * 1000000 // t.te
+                    ELSE 0 END AS BIGINT) AS attribution_micro
+        FROM eff e, totfx t
+    """
+
+
 def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day distinct users per day (rolling WAU) plus that
     day's DAU and the DAU/WAU stickiness ratio — the engagement
@@ -1142,6 +1357,7 @@ QUERIES = {
     ),
     "events_countmin_freq": events_countmin_freq,
     "events_transition_matrix": events_transition_matrix,
+    "events_markov_attribution": events_markov_attribution,
     "events_anomaly_zscore": events_anomaly_zscore,
     "events_seasonal_hourly": events_seasonal_hourly,
     "events_sliding_window": events_sliding_window,
@@ -1641,6 +1857,8 @@ ORACLES = {
         FROM per_user
     """,
 }
+
+ORACLES["events_markov_attribution"] = _markov_attribution_oracle()
 
 # Independent oracle for the VARIANT twin (VERDICT r3 item 8): same
 # KPIs, but through DuckDB's json_transform STRUCT extraction — a
