@@ -356,6 +356,16 @@ def main() -> int:
         cores = spark.sparkContext.defaultParallelism
         snapshot_cap = max(4, cores // 8)
         spark.conf.set("spark.udp.spread.maxPartitions", str(snapshot_cap))
+        # fair-share SHUFFLE width too (r13 A/B on this registry:
+        # concurrent-8 wall 47.6 s at the session default 32 ->
+        # 43.8 s at cores*2/8 -> 48.8 s at cores/8, so the shuffle
+        # sweet spot is 2x the spread cap — keyed exchanges want a
+        # little headroom over the slot share, round-robin spreads
+        # don't). AQE still coalesces below this; it only caps the
+        # INITIAL width each in-flight query schedules.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(max(8, cores * 2 // 8))
+        )
         # longest-processing-time-first: the makespan of an 8-slot
         # pool is set by whatever long job lands last; submit the
         # heavy entries (per the sequential timings just measured)

@@ -103,6 +103,12 @@ def main() -> int:
         spark.conf.set(
             "spark.udp.spread.maxPartitions", str(max(4, cores // n))
         )
+        # fair-share shuffle width, 2x the spread cap (r13 A/B:
+        # 47.6 s at the default 32 -> 43.8 s at cores*2/8 -> 48.8 s
+        # at cores/8 on the 226-entry registry, concurrent-8)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(max(8, cores * 2 // n))
+        )
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=n) as pool:
