@@ -3107,6 +3107,12 @@ def bitext_margin_mining(
     w = Window.partitionBy("side", "id").orderBy(
         F.col("cos_micro").desc(), F.col("cand").asc()
     )
+    # localCheckpoint the (side_target-bounded, <= 2 rows per sampled
+    # vector) stats relation: astat and bstat both consume it, and
+    # without the cut Catalyst re-plans the WHOLE pass-1 gemm subtree
+    # under each (6 cogroup kernels / 24 scans in the audit plan vs
+    # the ideal 2 kernels). Same eager-at-plan-construction class as
+    # text_bpe_train_iterated's checkpointed rounds.
     stats = (
         cell_topk.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
@@ -3115,6 +3121,7 @@ def bitext_margin_mining(
             F.sum("cos_micro").alias("s"),
             F.count("*").alias("n"),
         )
+        .localCheckpoint(eager=True)
     )
     astat = stats.filter(F.col("side") == "a").select(
         F.col("id").alias("vec_id"),
