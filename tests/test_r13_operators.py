@@ -639,3 +639,94 @@ def test_markov_attribution_resegments_at_purchase(spark):
         ("click", "_conv"): 1_000_000,
         ("view", "_null"): 1_000_000,
     }
+
+
+# ----------------------------------------- WordPiece encode (r13)
+
+
+def test_wordpiece_greedy_hand(spark):
+    """Replay greedy longest-match-first in plain Python against the
+    operator's own mined vocab on a tiny corpus."""
+    from uber_data_pipeline_spark.operators.textops import (
+        WP_MAX_PIECE,
+        wordpiece_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "unitable unit able", "en", "s", 18),
+            (1, "unit unit table", "en", "s", 15),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {r["doc_id"]: r for r in wordpiece_encode(docs).collect()}
+    # mine the vocab the same way and replay
+    from collections import Counter
+
+    words = Counter()
+    for t in ("unitable unit able", "unit unit table"):
+        words.update(t.split(" "))
+    piece_n = Counter()
+    for w, wc in words.items():
+        for i in range(len(w)):
+            for ln in range(1, min(WP_MAX_PIECE, len(w) - i) + 1):
+                piece_n[(w[i : i + ln], i == 0)] += wc
+    # all pieces kept (corpus is far under K per class)
+    sa = {p for (p, st) in piece_n if st}
+    ca = {p for (p, st) in piece_n if not st}
+
+    def encode(w):
+        pos, n = 0, 0
+        while pos < len(w):
+            vocab = sa if pos == 0 else ca
+            for ln in range(min(WP_MAX_PIECE, len(w) - pos), 0, -1):
+                if w[pos : pos + ln] in vocab:
+                    pos += ln
+                    n += 1
+                    break
+            else:
+                return None  # UNK
+        return n
+
+    for doc_id, text in ((0, "unitable unit able"), (1, "unit unit table")):
+        toks = text.split(" ")
+        units = sum(encode(w) or 1 for w in toks)
+        assert out[doc_id]["n_tokens"] == len(toks)
+        assert out[doc_id]["n_wp_units"] == units, doc_id
+        assert out[doc_id]["n_unk_words"] == sum(
+            1 for w in toks if encode(w) is None
+        )
+        assert (
+            out[doc_id]["fertility_micro"]
+            == units * 1_000_000 // len(toks)
+        )
+
+
+def test_wordpiece_unk_fires_outside_topk(spark, duck):
+    """With a tiny k the rare character 'z' falls outside the vocab
+    and its word collapses to [UNK] — the whole-word failure rule is
+    live, and the DuckDB twin agrees on the same corpus."""
+    import pandas as pd
+
+    from uber_data_pipeline_spark.operators.textops import (
+        sql_wordpiece_encode,
+        wordpiece_encode,
+    )
+
+    text = "aa ab aa ab aa ab aa ab zz"
+    docs = spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = wordpiece_encode(docs, k=3).collect()[0]
+    assert got["n_unk_words"] == 1  # 'zz' has no start piece in top-3
+    assert got["n_tokens"] == 9
+    duck.register("wp_docs", docs.toPandas())
+    want = duck.sql(
+        sql_wordpiece_encode(table="wp_docs", k=3)
+    ).df().iloc[0]
+    assert int(want["n_unk_words"]) == 1
+    assert int(want["n_wp_units"]) == got["n_wp_units"]
+    assert int(want["fertility_micro"]) == got["fertility_micro"]

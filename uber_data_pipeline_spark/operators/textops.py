@@ -1339,6 +1339,234 @@ def sql_bpe_encode(table: str = "documents", top_k: int = BPE_APPLY_K) -> str:
     """
 
 
+# ------------------------------------------------- WordPiece (r13)
+
+WP_PIECE_K = 512  # vocab pieces kept per class (start / continuation)
+WP_MAX_PIECE = 4  # longest mined piece, chars
+
+
+def _wp_fold_spark(w: str) -> str:
+    """Greedy longest-match-first WordPiece encode of word column
+    ``w`` as one higher-order fold: accumulator struct(pos, n, unk);
+    each of length(w) iterations advances pos by the LONGEST vocab
+    piece (4..1 chars) of the position's class — start pieces at
+    pos 1, continuation pieces after — or trips the unk flag (the
+    whole-word [UNK] rule). Piece arrays `sa` / `ca` are outer
+    columns from the 1-row vocab broadcast."""
+    probes = []
+    for ln in range(WP_MAX_PIECE, 0, -1):
+        guard = (
+            f"acc.pos + {ln - 1} <= length({w}) AND "
+            if ln > 1
+            else ""
+        )
+        probes.append(
+            f"WHEN {guard}array_contains("
+            "CASE WHEN acc.pos = 1 THEN sa ELSE ca END, "
+            f"substring({w}, acc.pos, {ln})) THEN "
+            f"named_struct('pos', acc.pos + {ln}, 'n', acc.n + 1, "
+            "'unk', false)"
+        )
+    match = (
+        "CASE "
+        + " ".join(probes)
+        + " ELSE named_struct('pos', acc.pos, 'n', acc.n, 'unk', true) END"
+    )
+    return (
+        f"aggregate(sequence(1, length({w})), "
+        "named_struct('pos', 1, 'n', 0, 'unk', false), "
+        f"(acc, s) -> CASE WHEN acc.unk OR acc.pos > length({w}) "
+        f"THEN acc ELSE {match} END)"
+    )
+
+
+def wordpiece_encode(docs: DataFrame, k: int = WP_PIECE_K) -> DataFrame:
+    """WordPiece tokenization census (Wu et al. 2016, the BERT-family
+    subword algorithm) — the OTHER major tokenizer next to the BPE
+    trio: a two-class vocabulary (word-START pieces vs ##continuation
+    pieces) is mined from the corpus, then every word is encoded by
+    GREEDY LONGEST-MATCH-FIRST — repeatedly take the longest vocab
+    piece at the cursor for the cursor's class; a position with no
+    match (even 1 char) collapses the whole word to [UNK], exactly
+    the reference algorithm's failure rule.
+
+    Vocabulary (deterministic, derived in-plan): every substring of
+    length 1..4 of every dictionary word, weighted by the word's
+    stream count, classed by start position; top-k per class by
+    (weight DESC, piece ASC). Rare characters fall outside the top-k,
+    so [UNK] is a real outcome, not a dead column.
+
+    Plan shape (the bpe_encode dictionary trick): mining and encoding
+    run over the DISTINCT word dictionary; the token stream only
+    joins the encoded dictionary by word. The two piece arrays ride
+    ONE broadcast row built engine-side (sorted collect over the
+    ranked aggregate — no driver collect); the greedy loop is a
+    higher-order fold inside whole-stage codegen, row-local over the
+    dictionary.
+
+    Columns: doc_id, n_tokens, n_wp_units, n_unk_words,
+    fertility_micro (units * 1e6 DIV tokens; [UNK] words count 1
+    unit)."""
+    from pyspark.sql import Window
+
+    from uber_data_pipeline_spark.functions.text import TOKENS_SPARK
+
+    stream = docs.selectExpr(
+        "doc_id", f"explode({TOKENS_SPARK}) AS w"
+    ).filter("length(w) >= 1")
+    words = stream.groupBy("w").agg(F.count("*").alias("wc"))
+    pieces = (
+        words.selectExpr(
+            "wc",
+            "explode(flatten(transform(sequence(1, length(w)), "
+            f"i -> transform(sequence(1, least({WP_MAX_PIECE}, "
+            "length(w) - i + 1)), "
+            "l -> struct(substring(w, i, l) AS p, i = 1 AS is_start)"
+            ")))) AS pc",
+        )
+        .selectExpr("pc.p AS p", "pc.is_start AS is_start", "wc")
+        .groupBy("p", "is_start")
+        .agg(F.sum("wc").alias("n"))
+    )
+    rk = Window.partitionBy("is_start").orderBy(
+        F.col("n").desc(), F.col("p").asc()
+    )
+    kept = pieces.withColumn("rk", F.row_number().over(rk)).filter(
+        F.col("rk") <= k
+    )
+    vocab_row = (
+        kept.groupBy()
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(CASE WHEN is_start "
+                "THEN struct(-n AS negn, p) END)), x -> x.p) AS sa"
+            ),
+            F.expr(
+                "transform(sort_array(collect_list(CASE WHEN NOT is_start "
+                "THEN struct(-n AS negn, p) END)), x -> x.p) AS ca"
+            ),
+        )
+    )
+    enc = (
+        words.select("w")
+        .crossJoin(F.broadcast(vocab_row))
+        .selectExpr("w", f"{_wp_fold_spark('w')} AS e")
+        .selectExpr(
+            "w",
+            "CASE WHEN e.unk THEN CAST(1 AS BIGINT) "
+            "ELSE CAST(e.n AS BIGINT) END AS n_units",
+            "CAST(e.unk AS INT) AS is_unk",
+        )
+    )
+    return (
+        stream.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("n_units").cast("long").alias("n_wp_units"),
+            F.sum("is_unk").cast("long").alias("n_unk_words"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "n_wp_units",
+            "n_unk_words",
+            "n_wp_units * 1000000 DIV n_tokens AS fertility_micro",
+        )
+    )
+
+
+def sql_wordpiece_encode(
+    table: str = "documents", k: int = WP_PIECE_K
+) -> str:
+    """DuckDB twin of :func:`wordpiece_encode`. The greedy loop is a
+    SET-BASED recursive CTE over (word, cursor) — each iteration
+    advances every live word by its LONGEST matching piece (a MAX of
+    matching piece lengths against the ranked vocab table, the same
+    longest-first rule as the Spark fold's probe order) or marks it
+    [UNK]. Deliberately NO lambda: referencing a correlated column
+    (the vocab arrays) inside a DuckDB list_reduce lambda evaluates
+    nondeterministically under vectorized execution (observed: the
+    4-char probe flapping per connection), so the twin stays in
+    plain joins."""
+    from uber_data_pipeline_spark.functions.text import TOKENS_DUCK
+
+    return f"""
+        WITH RECURSIVE stream AS (
+            SELECT doc_id, t.w FROM (
+                SELECT doc_id, {TOKENS_DUCK} AS tokens FROM {table}
+            ), unnest(tokens) AS t(w)
+            WHERE length(t.w) >= 1
+        ), words AS (
+            SELECT w, COUNT(*) AS wc FROM stream GROUP BY w
+        ), pieces AS (
+            SELECT p, is_start, CAST(SUM(wc) AS BIGINT) AS n FROM (
+                SELECT substring(w, i.i, l.l) AS p, i.i = 1 AS is_start,
+                       wc
+                FROM words,
+                     LATERAL (SELECT unnest(range(1, length(w) + 1))
+                              AS i) i,
+                     LATERAL (SELECT unnest(range(1, least({WP_MAX_PIECE},
+                              length(w) - i.i + 1) + 1)) AS l) l
+            ) GROUP BY p, is_start
+        ), kept AS MATERIALIZED (
+            SELECT p, is_start FROM (
+                SELECT p, is_start,
+                       ROW_NUMBER() OVER (PARTITION BY is_start
+                           ORDER BY n DESC, p) AS rk
+                FROM pieces
+            ) WHERE rk <= {k}
+        ), matches AS MATERIALIZED (
+            -- longest matching vocab piece per (word, cursor), class
+            -- by cursor: ONE plain equi-join, computed before the
+            -- walk (correlated subqueries and lambdas inside the
+            -- recursion are the nondeterminism trap)
+            SELECT s.w, s.pos, CAST(MAX(length(k.p)) AS BIGINT) AS best
+            FROM (
+                SELECT w, i.i AS pos,
+                       substring(w, CAST(i.i AS INT), l.l) AS sub,
+                       i.i = 1 AS is_start
+                FROM words,
+                     LATERAL (SELECT unnest(range(1, length(w) + 1))
+                              AS i) i,
+                     LATERAL (SELECT unnest(range(1, least({WP_MAX_PIECE},
+                              length(w) - i.i + 1) + 1)) AS l) l
+            ) s
+            JOIN kept k
+              ON k.is_start = s.is_start AND k.p = s.sub
+            GROUP BY s.w, s.pos
+        ), walk AS (
+            SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n,
+                   false AS unk
+            FROM words
+            UNION ALL
+            SELECT r.w,
+                   CASE WHEN m.best IS NULL THEN r.pos
+                        ELSE r.pos + m.best END,
+                   CASE WHEN m.best IS NULL THEN r.n ELSE r.n + 1 END,
+                   m.best IS NULL
+            FROM walk r
+            LEFT JOIN matches m ON m.w = r.w AND m.pos = r.pos
+            WHERE NOT r.unk AND r.pos <= length(r.w)
+        ), enc AS (
+            SELECT w,
+                   CASE WHEN unk THEN CAST(1 AS BIGINT) ELSE n END
+                       AS n_units,
+                   CASE WHEN unk THEN 1 ELSE 0 END AS is_unk
+            FROM walk
+            WHERE unk OR pos > length(w)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_units) AS BIGINT) AS n_wp_units,
+               CAST(SUM(is_unk) AS BIGINT) AS n_unk_words,
+               CAST(SUM(n_units) * 1000000 // COUNT(*) AS BIGINT)
+                   AS fertility_micro
+        FROM stream JOIN enc USING (w)
+        GROUP BY doc_id
+    """
+
+
 # ------------------------------------------------------- Python UDTF
 
 UDTF_TOP_BIGRAMS = 20

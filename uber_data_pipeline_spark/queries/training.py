@@ -362,6 +362,11 @@ QUERIES = {
     ),
     # apply the learned merges: dictionary-encoded higher-order fold
     "text_bpe_encode": lambda spark, sf: textops.bpe_encode(_docs(spark, sf)),
+    # r13: the OTHER subword algorithm — WordPiece greedy
+    # longest-match-first with a two-class mined vocabulary
+    "text_wordpiece_encode": lambda spark, sf: textops.wordpiece_encode(
+        _docs(spark, sf)
+    ),
     # r11: the FULL greedy training loop — 6 chained merges over the
     # re-segmented dictionary (later merges combine earlier units)
     "text_bpe_train_iterated": lambda spark, sf: textops.bpe_train_iterated(
@@ -815,6 +820,9 @@ SCALAR_BROADCAST = {
     "embeddings_power_iteration",
     # 1-row merge-list array broadcast onto the word dictionary
     "text_bpe_encode",
+    # r13: 1-row two-class piece-vocabulary broadcast onto the word
+    # dictionary (the bpe_encode merge-list class)
+    "text_wordpiece_encode",
     # r11: per-round 1-row winning-pair + 1-row unit-total broadcasts
     # crossJoined into the per-round report rows
     "text_bpe_train_iterated",
@@ -1249,6 +1257,7 @@ ORACLES = {
     "embeddings_pca_project": similarity.sql_pca_project(),
     "text_bpe_merge_step": textops.sql_bpe_merge_step(),
     "text_bpe_encode": textops.sql_bpe_encode(),
+    "text_wordpiece_encode": textops.sql_wordpiece_encode(),
     "text_bpe_train_iterated": textops.sql_bpe_train_iterated(),
     "text_bigram_lm": textops.sql_bigram_typicality(),
     "dedup_exact": """
