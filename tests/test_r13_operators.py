@@ -542,9 +542,9 @@ def test_bitext_matches_quadratic_oracle_on_fixture(spark, duck):
         .sort_values("vec_id")
         .reset_index(drop=True)
     )
-    duck.register("embeddings", fix.toPandas())
+    duck.register("bitext_fix", fix.toPandas())
     want = (
-        duck.sql(sql_bitext_margin_mining())
+        duck.sql(sql_bitext_margin_mining(table="bitext_fix"))
         .df()
         .sort_values("vec_id")
         .reset_index(drop=True)

@@ -3224,6 +3224,7 @@ def sql_bitext_margin_mining(
     k: int = BITEXT_K,
     side_target: int | None = BITEXT_SIDE_TARGET,
     accept_micro: int = BITEXT_ACCEPT_MICRO,
+    table: str = "embeddings",
 ) -> str:
     """DuckDB twin of :func:`bitext_margin_mining` — the plain
     quadratic statement of the same ratio margin: all side-A x side-B
@@ -3238,14 +3239,14 @@ def sql_bitext_margin_mining(
         if side_target is None:
             return (
                 f"{name} AS MATERIALIZED (SELECT vec_id, embedding"
-                f" FROM embeddings WHERE vec_id % 2 = {parity})"
+                f" FROM {table} WHERE vec_id % 2 = {parity})"
             )
         return f"""{name} AS MATERIALIZED (
-            SELECT vec_id, embedding FROM embeddings,
+            SELECT vec_id, embedding FROM {table},
                  (SELECT GREATEST(CAST(1 AS BIGINT),
                          (COUNT(*) + {side_target} - 1) // {side_target})
                       AS q_mod
-                  FROM embeddings WHERE vec_id % 2 = {parity}) m
+                  FROM {table} WHERE vec_id % 2 = {parity}) m
             WHERE vec_id % 2 = {parity}
               AND (({QS_HASH_A} * (vec_id % {QS_HASH_MOD})
                     + {QS_HASH_B}) % {QS_HASH_MOD}) % m.q_mod = 0
