@@ -1381,7 +1381,18 @@ def _lpa_from_lineitem(li: DataFrame, iters: int | None = None) -> DataFrame:
             F.broadcast(labels), adj["src"] == labels["v"]
         ).selectExpr("explode(nbrs) AS v", "label")
         best = (
-            nbr.groupBy("v", "label")
+            # ONE exchange per round, not two (r13): hash-partitioning
+            # by v alone satisfies the clustering requirement of BOTH
+            # aggregates below ({v} ⊆ {v,label}), so the explicit
+            # repartition lets the (v,label) count AND the per-v max
+            # pipeline in a single post-shuffle stage. The staged
+            # two-exchange form shuffled the vote rows twice (partial
+            # aggregation dedups little here — neighbor labels are
+            # diverse until convergence), ~1.4|E| rows per round vs
+            # 1.0|E| now; measured 14.5 -> 7.2 s for the 4-round loop
+            # at sf1, identical output hash.
+            nbr.repartition("v")
+            .groupBy("v", "label")
             .agg(F.count("*").alias("c"))
             # lexicographic max = (max count, then MIN label): the
             # window-free mode-with-tie-break, two partial-aggregated
@@ -1503,36 +1514,45 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lift as ONE expression: pair_n * total / (n_a * n_b), integer
     products < 2^53), rounded once.
 
-    Scale shape: per-part and per-pair order counts are two-phase
-    COUNT(DISTINCT) aggregates (map-side partial over the already
-    bounded per-order pair blowup); the per-part counts join back to
-    the pair relation on part keys (broadcast at dim-like part
-    cardinality, shuffle-hash beyond); the corpus total is a 1-row
-    broadcast. Top-k is a TakeOrdered."""
+    Scale shape (r13): ONE per-order set aggregation feeds everything
+    — the orderkey-local collect_set that triangle census / pagerank
+    already use (one groupBy shuffle; per-order k² pair expansion is
+    ROW-LOCAL and already distinct because sets dedup within the
+    aggregate, so the former lineitem self-join + 4.2M-row DISTINCT
+    is gone). Per-part order counts are one explode + count over the
+    same cached sets (a set row per (order, part) IS the
+    count-distinct), and the corpus total is the sets' row count.
+    Measured 2.27 -> 1.40 s at sf0.1 and 7.16 -> 2.81 s at sf1,
+    identical result hash; exchanges 4 -> 2 on the pair path. The
+    per-part counts join back on part keys (broadcast at dim-like
+    part cardinality, shuffle-hash beyond); the corpus total is a
+    1-row broadcast. Top-k is a TakeOrdered."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # cached: joined back twice (antecedent and consequent sides)
-    part_orders = li.groupBy("l_partkey").agg(
-        F.countDistinct("l_orderkey").alias("n_part")
+    # cached: feeds the pair expansion, the per-part counts, and the
+    # corpus total
+    sets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
     ).cache()
-    a = li.alias("a")
-    b = li.alias("b")
+    # cached: joined back twice (antecedent and consequent sides)
+    part_orders = (
+        sets.selectExpr("explode(ps) AS l_partkey")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_part"))
+        .cache()
+    )
     pair_orders = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        sets.selectExpr(
+            "explode(flatten(transform(ps, (x, i) -> "
+            "transform(slice(ps, i + 2, size(ps)), "
+            "y -> named_struct('part_a', least(x, y), "
+            "'part_b', greatest(x, y)))))) AS e"
         )
-        .select(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-            F.col("a.l_orderkey").alias("okey"),
-        )
-        .distinct()
+        .select("e.part_a", "e.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("pair_n"))
         .filter(F.col("pair_n") >= RULES_MIN_PAIR_ORDERS)
     )
-    total = li.agg(F.countDistinct("l_orderkey").alias("total_orders"))
+    total = sets.agg(F.count("*").cast("long").alias("total_orders"))
     na = part_orders.selectExpr("l_partkey AS part_a", "n_part AS n_a")
     nb = part_orders.selectExpr("l_partkey AS part_b", "n_part AS n_b")
     return (
