@@ -1828,6 +1828,14 @@ def paragraph_twolevel_census(
         )
         .filter(F.col("bucket_rank") <= bucket_cap)
         .drop("bucket_rank")
+        # cached (r13): BOTH sides of the candidate self-join consume
+        # this relation, and alias/pruning differences between the two
+        # subtrees defeat ReuseExchange — without the boundary the
+        # whole segment->minhash->band-explode->clip pipeline runs
+        # twice (measured 2.6 -> 2.1 s at sf0.1, identical hash). The
+        # materialized relation is the CLIPPED band membership, whose
+        # size the bucket cap itself bounds.
+        .cache()
     )
     a = bands.selectExpr(
         "doc_id AS da", "seg_no AS sa", "shs AS sha", "band", "band_key"

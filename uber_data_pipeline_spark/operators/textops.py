@@ -1107,11 +1107,20 @@ def bigram_typicality(docs: DataFrame) -> DataFrame:
     IEEE division of exact integers — identical everywhere — and the
     per-doc average goes through the standard decimal-exact sum.
 
-    Scale shape: bigram/context counts are map-side-combined
-    aggregates over the exploded token stream; the per-doc score
-    joins each doc's bigrams against those reduced relations (shuffle
-    joins on bigram / context keys — vocabulary-sized, never
-    broadcast) and reduces back to one row per doc.
+    Scale shape (r13): the tokenize + bigram explode — the dominant
+    CPU pass on a text corpus — runs ONCE, not three times: one
+    (doc_id, w1, w2) aggregation with per-doc multiplicities is
+    cached and feeds (a) the corpus bigram counts, (b) the context
+    counts cw DERIVED from cb by a second vocab-sized aggregation
+    (sum of cb over w1 == count of bigram occurrences per w1, so no
+    second corpus pass), and (c) the per-doc probe side, which now
+    joins deduped (doc, bigram) rows instead of every occurrence.
+    The per-occurrence decimal sum is preserved exactly: n identical
+    decimal(25,6) values sum to n * that decimal (integer x decimal
+    multiplication is exact), so psum is bit-identical to the
+    occurrence-grain fold. Measured 3.6-4.0 -> 2.2 s at sf1 (neutral
+    at sf0.1), identical result hash. Join keys stay bigram/context
+    (vocabulary-sized relations, never broadcast at corpus scale).
 
     Columns: doc_id, n_bigrams, avg_cond_p (round 6)."""
     from uber_data_pipeline_spark.functions.text import TOKENS_SPARK
@@ -1130,20 +1139,25 @@ def bigram_typicality(docs: DataFrame) -> DataFrame:
         "element_at(tokens, i + 1) AS w2)) "
         "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END) AS b",
     ).select("doc_id", "b.w1", "b.w2")
-    cb = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    cw = bigrams.groupBy("w1").agg(F.count("*").alias("cw"))
+    dgrams = (
+        bigrams.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("n"))
+        .cache()
+    )
+    cb = dgrams.groupBy("w1", "w2").agg(F.sum("n").alias("cb"))
+    cw = cb.groupBy("w1").agg(F.sum("cb").alias("cw"))
     scored = (
-        bigrams.join(cb, ["w1", "w2"])
+        dgrams.join(cb, ["w1", "w2"])
         .join(cw, ["w1"])
-        .selectExpr("doc_id", "CAST(cb AS DOUBLE) / cw AS p")
+        .selectExpr("doc_id", "n", "CAST(cb AS DOUBLE) / cw AS p")
     )
     # explicit IEEE half-up for the final average: round(double, 6)
     # breaks representation-boundary ties differently per engine
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum(F.col("p").cast("decimal(25,6)")).alias("psum"),
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("p").cast("decimal(25,6)")).alias("psum"),
         )
         .selectExpr(
             "doc_id",
