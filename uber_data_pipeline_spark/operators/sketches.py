@@ -774,11 +774,23 @@ def kmv_intersection(
         f"CASE WHEN COUNT(*) < {k} THEN COUNT(*) "
         f"ELSE CAST(({k} - 1) * {_KMV_DOMAIN} AS BIGINT) DIV MAX(h) END"
     )
-    est_a = sketch.filter(F.col("event_type") == type_a).agg(
-        F.expr(f"{est} AS est_a")
-    )
-    est_b = sketch.filter(F.col("event_type") == type_b).agg(
-        F.expr(f"{est} AS est_b")
+    # ONE conditional aggregate over the (<= 2k)-row sketch for both
+    # per-type estimates (r13): COUNT/MAX restricted by CASE are
+    # value-identical to the former two filtered aggregates (empty
+    # type -> count 0 -> est 0 either way), at half the scalar
+    # branches / exchanges in the final cross-join fan-in
+    def _est_typed(t: str, alias: str) -> str:
+        cnt = f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END)"
+        mx = f"MAX(CASE WHEN event_type = '{t}' THEN h END)"
+        return (
+            f"CASE WHEN {cnt} < {k} THEN {cnt} "
+            f"ELSE CAST(({k} - 1) * {_KMV_DOMAIN} AS BIGINT) DIV {mx} END"
+            f" AS {alias}"
+        )
+
+    est_ab = sketch.agg(
+        F.expr(_est_typed(type_a, "est_a")),
+        F.expr(_est_typed(type_b, "est_b")),
     )
     est_u = union_k.agg(
         F.expr(f"{est} AS est_union"),
@@ -791,28 +803,28 @@ def kmv_intersection(
         .join(sketch.filter(F.col("event_type") == type_b).select("h"), "h")
         .agg(F.count("*").cast("long").alias("n_in_both"))
     )
+    # exact_a / exact_b fused into the per-user pass (r13): pairs is
+    # already (event_type, key)-distinct, so "distinct keys with type
+    # t" == "per-key max(type = t) summed" — the two extra flags ride
+    # the SAME groupBy(key) aggregate as the union/intersection
+    # counts, replacing two more corpus-cache scans + scalar branches
     per_user = pairs.groupBy(key).agg(
-        F.countDistinct("event_type").alias("nt")
+        F.countDistinct("event_type").alias("nt"),
+        F.max((F.col("event_type") == type_a).cast("int")).alias("ha"),
+        F.max((F.col("event_type") == type_b).cast("int")).alias("hb"),
     )
     exact = per_user.agg(
         F.count("*").cast("long").alias("exact_union"),
         F.count(F.when(F.col("nt") == 2, 1)).cast("long").alias(
             "exact_intersection"
         ),
-    )
-    exact_a = pairs.filter(F.col("event_type") == type_a).agg(
-        F.countDistinct(key).cast("long").alias("exact_a")
-    )
-    exact_b = pairs.filter(F.col("event_type") == type_b).agg(
-        F.countDistinct(key).cast("long").alias("exact_b")
+        F.sum("ha").cast("long").alias("exact_a"),
+        F.sum("hb").cast("long").alias("exact_b"),
     )
     return (
-        est_a.crossJoin(F.broadcast(est_b))
-        .crossJoin(F.broadcast(est_u))
+        est_ab.crossJoin(F.broadcast(est_u))
         .crossJoin(F.broadcast(in_both))
         .crossJoin(F.broadcast(exact))
-        .crossJoin(F.broadcast(exact_a))
-        .crossJoin(F.broadcast(exact_b))
         .selectExpr(
             f"CAST({k} AS INT) AS k",
             "est_a",

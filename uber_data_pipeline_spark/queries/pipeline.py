@@ -755,12 +755,26 @@ def streaming_merge_sink_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     root = os.path.join(_ARTIFACT_DIR, "rate_merge", sf_name)
     shutil.rmtree(root, ignore_errors=True)
+    # churn-aligned layout (r13, guide §6): the feed can only ever
+    # touch the key cohort o_orderkey % RATE_KEY_MOD < RATE_MOD, so
+    # partition the target with that cohort ISOLATED in partition 0
+    # and the cold keys spread over the remaining 15 — every batch
+    # then reads and rewrites ONE partition (~4% of the table) instead
+    # of all 16 (the former % 16 layout scattered the cohort into
+    # every partition, making each merge a full-table rewrite; the
+    # partition column is dropped from the returned table, so the
+    # result is unchanged). Batch merges 1.0 -> ~0.5 s each at sf0.1.
+    from uber_data_pipeline_spark.streaming.events import RATE_KEY_MOD, RATE_MOD
+
     merged = merge_sink_stream_rate(
         spark,
         base,
         target_path=os.path.join(root, "target"),
         checkpoint_dir=os.path.join(root, "checkpoint"),
-        part_expr=f"CAST(o_orderkey % {MERGE_SINK_PARTS} AS INT)",
+        part_expr=(
+            f"CAST(CASE WHEN o_orderkey % {RATE_KEY_MOD} < {RATE_MOD} "
+            f"THEN 0 ELSE 1 + o_orderkey % {MERGE_SINK_PARTS - 1} END AS INT)"
+        ),
     )
     return merged.select(
         "o_orderkey",

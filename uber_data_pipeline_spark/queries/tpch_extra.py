@@ -920,6 +920,14 @@ def parts_pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(round(0.15 + 0.85 * round(in_sum, 15), 9) "
                 "AS DECIMAL(14,9)) AS pr",
             )
+            # EAGER checkpoint kept deliberately (r13 A/B): the lazy
+            # chain (eager=False, the LPA loop's shape) wins 1.2 s at
+            # sf0.1 but LOSES ~1 s with a noisier tail at sf1
+            # (min 7.85 eager vs 8.79 lazy, head-to-head interleaved)
+            # — the two-consumer final join over the last two rounds
+            # re-enters the chain under one action less cleanly than
+            # LPA's single-tail consumers. Scale evidence outranks the
+            # local-bench win.
             .localCheckpoint()
         )
         prev, ranks = ranks, nxt
@@ -1366,7 +1374,7 @@ def _lpa_from_lineitem(li: DataFrame, iters: int | None = None) -> DataFrame:
         li.select(F.col("l_partkey").alias("v"))
         .distinct()
         .selectExpr("v", "v AS label")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # loop-invariant: vertices with no edges never receive a vote and
     # keep their own label in every round (single-part orders); the
@@ -1375,7 +1383,7 @@ def _lpa_from_lineitem(li: DataFrame, iters: int | None = None) -> DataFrame:
     # this static union
     iso = labels.join(
         adj.select(F.col("src").alias("v")), "v", "left_anti"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(LPA_ITERS if iters is None else iters):
         nbr = adj.join(
             F.broadcast(labels), adj["src"] == labels["v"]
@@ -1401,8 +1409,11 @@ def _lpa_from_lineitem(li: DataFrame, iters: int | None = None) -> DataFrame:
             .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
             .selectExpr("v", "-m.nl AS label")
         )
-        labels = best.unionByName(iso).localCheckpoint()
-    adj.unpersist()
+        # LAZY checkpoint chain (r13, same as the rank loop): fixed
+        # round count -> no per-round driver action; e2e 4.1 -> 3.7 s
+        # at sf0.1, identical hash. adj stays cached through the
+        # consumer's action (harnesses clear caches between entries).
+        labels = best.unionByName(iso).localCheckpoint(eager=False)
     sizes = labels.groupBy("label").agg(
         F.count("*").cast("long").alias("community_size")
     )
