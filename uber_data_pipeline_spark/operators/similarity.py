@@ -1358,6 +1358,7 @@ def coarse_train_cells(
     n_cells: int,
     iters: int = COARSE_TRAIN_ITERS,
     cap: int | None = None,
+    n_rows: int | None = None,
 ) -> list:
     """Data-derived coarse quantizer: Lloyd k-means over MICRO-UNIT
     int64-quantized vectors (q_j = floor(v_j * 1e6 + 0.5)) on the
@@ -1379,10 +1380,24 @@ def coarse_train_cells(
     Scale shape: one Arrow kernel over the bounded sample (the FAISS
     train-on-sample shape, same class as :func:`ivfpq_train_book`);
     the k x 64 int table is collected once (control-plane model
-    artifact) and returned as rows [(cell, [int64 x 64])]."""
+    artifact) and returned as rows [(cell, [int64 x 64])].
+
+    ``n_rows`` (r14): when the caller already knows COUNT(*) (ivfpq
+    runs one count up front), the :func:`train_sample` modulus is
+    inlined as a literal — same value by construction, one fewer
+    aggregate+broadcast subtree inside the training job."""
     if cap is None:
         cap = coarse_sample_cap(n_cells)
-    sample = train_sample(emb, cap).select("vec_id", "embedding")
+    if n_rows is None:
+        sample = train_sample(emb, cap).select("vec_id", "embedding")
+    else:
+        t_mod = max(1, (n_rows + cap - 1) // cap)
+        sample = emb.filter(
+            F.expr(
+                f"(({QS_HASH_A} * (vec_id % {QS_HASH_MOD}) + {TR_HASH_B})"
+                f" % {QS_HASH_MOD}) % {t_mod} = 0"
+            )
+        ).select("vec_id", "embedding")
 
     def lloyd(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
@@ -1414,7 +1429,9 @@ def coarse_train_cells(
     return [(int(r["cell"]), list(r["qv"])) for r in trained.collect()]
 
 
-def _coarse_ranked_int(emb: DataFrame, rows: list, nmax: int) -> DataFrame:
+def _coarse_ranked_int(
+    emb: DataFrame, rows: list, nmax: int, carry_embedding: bool = False
+) -> DataFrame:
     """(vec_id, cell, crk) for crk <= nmax: every vector's ``nmax``
     nearest trained cells by EXACT integer micro-unit squared-L2
     (ties -> lowest cell). The corpus vectors are unit-norm, so
@@ -1425,7 +1442,14 @@ def _coarse_ranked_int(emb: DataFrame, rows: list, nmax: int) -> DataFrame:
     new bottleneck after cells began scaling with sqrt(n) (measured
     7.0x wall at 10x rows via the fold path, 2.8M fold evals).
     The DuckDB twin is the ``cranked`` CTE in :func:`sql_ivfpq_topk`
-    (same ints, same tie rule)."""
+    (same ints, same tie rule).
+
+    ``carry_embedding`` (r14): additionally pass the raw embedding
+    column THROUGH the kernel (bit-preserved by Arrow), so consumers
+    that need (cell, embedding) — IVF-Flat probing, SemDeDup cell
+    grouping — skip the join back onto emb (two scan+shuffle legs per
+    consumer). Costs nmax copies of the vector per row; callers using
+    nmax=1..2 only."""
     book = np.array([qv for _, qv in sorted(rows)], dtype=np.int64)
     nmax = min(nmax, len(book))
 
@@ -1444,17 +1468,21 @@ def _coarse_ranked_int(emb: DataFrame, rows: list, nmax: int) -> DataFrame:
             # the SQL "ORDER BY d2 ASC, cell ASC" tie rule
             top = np.argsort(d2, axis=1, kind="stable")[:, :nmax]
             n_rows = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nmax),
-                    "cell": top.ravel().astype(np.int32),
-                    "crk": np.tile(np.arange(1, nmax + 1), n_rows),
-                }
-            )
+            out = {
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nmax),
+                "cell": top.ravel().astype(np.int32),
+                "crk": np.tile(np.arange(1, nmax + 1), n_rows),
+            }
+            if carry_embedding:
+                out["embedding"] = np.repeat(
+                    pdf["embedding"].to_numpy(), nmax
+                )
+            yield pd.DataFrame(out)
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        kernel, "vec_id long, cell int, crk int"
+    schema = "vec_id long, cell int, crk int" + (
+        ", embedding array<float>" if carry_embedding else ""
     )
+    return emb.select("vec_id", "embedding").mapInPandas(kernel, schema)
 
 
 def coarse_cells_df(spark, rows: list) -> DataFrame:
@@ -1620,7 +1648,9 @@ def _ivfpq_resid(
 
 
 def ivfpq_train_book(
-    emb: DataFrame, resid: DataFrame | None = None
+    emb: DataFrame,
+    resid: DataFrame | None = None,
+    sample: DataFrame | None = None,
 ) -> list:
     """Lloyd-trained per-subspace residual codebook (VERDICT r4
     item 3): 16 subspaces x 8 codes over 4-dim residual slices,
@@ -1643,12 +1673,22 @@ def ivfpq_train_book(
     train-on-sample shape; the 128-row book is then collected once
     (control-plane model artifact, same class as the convergence
     scalar in operators/dedup.py) and broadcast to the corpus-wide
-    encode."""
-    if resid is None:
-        resid = _ivfpq_resid(emb)
-    sample = train_sample(resid, IVFPQ_TRAIN_CAP).select(
-        "vec_id", "resid"
-    )
+    encode.
+
+    ``sample`` (r14): a pre-sampled (vec_id, resid) relation — the
+    caller already applied the :func:`train_sample` predicate (the
+    keep-set depends only on vec_id and COUNT(*), and resid rows map
+    1:1 onto emb rows, so filtering emb FIRST and computing residuals
+    only for kept rows is value-identical and skips the full-corpus
+    residual pass during training)."""
+    if sample is not None:
+        sample = sample.select("vec_id", "resid")
+    else:
+        if resid is None:
+            resid = _ivfpq_resid(emb)
+        sample = train_sample(resid, IVFPQ_TRAIN_CAP).select(
+            "vec_id", "resid"
+        )
 
     def lloyd(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
@@ -1712,11 +1752,165 @@ def _resid_d2_all(mat: np.ndarray, tens: np.ndarray) -> np.ndarray:
     return out
 
 
+def _fused_ivfpq_relation(
+    emb: DataFrame,
+    trained: list,
+    tens: np.ndarray,
+    nprobe: int,
+    q_mod: int | None,
+) -> DataFrame:
+    """ONE Arrow pass fusing coarse assignment, PQ encode and the
+    per-(query, probed cell) ADC table build (r14, VERDICT r13 item 1
+    — guide §4: one kernel serving both sides; §2.4: the former
+    ranked/resid/encode/lut pipeline cost two lazy checkpoints and
+    three joins before the probe join even started).
+
+    Emits, per corpus vector, its crk=1 row — nearest cell, the 16 PQ
+    codes of its residual, and (when the vector is a sampled query)
+    the 128-slot ADC lookup list — plus, for sampled queries only,
+    the crk=2..nprobe probe rows with their ADC lists. code_* on
+    crk>1 rows is 0 filler (consumers only read codes at crk=1).
+
+    Every arithmetic step is the exact IEEE sequence of the relations
+    it replaces: int64 micro-unit coarse d2 with stable-argsort ties
+    (:func:`_coarse_ranked_int`), residual = float64(embedding) minus
+    the 6-dp centroid (the zip_with twin — CAST(float AS DOUBLE) is
+    exact widening and book/1e6 is the same one divide), subspace d2
+    via :func:`_resid_d2_all`'s _sq4 add order. ADC values and every
+    downstream rank boundary are therefore bit-identical; the DuckDB
+    oracle is unchanged.
+
+    ``q_mod`` is :func:`query_sample`'s modulus inlined as a literal
+    (the caller derives it from the same COUNT(*) the in-plan form
+    aggregates); None = every vector is a query. vec_ids are
+    non-negative (catalog contract), so int64 ``%`` here matches the
+    SQL remainder."""
+    book = np.array([qv for _, qv in sorted(trained)], dtype=np.int64)
+    nmax = min(max(nprobe, 1), len(book))
+    cvecs = book.astype(np.float64) / 1e6
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cc = (book * book).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+            qq = (q * q).sum(axis=1)
+            d2 = qq[:, None] - 2 * (q @ book.T) + cc[None, :]
+            # stable argsort on equal d2 keeps index (= cell id) order:
+            # the SQL "ORDER BY d2 ASC, cell ASC" tie rule
+            top = np.argsort(d2, axis=1, kind="stable")[:, :nmax]
+            ids = pdf["vec_id"].to_numpy()
+            if q_mod is None:
+                is_q = np.ones(len(ids), dtype=bool)
+            else:
+                is_q = (
+                    (QS_HASH_A * (ids % QS_HASH_MOD) + QS_HASH_B)
+                    % QS_HASH_MOD
+                ) % q_mod == 0
+            # crk=1: ONE d2 tensor serves both the member codes and
+            # the query's own-cell ADC table
+            r1 = mat - cvecs[top[:, 0]]
+            d1 = _resid_d2_all(r1, tens)
+            codes = d1.argmin(axis=2)  # first min = lowest code
+            flat1 = d1.reshape(len(ids), IVFPQ_SUBSPACES * PQ_CODEBOOK)
+            out = {
+                "vec_id": ids,
+                "cell": top[:, 0].astype(np.int32),
+                "crk": np.ones(len(ids), dtype=np.int32),
+                "qd": [
+                    list(flat1[i]) if is_q[i] else None
+                    for i in range(len(ids))
+                ],
+            }
+            for s in range(IVFPQ_SUBSPACES):
+                out[f"code_{s}"] = codes[:, s]
+            frames = [pd.DataFrame(out)]
+            qi = np.nonzero(is_q)[0]
+            for j in range(2, nmax + 1):
+                if not len(qi):
+                    break
+                rj = mat[qi] - cvecs[top[qi, j - 1]]
+                flatj = _resid_d2_all(rj, tens).reshape(
+                    len(qi), IVFPQ_SUBSPACES * PQ_CODEBOOK
+                )
+                outj = {
+                    "vec_id": ids[qi],
+                    "cell": top[qi, j - 1].astype(np.int32),
+                    "crk": np.full(len(qi), j, dtype=np.int32),
+                    "qd": list(flatj),
+                }
+                for s in range(IVFPQ_SUBSPACES):
+                    outj[f"code_{s}"] = np.zeros(len(qi), dtype=np.int64)
+                frames.append(pd.DataFrame(outj))
+            yield pd.concat(frames, ignore_index=True)
+
+    schema = (
+        "vec_id long, cell int, crk int, qd array<double>, "
+        + ", ".join(f"code_{s} long" for s in range(IVFPQ_SUBSPACES))
+    )
+    # spread (r14): the bench corpus is ONE parquet row group, so the
+    # kernel AND everything downstream of the checkpoint (the 8.5M-row
+    # ADC fan-out at sf1) would otherwise run on 1-2 tasks — the
+    # under-split-local-input fix, a no-op on any real lake layout
+    from uber_data_pipeline_spark.operators.spread import spread_rowlocal
+
+    return spread_rowlocal(emb.select("vec_id", "embedding")).mapInPandas(
+        kernel, schema
+    )
+
+
+def _train_resid_sample(emb: DataFrame, trained: list, t_mod: int) -> DataFrame:
+    """(vec_id, resid) for the PQ-training sample ONLY: filter emb by
+    the :func:`train_sample` predicate (modulus as a literal — the
+    keep-set is a pure function of vec_id and COUNT(*)), then compute
+    each kept row's crk=1 residual in one Arrow kernel against the
+    trained book closure. Replaces the full-corpus ranked+join
+    residual pass the trainer used to pull in (r14). Arithmetic is
+    the exact sequence of :func:`_coarse_ranked_int` (int64 d2,
+    argmin first-hit = lowest cell) + :func:`_ivfpq_resid`'s zip_with
+    subtract, so the sampled residuals are bit-identical."""
+    book = np.array([qv for _, qv in sorted(trained)], dtype=np.int64)
+    cvecs = book.astype(np.float64) / 1e6
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cc = (book * book).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+            qq = (q * q).sum(axis=1)
+            d2 = qq[:, None] - 2 * (q @ book.T) + cc[None, :]
+            a = d2.argmin(axis=1)  # first min = lowest cell
+            resid = mat - cvecs[a]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "resid": list(resid)}
+            )
+
+    return (
+        emb.filter(
+            F.expr(
+                f"(({QS_HASH_A} * (vec_id % {QS_HASH_MOD}) + {TR_HASH_B})"
+                f" % {QS_HASH_MOD}) % {t_mod} = 0"
+            )
+        )
+        .select("vec_id", "embedding")
+        .mapInPandas(kernel, "vec_id long, resid array<double>")
+    )
+
+
 def ivfpq_topk(
     emb: DataFrame,
     k: int,
     nprobe: int = IVFPQ_NPROBE,
     queries: DataFrame | None = None,
+    query_target: int | None = None,
 ) -> DataFrame:
     """FAISS-style IVF-PQ (IVFADC) approximate top-k — the index
     shape a 100 TB embedding corpus actually serves from: vectors
@@ -1741,109 +1935,74 @@ def ivfpq_topk(
 
     Recall is governed by nprobe x PQ distortion; ``ivfpq_recall``
     measures it against the exact ranking (gated >= 0.37 at sf0.001
-    by tests/test_r5_operators.py)."""
+    by tests/test_r5_operators.py).
+
+    Execution shape (r14, VERDICT r13 item 1): coarse assignment, PQ
+    encode and the per-(query, cell) ADC tables come out of ONE fused
+    Arrow kernel (:func:`_fused_ivfpq_relation`), checkpointed once;
+    the probe join is then a single cell-equi-join of the query rows
+    (carrying their 128-slot ADC list) against the member rows
+    (carrying their 16 codes) — the former probes |><| assign |><|
+    codes |><| qd cascade collapsed to one join. PQ training samples
+    FIRST and computes residuals only for kept rows
+    (:func:`_train_resid_sample`). Values are bit-identical to the
+    staged pipeline (same IEEE sequences; oracle unchanged).
+
+    ``queries`` restricts the query side to an explicit vec_id subset
+    (per-query results unchanged); ``query_target`` instead pushes
+    :func:`query_sample`'s deterministic predicate INTO the kernel so
+    non-query vectors never build ADC tables (what ivfpq_recall
+    uses)."""
     from uber_data_pipeline_spark.functions.vectors import cosine_spark
 
     from pyspark.sql import Window
 
-    # the coarse-quantizer relations feed training, encode, probing
-    # and the ADC tables; materialize each ONCE (executor-local
-    # checkpoint — Catalyst does not share common subtrees across
-    # consumers, and ranked costs a centroid fit + n x cells scoring)
-    trained = coarse_train_cells(emb, auto_cells(emb.count()))
-    cents = coarse_cells_df(emb.sparkSession, trained)
-    ranked = (
-        _coarse_ranked_int(emb, trained, nmax=max(nprobe, 1))
-        .localCheckpoint(eager=False)
+    n = emb.count()
+    trained = coarse_train_cells(emb, auto_cells(n), n_rows=n)
+    t_mod = max(1, (n + IVFPQ_TRAIN_CAP - 1) // IVFPQ_TRAIN_CAP)
+    book = ivfpq_train_book(
+        emb, sample=_train_resid_sample(emb, trained, t_mod)
     )
-    probe_src = ranked.filter(F.col("crk") <= nprobe)
+    tens = _book_tensor(book)
+    q_mod = (
+        None
+        if query_target is None or queries is not None
+        else max(1, (n + query_target - 1) // query_target)
+    )
+    fused = _fused_ivfpq_relation(
+        emb, trained, tens, nprobe, q_mod
+    ).localCheckpoint(eager=False)
+    members = fused.filter(F.col("crk") == 1).selectExpr(
+        "vec_id AS neighbor_id",
+        "cell AS ncell",
+        *[f"code_{s}" for s in range(IVFPQ_SUBSPACES)],
+    )
+    probes = fused.filter(F.col("qd").isNotNull()).select(
+        F.col("vec_id").alias("query_id"), "cell", "qd"
+    )
     if queries is not None:
         # query-side-only restriction (training, encode and cell
         # membership stay corpus-global): per-query results unchanged
-        probe_src = probe_src.join(
-            F.broadcast(queries.select("vec_id")), "vec_id", "left_semi"
-        )
-    probes = probe_src.select(
-        F.col("vec_id").alias("query_id"), "cell"
-    )
-    assign = ranked.filter(F.col("crk") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("cell").alias("ncell")
-    )
-    resid = _ivfpq_resid(
-        emb,
-        assign=ranked.filter(F.col("crk") == 1).select("vec_id", "cell"),
-        cents=cents,
-    ).localCheckpoint(eager=False)
-    book = ivfpq_train_book(emb, resid=resid)
-    tens = _book_tensor(book)
-
-    # corpus-side: encode every vector's residual as 16 codes — one
-    # narrow Arrow pass against the 128-row model closure (no join,
-    # no shuffle; argmin first-hit = lowest code, the SQL tie rule)
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["resid"]]
-            )
-            d2 = _resid_d2_all(mat, tens)
-            out = {"neighbor_id": pdf["vec_id"].to_numpy()}
-            for s in range(IVFPQ_SUBSPACES):
-                out[f"code_{s}"] = d2[:, s, :].argmin(axis=1)
-            yield pd.DataFrame(out)
-
-    codes = resid.select("vec_id", "resid").mapInPandas(
-        encode,
-        "neighbor_id long, "
-        + ", ".join(f"code_{s} long" for s in range(IVFPQ_SUBSPACES)),
-    )
-
-    # query-side: one ADC table per (query, probed cell) from the
-    # query's residual against THAT cell — same Arrow pass, emitting
-    # the 128-slot (s-major, code-minor) lookup list directly
-    qres = (
-        probes.join(
-            emb.select(F.col("vec_id").alias("query_id"), "embedding"),
+        probes = probes.join(
+            F.broadcast(
+                queries.select(F.col("vec_id").alias("query_id"))
+            ),
             "query_id",
+            "left_semi",
         )
-        .join(F.broadcast(cents), "cell")
-        .selectExpr(
-            "query_id",
-            "cell",
-            "zip_with(embedding, cvec, (x, c) -> CAST(x AS DOUBLE) - c)"
-            " AS qres",
-        )
-    )
-
-    def lut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["qres"]]
-            )
-            d2 = _resid_d2_all(mat, tens).reshape(
-                len(pdf), IVFPQ_SUBSPACES * PQ_CODEBOOK
-            )
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    "cell": pdf["cell"].to_numpy(),
-                    "qd": list(d2),
-                }
-            )
-
-    qd = qres.mapInPandas(lut, "query_id long, cell int, qd array<double>")
     adc_expr = " + ".join(
         f"element_at(qd, CAST({s * PQ_CODEBOOK} + code_{s} + 1 AS INT))"
         for s in range(IVFPQ_SUBSPACES)
     )
+    # explicit build side: both inputs scan the checkpoint RDD (no
+    # catalyst stats), and the planner otherwise builds the PROBE side
+    # — 128 doubles of ADC table per row vs the members' 17 longs, a
+    # ~70 MB broadcast at sf1 (measured: pairs leg 12.8 -> 1.9 s with
+    # the hint). Beyond broadcast range this becomes a pair of
+    # cell-keyed shuffles, exactly like the old probes|><|assign form.
     pairs = (
-        probes.join(assign, probes.cell == assign.ncell)
+        probes.join(F.broadcast(members), probes.cell == members.ncell)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(codes, "neighbor_id")
-        .join(qd, ["query_id", "cell"])
         .selectExpr(
             "query_id",
             "neighbor_id",
@@ -1885,9 +2044,10 @@ def ivfpq_recall(
     the exact baseline before an index ships. The sample is pushed
     into the index's probe side (r10, ADVICE): corpus encode stays
     global (it prices the index), but ADC scoring runs only for
-    sampled queries."""
+    sampled queries (r14: the sample predicate runs INSIDE the fused
+    kernel — same keep-set, no semi-join)."""
     approx = ivfpq_topk(
-        emb, k, nprobe, queries=query_sample(emb, query_sample_target)
+        emb, k, nprobe, query_target=query_sample_target
     ).select("query_id", "neighbor_id")
     return _recall_vs_exact(emb, approx, k, query_sample_target)
 

@@ -818,8 +818,11 @@ def kmv_intersection(
         F.count(F.when(F.col("nt") == 2, 1)).cast("long").alias(
             "exact_intersection"
         ),
-        F.sum("ha").cast("long").alias("exact_a"),
-        F.sum("hb").cast("long").alias("exact_b"),
+        # coalesce(.., 0): SUM over zero rows is NULL where the former
+        # countDistinct returned 0 — only reachable on a fully-empty
+        # input, pinned anyway (ADVICE r13)
+        F.coalesce(F.sum("ha"), F.lit(0)).cast("long").alias("exact_a"),
+        F.coalesce(F.sum("hb"), F.lit(0)).cast("long").alias("exact_b"),
     )
     return (
         est_ab.crossJoin(F.broadcast(est_u))

@@ -99,6 +99,10 @@ SPREAD_OPTED_ENTRIES = (
     "dedup_sorted_neighborhood",
     "dedup_paragraph_twolevel",
     "multimodal_phash_neardup",
+    # r14: the fused IVF-PQ kernel + its checkpoint-fed ADC fan-out
+    # inherit the scan's 1-row-group split without the spread
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
 )
 
 

@@ -1349,6 +1349,14 @@ def parts_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lpa_from_lineitem(li: DataFrame, iters: int | None = None) -> DataFrame:
+    """Label propagation over the co-purchase graph.
+
+    Cache contract (ADVICE r13): ``adj`` stays cached through the
+    returned plan's action — the lazy checkpoint chain would fire an
+    in-loop unpersist before execution — so the CALLER owns releasing
+    it (clearCache / unpersist-all between queries, as bench.py and
+    every harness here do). A long-lived session invoking this
+    repeatedly without clearing leaks one |V|-row cache per call."""
     sets = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("ps")
     )

