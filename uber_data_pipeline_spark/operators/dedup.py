@@ -550,9 +550,20 @@ def connected_components(
     doubling runs (O(log diameter) rounds, one shuffle join per
     round, localCheckpoint per round so lineage stays bounded —
     the classic Spark iterative-algorithm trap)."""
+    # bidirect ROW-LOCALLY with one explode instead of
+    # union(pairs, pairs-swapped): the union embedded the (expensive —
+    # inverted-index self-join for the jaccard family) pair subtree
+    # TWICE and ReuseExchange does not fire across the legs (cached-
+    # relation instances canonicalize differently), so the whole
+    # candidate pipeline executed twice per edge build (r14; the
+    # executed plan showed two full ShuffledHashJoin+aggregate copies
+    # under the Union). Same edge set, one copy, one Generate.
     edges = (
-        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        pairs.selectExpr(
+            f"explode(array(struct({a} AS src, {b} AS dst), "
+            f"struct({b} AS src, {a} AS dst))) AS e"
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .cache()
     )

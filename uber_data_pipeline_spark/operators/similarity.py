@@ -447,14 +447,19 @@ def ivf_topk(
     CTE replays assignment boundaries bit-for-bit; the in-cell rerank
     is the exact gemm kernel whose rounded cosines equal the oracle's
     fold expression."""
-    trained = coarse_train_cells(emb, auto_cells(emb.count()))
+    n = emb.count()
+    trained = coarse_train_cells(emb, auto_cells(n), n_rows=n)
     # one assignment pass serves probes AND cell membership;
     # localCheckpoint cuts the shared lineage so the n x k scoring
-    # runs once, not once per consumer
+    # runs once, not once per consumer. carry_embedding (r14): the
+    # kernel passes the raw vectors THROUGH (Arrow bit-preserves
+    # float32), so neither the probe side nor the member side joins
+    # back onto emb — the former two vec_id equi-joins (4 exchanges
+    # against a stats-free checkpoint) are gone; nprobe<=2 bounds the
+    # duplication at 2 vector copies.
     ranked = _coarse_ranked_int(
-        emb, trained, nmax=max(nprobe, 1)
+        emb, trained, nmax=max(nprobe, 1), carry_embedding=True
     ).localCheckpoint(eager=False)
-    vecs = emb.select("vec_id", "embedding")
     probe_src = ranked.filter(F.col("crk") <= nprobe)
     if queries is not None:
         # restrict the QUERY side only (neighbors still whole-cell):
@@ -462,26 +467,18 @@ def ivf_topk(
         probe_src = probe_src.join(
             F.broadcast(queries.select("vec_id")), "vec_id", "left_semi"
         )
-    probes = (
-        probe_src
-        .join(vecs, "vec_id")
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("qemb"),
-            "cell",
-        )
+    probes = probe_src.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        "cell",
     )
     # distinct key name on the corpus side: both frames share the
     # `ranked` lineage, and a same-name cogroup key trips Spark's
     # ambiguous-self-join check (keys match positionally, not by name)
-    assign = (
-        ranked.filter(F.col("crk") == 1)
-        .join(vecs, "vec_id")
-        .select(
-            F.col("vec_id").alias("nid"),
-            F.col("embedding").alias("nemb"),
-            F.col("cell").alias("ncell"),
-        )
+    assign = ranked.filter(F.col("crk") == 1).select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nemb"),
+        F.col("cell").alias("ncell"),
     )
     candidates = (
         probes.groupBy("cell")
@@ -531,14 +528,16 @@ def semantic_dedup(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
     comparisons."""
     from uber_data_pipeline_spark.functions.vectors import dot_spark
 
-    trained = coarse_train_cells(emb, auto_cells(emb.count()))
+    n = emb.count()
+    trained = coarse_train_cells(emb, auto_cells(n), n_rows=n)
     cents = coarse_cells_df(emb.sparkSession, trained).withColumn(
         "cnorm2", F.expr(dot_spark("cvec", "cvec"))
     )
+    # carry_embedding (r14): nmax=1, so the kernel's pass-through of
+    # the raw vector is copy-free and the join back onto emb (two
+    # exchanges) disappears; the cell-local gemm sees identical bits.
     assign = (
-        _coarse_ranked_int(emb, trained, nmax=1)
-        .filter(F.col("crk") == 1)
-        .join(emb.select("vec_id", "embedding"), "vec_id")
+        _coarse_ranked_int(emb, trained, nmax=1, carry_embedding=True)
         .join(F.broadcast(cents), "cell")
         .withColumn("qnorm2", F.expr(dot_spark("embedding", "embedding")))
         .selectExpr(

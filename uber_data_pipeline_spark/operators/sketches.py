@@ -484,19 +484,22 @@ def hll_union(
         )
         return sums.selectExpr(f"round({_hll_est_sql()}, 3) AS {out}")
 
-    exact = ev.agg(
+    # r14 (guide §2.2, VERDICT r13 item 8): the exact union count and
+    # the per-group exact sum BOTH reduce over the distinct
+    # (group, key) pairs — sum of per-group distinct counts is just
+    # count(key) of the pair relation — so one distinct aggregate
+    # feeds both scalars instead of two raw scans each paying its own
+    # distinct machinery. Same values by construction (count(key)
+    # skips NULL keys exactly like countDistinct does per group).
+    pairs_d = ev.select(group, key).distinct()
+    exact = pairs_d.agg(
         F.countDistinct(key).alias("n_exact_union"),
-    )
-    group_sum = (
-        ev.groupBy(group)
-        .agg(F.countDistinct(key).alias("n"))
-        .agg(F.sum("n").alias("sum_group_exacts"))
+        F.count(key).alias("sum_group_exacts"),
     )
     est_m = estimate(merged, "hll_merged_estimate")
     est_d = estimate(direct, "hll_direct_estimate")
     return (
-        exact.crossJoin(F.broadcast(group_sum))
-        .crossJoin(F.broadcast(est_m))
+        exact.crossJoin(F.broadcast(est_m))
         .crossJoin(F.broadcast(est_d))
         .selectExpr(
             "n_exact_union",
