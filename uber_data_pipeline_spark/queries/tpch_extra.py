@@ -920,14 +920,15 @@ def parts_pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(round(0.15 + 0.85 * round(in_sum, 15), 9) "
                 "AS DECIMAL(14,9)) AS pr",
             )
-            # EAGER checkpoint kept deliberately (r13 A/B): the lazy
-            # chain (eager=False, the LPA loop's shape) wins 1.2 s at
-            # sf0.1 but LOSES ~1 s with a noisier tail at sf1
-            # (min 7.85 eager vs 8.79 lazy, head-to-head interleaved)
-            # — the two-consumer final join over the last two rounds
-            # re-enters the chain under one action less cleanly than
-            # LPA's single-tail consumers. Scale evidence outranks the
-            # local-bench win.
+            # EAGER checkpoint kept deliberately (r13 A/B, re-confirmed
+            # r14): the lazy chain (eager=False) wins 1.2 s at sf0.1
+            # but LOSES at sf1 (r13: min 7.85 eager vs 8.79 lazy), and
+            # the r14 HYBRID (lazy rounds 1..K-2, one eager at K-1 so
+            # the two tail consumers read materialized blocks) lost
+            # even harder at sf1 — 6.23 eager vs 9.79/10.83 hybrid,
+            # interleaved min-of-3 — while tying at sf0.1 (3.35 vs
+            # 3.29/3.41). Scale evidence outranks the local-bench win;
+            # VERDICT r13 item 9 is hereby closed as examined-rejected.
             .localCheckpoint()
         )
         prev, ranks = ranks, nxt
@@ -1392,6 +1393,14 @@ def _lpa_from_lineitem(li: DataFrame, iters: int | None = None) -> DataFrame:
     iso = labels.join(
         adj.select(F.col("src").alias("v")), "v", "left_anti"
     ).localCheckpoint(eager=False)
+    # r14 A/B note: the "obvious" plan-shrink restructure (iso unioned
+    # ONCE after the loop + round-1 fused to explode(adj) with
+    # label=src) was implemented and REJECTED on scale evidence — it
+    # tied/lost slightly at sf0.1 (3.32 -> 3.44 min interleaved) and
+    # lost BADLY at sf1 (8.44 -> 10.91): the per-round union of the
+    # checkpointed iso blocks is what keeps every round's broadcast
+    # input fully materialized; without it the tail re-enters lazy
+    # subtrees mid-action. Keep this shape.
     for _ in range(LPA_ITERS if iters is None else iters):
         nbr = adj.join(
             F.broadcast(labels), adj["src"] == labels["v"]
@@ -1641,10 +1650,16 @@ def copurchase_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
+    # deg feeds THREE consumers (the wedge closed form and both
+    # orientation broadcasts) and adj below feeds both wedge-join
+    # broadcast builds — without a boundary each consumer re-runs the
+    # aggregate over the cached edges (Catalyst shares no subtrees
+    # across consumers). Both are node-cardinality relations (r14).
     deg = (
         edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .cache()
     )
     nodes_wedges = deg.agg(
         F.count("*").cast("long").alias("n_nodes"),
@@ -1679,7 +1694,7 @@ def copurchase_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 120, 148M wedges): whole query 11.4 s -> 6.8 s, with the pair
     # generation 6.3 -> 0.8 s and the closure kernel at ~3 s (72M
     # row-local comparisons — the intrinsic O(E^1.5)-ish work).
-    adj = oriented.groupBy("s").agg(F.collect_list("t").alias("nbrs"))
+    adj = oriented.groupBy("s").agg(F.collect_list("t").alias("nbrs")).cache()
     tri = (
         oriented.join(
             F.broadcast(adj.select(F.col("s"), F.col("nbrs").alias("nu"))),
