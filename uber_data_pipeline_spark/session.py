@@ -80,7 +80,38 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # parallelismFirst stays TRUE (Spark's default) after a full
+        # 227-entry A/B (r14): flipping it false — the byte-derived
+        # reduce width Spark's tuning doc suggests for pure-ETL
+        # shuffles — read 220.2 s vs 180.1 s sequential and 52.2 vs
+        # 42.9 s concurrent-8 on this suite, because our reduce
+        # stages are COMPUTE-dense at small bytes (LPA/pagerank vote
+        # aggregates, shingle self-joins, cell-local gemms): AQE
+        # coalesced them to 1-2 tasks and serialized the CPU. Worst:
+        # parts_label_propagation 3.4 -> 12.6 s, dedup_lsh_tuning
+        # 1.9 -> 8.2 s; the wins it bought elsewhere were < 0.3 s
+        # each. Env knob for deployments whose reduce stages are
+        # byte-bound (classic ETL at 100 TB), where false is right.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_AQE_PARALLELISM_FIRST", "true"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # preferSortMergeJoin stays TRUE (Spark's default) after a
+        # full 227-entry A/B (r14): globally allowing planner-picked
+        # shuffled-hash joins read 195.2 s vs 180.1 s sequential
+        # (worst: parts_pagerank_iterated +0.8 s, dedup_clusters
+        # family +0.3-0.5 s — hash builds on the few-but-wide
+        # post-aggregate relations lose to the pipelined sorts), plus
+        # one StackOverflowError in a streaming thread. The operators
+        # that PROFIT from SHJ (the shingle self-joins) already hint
+        # SHUFFLE_HASH at the call site — per-join choice beats a
+        # session-global flip. Env knob kept for byte-bound ETL
+        # deployments.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_PREFER_SMJ", "true"),
+        )
         # dims up to 64 MiB broadcast instead of shuffling the fact side
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Arrow for the pandas_udf / mapInPandas operators
